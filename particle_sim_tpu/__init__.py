@@ -1,0 +1,28 @@
+"""particle_sim_tpu — TPU-native 3D particle-simulation engine.
+
+A brand-new JAX/XLA/Pallas engine with the capabilities of
+``lucascompython/particle-simulation-3d`` (reference at /root/reference),
+designed TPU-first rather than ported. See SURVEY.md for the blueprint.
+"""
+
+from .core import (
+    ColorMode,
+    Method,
+    PairwiseParams,
+    ParticleState,
+    SimParams,
+    SphereGeneration,
+    generate,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ColorMode",
+    "Method",
+    "PairwiseParams",
+    "ParticleState",
+    "SimParams",
+    "SphereGeneration",
+    "generate",
+]
