@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 Vec3Arrays = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
@@ -50,18 +51,24 @@ def attractor_step(
     # 1. gravity (y only) — compute.wgsl:53
     vy = vy - gravity * dt
 
-    # 2. mouse attractor with quadratic falloff — compute.wgsl:56-66
+    # 2. mouse attractor with quadratic falloff — compute.wgsl:56-66.
+    # Formulated around a single rsqrt (the only transcendental in the step):
+    # the reference's length() + normalize() (sqrt then divide) cost two; on
+    # the VPU transcendentals dominate this kernel, so dist and 1/dist are
+    # both derived from rsqrt(dist^2). The cutoff compares squared distances,
+    # and the WGSL clamp on norm_dist (compute.wgsl:62) is dropped because
+    # `within` already zeroes every lane with norm_dist >= 1 — identical
+    # results, fewer ops.
     dx = mouse_x - px
     dy = mouse_y - py
     dz = mouse_z - pz
     dist_sq = dx * dx + dy * dy + dz * dz
-    dist = jnp.sqrt(dist_sq)
     reach = mouse_radius * 2.0
-    norm_dist = jnp.clip(dist / reach, 0.0, 1.0)        # compute.wgsl:62
-    falloff = (one - norm_dist) * (one - norm_dist) * 2.0
-    inv_dist = one / jnp.maximum(dist, 1e-12)           # safe normalize
-    within = (dist < reach).astype(jnp.float32) * dragging
-    scale = within * mouse_force * falloff * dt * inv_dist
+    inv_dist = jax.lax.rsqrt(jnp.maximum(dist_sq, 1e-24))  # safe normalize
+    norm_dist = dist_sq * inv_dist * (one / reach)         # = dist / reach
+    t = one - norm_dist
+    within = (dist_sq < reach * reach).astype(jnp.float32) * dragging
+    scale = within * (mouse_force * 2.0 * dt) * t * t * inv_dist
     vx = vx + dx * scale
     vy = vy + dy * scale
     vz = vz + dz * scale
