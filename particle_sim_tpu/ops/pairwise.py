@@ -1,0 +1,69 @@
+"""All-pairs O(N^2) interaction — jax.numpy oracle.
+
+Capability extension beyond the reference (BASELINE.json config 3): the
+reference's only force field is the 1-body mouse attractor
+(``/root/reference/src/shaders/compute.wgsl:56-66``); this generalizes it to
+softened pairwise monopole attraction with unit masses:
+
+    a_i = G * sum_j m_j * (x_j - x_i) / (|x_j - x_i|^2 + eps^2)^(3/2)
+
+The softening eps makes the self-pair contribute exactly zero, so no
+self-interaction mask is needed. Inactive (padded) particles ARE masked on
+the j side — unlike the independent-particle attractor step, padding would
+otherwise exert phantom forces.
+
+The full pairwise step keeps the reference's integrator contract
+(gravity/forces accumulate into velocity, then ``p += v*dt``, then
+``v *= damping`` — compute.wgsl:52-72); the pairwise acceleration is just one
+more force term.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import params as P
+from . import physics
+
+
+def pairwise_accel(
+    pos_flat: jax.Array,   # f32[3, N] component rows
+    n_active: jax.Array,   # i32 scalar
+    g_const,               # scalar
+    softening,             # scalar
+) -> jax.Array:
+    """f32[3, N] accelerations; O(N^2) memory — oracle/small-N path."""
+    n = pos_flat.shape[1]
+    diff = pos_flat[:, None, :] - pos_flat[:, :, None]   # [3, i=N, j=N]
+    r2 = (diff ** 2).sum(axis=0) + softening * softening
+    inv = jax.lax.rsqrt(r2)
+    w = g_const * inv * inv * inv                         # [N, N]
+    j_idx = jnp.arange(n, dtype=jnp.int32)
+    w = w * (j_idx[None, :] < n_active).astype(jnp.float32)
+    return jnp.einsum("ij,cij->ci", w, diff)
+
+
+def step_pairwise(
+    pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
+    pair_vec: jax.Array,   # f32[2]: (G, softening) — PairwiseParams.pack()
+    n_active: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """One step with all-pairs + attractor + gravity on (3, R, LANE) planes."""
+    shape = pos.shape
+    flat = pos.reshape(3, -1)
+    acc = pairwise_accel(flat, n_active, pair_vec[0], pair_vec[1])
+    dt = param_vec[P.P_DT]
+    vel = vel + acc.reshape(shape) * dt
+    px, py, pz, vx, vy, vz = physics.attractor_step(
+        pos[0], pos[1], pos[2], vel[0], vel[1], vel[2],
+        dt=dt, gravity=param_vec[P.P_GRAVITY],
+        mouse_force=param_vec[P.P_MOUSE_FORCE],
+        mouse_radius=param_vec[P.P_MOUSE_RADIUS],
+        damping=param_vec[P.P_DAMPING],
+        mouse_x=param_vec[P.P_MOUSE_X], mouse_y=param_vec[P.P_MOUSE_Y],
+        mouse_z=param_vec[P.P_MOUSE_Z], dragging=param_vec[P.P_DRAGGING],
+    )
+    return jnp.stack([px, py, pz]), jnp.stack([vx, vy, vz])

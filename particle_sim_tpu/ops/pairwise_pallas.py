@@ -1,0 +1,150 @@
+"""VMEM-tiled O(N^2) pairwise-force Pallas kernel.
+
+Nothing in the reference to port (its physics is per-particle independent);
+designed from the N-body GPU literature (PAPERS.md) mapped to TPU:
+
+  * grid (i_tiles, j_tiles), j minor — the (TILE_I, 3) output accumulator
+    block stays resident in VMEM across the whole j sweep (Pallas reduction
+    grid), initialized at j==0.
+  * positions arrive in BOTH layouts: ``x_nx3`` (N, 3) supplies i-tiles
+    whose per-component columns broadcast along sublanes, ``x_3xn`` (3, N)
+    supplies j-tiles whose rows broadcast along lanes — so the (TI, TJ) pair
+    tiles are pure VPU broadcasts with no in-kernel transposes. The O(N)
+    transpose is done once outside, amortized over the O(N^2) work.
+  * one rsqrt per pair; everything else is mul/add.
+  * scalars (G, eps^2, n_active, j_base) ride in SMEM. ``j_base`` offsets
+    the global j index for the multi-chip ring (parallel/ring.py), where the
+    j-buffer is a rotating shard of the global array.
+
+The j-validity mask zeroes forces from padding particles. The softened
+self-pair contributes zero force (numerator is 0), so i==j needs no mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.state import cdiv
+
+DEFAULT_TILE_I = 256
+DEFAULT_TILE_J = 512
+
+
+def _kernel(scalar_ref, xi_ref, xj_ref, out_ref, *, tile_j: int):
+    g_const = scalar_ref[0, 0]
+    eps_sq = scalar_ref[0, 1]
+    n_active = scalar_ref[0, 2]   # float compare is exact below 2^24
+    j_base = scalar_ref[0, 3]
+
+    j = pl.program_id(1)
+
+    # i-tile components as (TI, 1) columns; j-tile components as (1, TJ) rows.
+    xi_x, xi_y, xi_z = (xi_ref[:, 0:1], xi_ref[:, 1:2], xi_ref[:, 2:3])
+    xj_x, xj_y, xj_z = (xj_ref[0:1, :], xj_ref[1:2, :], xj_ref[2:3, :])
+
+    dx = xj_x - xi_x          # (TI, TJ)
+    dy = xj_y - xi_y
+    dz = xj_z - xi_z
+    r2 = dx * dx + dy * dy + dz * dz + eps_sq
+    inv = jax.lax.rsqrt(r2)
+    w = g_const * inv * inv * inv
+
+    # mask padding on the j side (global index >= n_active)
+    tj = dx.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, tj), 1).astype(jnp.float32)
+    j_global = col + (j_base + j.astype(jnp.float32) * tile_j)
+    w = w * (j_global < n_active).astype(jnp.float32)
+
+    ax = jnp.sum(w * dx, axis=1, keepdims=True)   # (TI, 1)
+    ay = jnp.sum(w * dy, axis=1, keepdims=True)
+    az = jnp.sum(w * dz, axis=1, keepdims=True)
+    acc = jnp.concatenate([ax, ay, az], axis=1)   # (TI, 3)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += acc
+
+
+@functools.lru_cache(maxsize=None)
+def _build(n_i: int, n_j: int, tile_i: int, tile_j: int, interpret: bool):
+    grid = (cdiv(n_i, tile_i), cdiv(n_j, tile_j))
+    return pl.pallas_call(
+        functools.partial(_kernel, tile_j=tile_j),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_i, 3), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=20 * n_i * n_j,
+            bytes_accessed=(n_i + n_j) * 3 * 4 * (n_j // tile_j + 1),
+            transcendentals=n_i * n_j,
+        ),
+    )
+
+
+def pairwise_accel(
+    x_nx3: jax.Array,      # f32[Ni, 3] — receiver positions
+    x_3xn: jax.Array,      # f32[3, Nj] — source positions (may be a ring buf)
+    n_active,              # active count among GLOBAL sources
+    g_const: float,
+    softening: float,
+    *,
+    j_base=0,              # global index of x_3xn's first column
+    tile_i: int = DEFAULT_TILE_I,
+    tile_j: int = DEFAULT_TILE_J,
+    interpret: bool = False,
+) -> jax.Array:
+    """f32[Ni, 3] accelerations from all sources. Traceable."""
+    n_i = x_nx3.shape[0]
+    n_j = x_3xn.shape[1]
+    tile_i = min(tile_i, n_i)
+    tile_j = min(tile_j, n_j)
+    scalars = jnp.stack([
+        jnp.float32(g_const), jnp.float32(softening) ** 2,
+        jnp.asarray(n_active, jnp.float32), jnp.asarray(j_base, jnp.float32),
+        jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0),
+    ]).reshape(1, 8)
+    call = _build(n_i, n_j, tile_i, tile_j, interpret)
+    return call(scalars, x_nx3, x_3xn)
+
+
+def step_pairwise(
+    pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
+    pair_vec: jax.Array, n_active, *, interpret: bool = False,
+):
+    """Pallas analog of ops.pairwise.step_pairwise on (3, R, LANE) planes."""
+    from ..core import params as P
+    from . import physics
+
+    shape = pos.shape
+    flat = pos.reshape(3, -1)
+    acc = pairwise_accel(flat.T, flat, n_active, pair_vec[0], pair_vec[1],
+                         interpret=interpret)          # (N, 3)
+    dt = param_vec[P.P_DT]
+    vel = vel + acc.T.reshape(shape) * dt
+    px, py, pz, vx, vy, vz = physics.attractor_step(
+        pos[0], pos[1], pos[2], vel[0], vel[1], vel[2],
+        dt=dt, gravity=param_vec[P.P_GRAVITY],
+        mouse_force=param_vec[P.P_MOUSE_FORCE],
+        mouse_radius=param_vec[P.P_MOUSE_RADIUS],
+        damping=param_vec[P.P_DAMPING],
+        mouse_x=param_vec[P.P_MOUSE_X], mouse_y=param_vec[P.P_MOUSE_Y],
+        mouse_z=param_vec[P.P_MOUSE_Z], dragging=param_vec[P.P_DRAGGING],
+    )
+    return jnp.stack([px, py, pz]), jnp.stack([vx, vy, vz])

@@ -1,0 +1,102 @@
+"""Multi-chip all-pairs forces: ppermute ring over the dp axis.
+
+The communication pattern of ring attention applied to N-body (SURVEY.md §5
+"long-context" analog): particles are row-sharded over the mesh; each device
+keeps its i-shard fixed and a j-buffer of positions rotates around the ICI
+ring. After n_dev hops every i-tile has seen every j-shard exactly once, so
+the accumulated force equals the single-device O(N^2) result.
+
+Communication volume per step: each device sends its 12-byte/particle
+position shard n_dev-1 times — O(N) bytes against O(N^2/n_dev) compute, so
+the ring is compute-bound at any realistic size and XLA overlaps the
+ppermute with the next tile's kernel.
+
+``j_base`` bookkeeping: after k hops a device holds the shard originally
+owned by device (my_idx + k) mod n_dev, whose global column offset is
+shard_idx * local_n — fed to the kernel's j-validity mask so global padding
+is masked correctly no matter where it currently lives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core import params as Pm
+from ..ops import pairwise_pallas, physics
+from .mesh import DP_AXIS
+
+
+def _plane_spec() -> P:
+    return P(None, DP_AXIS, None)
+
+
+def make_ring_pairwise_step(mesh: Mesh, *, interpret: bool = False,
+                            use_pallas: bool = True):
+    """Jitted (pos, vel, param_vec, pair_vec, n_active) -> (pos, vel).
+
+    pos/vel are (3, R, LANE) planes row-sharded over dp; n_active is the
+    GLOBAL active count (replicated scalar).
+    """
+    n_dev = mesh.devices.size
+
+    def local_step(pos, vel, pv, pairv, n_active):
+        # pos: local shard (3, R/n_dev, LANE)
+        shape = pos.shape
+        local_n = shape[1] * shape[2]
+        my_idx = jax.lax.axis_index(DP_AXIS)
+        flat = pos.reshape(3, -1)             # (3, local_n)
+        xi = flat.T                           # (local_n, 3) — fixed i-shard
+
+        def accel_vs(j_buf, j_base):
+            if use_pallas:
+                return pairwise_pallas.pairwise_accel(
+                    xi, j_buf, n_active, pairv[0], pairv[1],
+                    j_base=j_base, interpret=interpret)
+            diff = j_buf[:, None, :] - flat[:, :, None]   # (3, i, j)
+            r2 = (diff ** 2).sum(0) + pairv[1] * pairv[1]
+            inv = jax.lax.rsqrt(r2)
+            w = pairv[0] * inv * inv * inv
+            col = jnp.arange(local_n, dtype=jnp.float32)[None, :] + j_base
+            w = w * (col < n_active.astype(jnp.float32)).astype(jnp.float32)
+            return jnp.einsum("ij,cij->ic", w, diff)      # (i, 3)
+
+        perm = [(d, (d - 1) % n_dev) for d in range(n_dev)]
+
+        def body(k, carry):
+            acc, j_buf = carry
+            src_shard = (my_idx + k) % n_dev
+            j_base = (src_shard * local_n).astype(jnp.float32)
+            acc = acc + accel_vs(j_buf, j_base)
+            j_buf = jax.lax.ppermute(j_buf, DP_AXIS, perm)
+            return acc, j_buf
+
+        acc0 = jnp.zeros((local_n, 3), jnp.float32)
+        acc, _ = jax.lax.fori_loop(0, n_dev, body, (acc0, flat))
+
+        # integrate with the reference's contract (forces -> pos -> damping)
+        dt = pv[Pm.P_DT]
+        vel = vel + acc.T.reshape(shape) * dt
+        px, py, pz, vx, vy, vz = physics.attractor_step(
+            pos[0], pos[1], pos[2], vel[0], vel[1], vel[2],
+            dt=dt, gravity=pv[Pm.P_GRAVITY],
+            mouse_force=pv[Pm.P_MOUSE_FORCE],
+            mouse_radius=pv[Pm.P_MOUSE_RADIUS], damping=pv[Pm.P_DAMPING],
+            mouse_x=pv[Pm.P_MOUSE_X], mouse_y=pv[Pm.P_MOUSE_Y],
+            mouse_z=pv[Pm.P_MOUSE_Z], dragging=pv[Pm.P_DRAGGING],
+        )
+        return jnp.stack([px, py, pz]), jnp.stack([vx, vy, vz])
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(_plane_spec(), _plane_spec(), P(), P(), P()),
+        out_specs=(_plane_spec(), _plane_spec()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
