@@ -1,0 +1,3 @@
+from . import cli
+
+__all__ = ["cli"]

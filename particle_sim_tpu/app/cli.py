@@ -1,0 +1,150 @@
+"""Headless CLI driver — the frame loop of ``app.rs:521-618`` without a
+window: scripted attractor input, periodic frame renders to PNG, periodic
+checkpoints, stats to stdout.
+
+The reference exposes no CLI (all tunables are egui-mutated compile-time
+defaults, SURVEY.md §5 config); headless TPU runs need one, mirroring the
+full parameter surface of ``SimParams`` + the UI panel (mouse radius/force
+sliders, gravity, color mode, particle count, generation mode —
+``app.rs:320-518``).
+
+Example:
+    python -m particle_sim_tpu.app.cli --count 100000 --steps 300 \
+        --drag --orbit-mouse --render-every 100 --render-dir frames/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="particle_sim_tpu", description=__doc__.split("\n")[0])
+    p.add_argument("--count", type=int, default=None,
+                   help="particle count (default: backend default, "
+                        "100k jnp / 1M pallas — app.rs:108,117)")
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--method", choices=["auto", "jnp", "pallas"],
+                   default="auto")
+    p.add_argument("--generation", choices=["hollow", "filled"],
+                   default="hollow")
+    p.add_argument("--substeps", type=int, default=1)
+    # SimParams surface (defaults = mod.rs:69-84 / app.rs:143-148)
+    p.add_argument("--dt", type=float, default=0.016)
+    p.add_argument("--gravity", type=float, default=0.0)
+    p.add_argument("--mouse-force", type=float, default=5.0)
+    p.add_argument("--mouse-radius", type=float, default=10.0)
+    p.add_argument("--mouse-pos", type=float, nargs=3,
+                   default=[0.0, 0.0, 48.0])
+    p.add_argument("--drag", action="store_true",
+                   help="hold the attractor on (left-drag analog)")
+    p.add_argument("--orbit-mouse", action="store_true",
+                   help="script the attractor on a circular orbit")
+    p.add_argument("--color-mode", type=int, choices=[0, 1, 2], default=0)
+    p.add_argument("--max-dist-for-color", type=float, default=50.0)
+    p.add_argument("--damping", type=float, default=0.99)
+    # pairwise extension
+    p.add_argument("--pairwise", action="store_true")
+    p.add_argument("--pairwise-g", type=float, default=1.0)
+    p.add_argument("--pairwise-softening", type=float, default=0.5)
+    # rendering
+    p.add_argument("--render-every", type=int, default=0)
+    p.add_argument("--render-dir", default="frames")
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    # checkpointing
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--checkpoint", default="checkpoint.npz")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--stats-every", type=int, default=100)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from ..core.params import (
+        Method, PairwiseParams, SimParams, SphereGeneration,
+    )
+    from ..engine import Engine
+    from ..io import checkpoint as ckpt
+    from ..render.camera import Camera
+    from ..utils.png import write_png
+
+    method = {"auto": None, "jnp": Method.JNP,
+              "pallas": Method.PALLAS}[args.method]
+    start_step = 0
+    if args.resume:
+        engine, start_step = ckpt.load(args.resume, method=method)
+        print(f"resumed from {args.resume} at step {start_step} "
+              f"({engine.particle_count} particles)", file=sys.stderr)
+    else:
+        engine = Engine(
+            particle_count=args.count,
+            method=method,
+            generation_mode=(SphereGeneration.HOLLOW
+                             if args.generation == "hollow"
+                             else SphereGeneration.FILLED),
+            pairwise=(PairwiseParams(args.pairwise_g, args.pairwise_softening)
+                      if args.pairwise else None),
+            substeps=args.substeps,
+        )
+
+    camera = Camera(aspect=args.width / args.height)
+    if args.render_every:
+        os.makedirs(args.render_dir, exist_ok=True)
+
+    base = SimParams(
+        delta_time=args.dt, gravity=args.gravity,
+        color_mode=args.color_mode, mouse_force=args.mouse_force,
+        mouse_radius=args.mouse_radius,
+        is_mouse_dragging=args.drag or args.orbit_mouse,
+        damping=args.damping, max_dist_for_color=args.max_dist_for_color,
+        mouse_position=tuple(args.mouse_pos),
+    )
+
+    t_start = time.perf_counter()
+    for i in range(start_step, start_step + args.steps):
+        params = base
+        if args.orbit_mouse:
+            ang = i * 0.02
+            params = base.replace(mouse_position=(
+                40.0 * np.cos(ang), 10.0 * np.sin(ang * 2.3),
+                40.0 * np.sin(ang)))
+        engine.step(params)
+
+        if args.render_every and (i + 1) % args.render_every == 0:
+            img = engine.render_frame(camera, params,
+                                      width=args.width, height=args.height)
+            path = os.path.join(args.render_dir, f"frame_{i + 1:06d}.png")
+            write_png(path, img)
+            print(f"wrote {path}", file=sys.stderr)
+
+        if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
+            ckpt.save(args.checkpoint, engine, step_index=i + 1)
+            print(f"checkpointed -> {args.checkpoint}", file=sys.stderr)
+
+        if args.stats_every and (i + 1) % args.stats_every == 0:
+            print(json.dumps({"step": i + 1, **engine.stats.snapshot()}))
+
+    # final sync so the last step's cost is visible
+    np.asarray(engine.state.pos.ravel()[0:1])
+    wall = time.perf_counter() - t_start
+    total = args.steps * args.substeps * engine.particle_count
+    print(json.dumps({
+        "done": True, "steps": args.steps, "wall_s": round(wall, 3),
+        "particle_steps_per_sec": round(total / wall, 1),
+        **engine.stats.snapshot(),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

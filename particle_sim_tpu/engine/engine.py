@@ -1,0 +1,253 @@
+"""Engine — the application-layer analog of the reference's ``ParticleApp``
+simulation ownership (``/root/reference/src/app.rs:17-318``), headless.
+
+Lifecycle semantics replicated from the reference:
+
+  * **backend capability detection** (``app.rs:86-125``): the reference gates
+    its compute-shader backend on a device probe and defaults to the best
+    available with per-backend default counts (CPU 100k, compute 1M). Here:
+    ``Method.PALLAS`` requires a TPU backend (or interpret mode), JNP runs
+    everywhere; defaults mirror 100k (JNP) / 1M (PALLAS).
+  * **pause** gates stepping entirely (``app.rs:283``, ``mod.rs:48-49``).
+  * **reset** regenerates state at the current count (``cpu.rs:172-186``);
+    Filled mode is reproducible across resets (fixed seed, ``mod.rs:170``).
+  * **resize**: grow appends newly generated particles preserving existing
+    state (the CPU backend's semantics, ``cpu.rs:136-147`` — SURVEY.md §3.3
+    recommends unifying on this over the compute backend's
+    regenerate-everything); shrink keeps over-allocated capacity and only
+    drops the active count (both backends, ``cpu.rs:132-150``,
+    ``compute.rs:188-190``). Like the reference's own quirk, appended Filled
+    particles restart the fixed-seed stream (``cpu.rs:139`` constructs a
+    fresh SmallRng(69)).
+  * **method switch** builds a fresh backend with state regenerated — NOT
+    migrated — preserving count and pause flag (``app.rs:172-200``).
+
+TPU-native mechanics: state planes live in HBM and are donated through every
+jitted step (in-place double buffering); particle-count changes map to
+padded capacity buckets so interactive resizing (``app.rs:442-492``) only
+recompiles when the capacity bucket actually changes.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import generate as gen
+from ..core.params import (
+    ColorMode, Method, PairwiseParams, SimParams, SphereGeneration,
+)
+from ..core.state import LANE, ParticleState, capacity_rows
+from ..ops import pairwise as pairwise_jnp
+from ..ops import pairwise_pallas, step_jnp, step_pallas
+from ..render import raster
+from ..render.camera import Camera
+from .stats import FrameStats
+
+DEFAULT_COUNT_JNP = 100_000      # app.rs:108 (CPU backend default)
+DEFAULT_COUNT_PALLAS = 1_000_000  # app.rs:117 (compute backend default)
+
+
+def available_methods(interpret: bool = False) -> list:
+    """Capability probe analog (app.rs:86-100)."""
+    methods = [Method.JNP]
+    if jax.default_backend() == "tpu" or interpret:
+        methods.append(Method.PALLAS)
+    return methods
+
+
+class Engine:
+    def __init__(
+        self,
+        particle_count: Optional[int] = None,
+        method: Optional[Method] = None,
+        generation_mode: SphereGeneration = SphereGeneration.HOLLOW,
+        pairwise: Optional[PairwiseParams] = None,
+        interpret: bool = False,
+        substeps: int = 1,
+    ):
+        self._interpret = interpret
+        avail = available_methods(interpret)
+        if method is None:
+            method = avail[-1]  # best available (app.rs:106-125)
+        if method not in avail:
+            raise ValueError(
+                f"method {method.name} unavailable on backend "
+                f"{jax.default_backend()!r} (available: "
+                f"{[m.name for m in avail]})")
+        if particle_count is None:
+            particle_count = (DEFAULT_COUNT_PALLAS if method == Method.PALLAS
+                              else DEFAULT_COUNT_JNP)
+        self.method = method
+        self.generation_mode = generation_mode
+        self.pairwise = pairwise
+        self.substeps = substeps
+        self.paused = False
+        self.stats = FrameStats()
+        self._jit_cache: dict = {}
+        self.state = self._generate_state(particle_count)
+
+    # -- construction helpers -------------------------------------------------
+    def _generate_state(self, count: int,
+                        capacity: Optional[int] = None) -> ParticleState:
+        pos, vel, col = gen.generate(count, self.generation_mode)
+        return ParticleState.from_arrays(pos, vel, col, capacity=capacity)
+
+    # -- properties -----------------------------------------------------------
+    @property
+    def particle_count(self) -> int:
+        return int(self.state.n_active)
+
+    @property
+    def capacity(self) -> int:
+        return self.state.capacity
+
+    # -- stepping -------------------------------------------------------------
+    def _step_fn(self):
+        key = (self.method, self.pairwise is not None, self.substeps,
+               self._interpret)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        interpret = self._interpret
+        substeps = self.substeps
+
+        if self.pairwise is None:
+            if self.method == Method.PALLAS:
+                def fn(pos, vel, pv, pp, n):
+                    return step_pallas.step_jit(
+                        pos, vel, pv, substeps=substeps, interpret=interpret)
+            else:
+                def fn(pos, vel, pv, pp, n):
+                    return step_jnp.step_n_jit(pos, vel, pv, substeps)
+        else:
+            if self.method == Method.PALLAS:
+                base = pairwise_pallas.step_pairwise
+            else:
+                base = pairwise_jnp.step_pairwise
+
+            @jax.jit
+            def one(pos, vel, pv, pp, n):
+                if self.method == Method.PALLAS:
+                    return base(pos, vel, pv, pp, n, interpret=interpret)
+                return base(pos, vel, pv, pp, n)
+
+            def fn(pos, vel, pv, pp, n):
+                p, v = pos, vel
+                for _ in range(substeps):
+                    p, v = one(p, v, pv, pp, n)
+                return p, v
+
+        self._jit_cache[key] = fn
+        return fn
+
+    def step(self, params: Union[SimParams, np.ndarray]) -> None:
+        """Advance one frame unless paused (app.rs:283). Dispatch is async."""
+        self.stats.frame_tick()
+        if self.paused:
+            return
+        pv = jnp.asarray(params.pack() if isinstance(params, SimParams)
+                         else params)
+        pp = jnp.asarray((self.pairwise or PairwiseParams()).pack())
+        t0 = time.perf_counter()
+        pos, vel = self._step_fn()(self.state.pos, self.state.vel, pv, pp,
+                                   self.state.n_active)
+        self.state = ParticleState(pos=pos, vel=vel,
+                                   init_color=self.state.init_color,
+                                   n_active=self.state.n_active)
+        self.stats.record_update(time.perf_counter() - t0)
+
+    def step_synced(self, params: Union[SimParams, np.ndarray]) -> None:
+        """step() + device sync, recording honest device time."""
+        t0 = time.perf_counter()
+        self.step(params)
+        # readback sync (block_until_ready is a no-op on the axon platform)
+        np.asarray(self.state.pos.ravel()[0:1])
+        self.stats.record_update(time.perf_counter() - t0, device=True)
+
+    # -- lifecycle (reference trait surface, mod.rs:21-50) --------------------
+    def set_paused(self, paused: bool) -> None:
+        self.paused = paused
+
+    def is_paused(self) -> bool:
+        return self.paused
+
+    def reset(self, generation_mode: Optional[SphereGeneration] = None) -> None:
+        """Regenerate at current count, keeping capacity (cpu.rs:172-186)."""
+        if generation_mode is not None:
+            self.generation_mode = generation_mode
+        self.state = self._generate_state(self.particle_count,
+                                          capacity=self.capacity)
+
+    def resize(self, new_count: int,
+               generation_mode: Optional[SphereGeneration] = None) -> None:
+        """Grow appends preserving state; shrink keeps capacity (§3.3)."""
+        new_count = max(int(new_count), 1)  # app.rs:480 clamps to >=1
+        if generation_mode is not None and generation_mode != self.generation_mode:
+            self.generation_mode = generation_mode
+            # generation-mode change regenerates (app.rs:479-491 passes the
+            # new mode into resize_buffer; state distributions must match it)
+            cap = max(self.capacity, capacity_rows(new_count) * LANE)
+            self.state = self._generate_state(new_count, capacity=cap)
+            return
+        old_count = self.particle_count
+        if new_count == old_count:
+            return
+        if new_count <= self.capacity and new_count <= old_count:
+            # shrink: keep buffer, adjust count (cpu.rs:132-150)
+            self.state = ParticleState(
+                pos=self.state.pos, vel=self.state.vel,
+                init_color=self.state.init_color,
+                n_active=jnp.asarray(new_count, jnp.int32))
+            return
+        # grow: append newly generated particles (cpu.rs:136-147)
+        add = new_count - old_count
+        pos_a, vel_a, col_a = gen.generate(add, self.generation_mode)
+        pos = np.asarray(self.state.pos.reshape(3, -1)).T[:old_count]
+        vel = np.asarray(self.state.vel.reshape(3, -1)).T[:old_count]
+        col = np.asarray(self.state.init_color.reshape(3, -1)).T[:old_count]
+        self.state = ParticleState.from_arrays(
+            np.concatenate([pos, pos_a]), np.concatenate([vel, vel_a]),
+            np.concatenate([col, col_a]),
+            capacity=max(self.capacity, capacity_rows(new_count) * LANE))
+
+    def set_method(self, method: Method) -> None:
+        """Hot-swap backend: fresh state, count+pause preserved
+        (app.rs:172-200 — the reference intentionally does not migrate)."""
+        if method == self.method:
+            return
+        if method not in available_methods(self._interpret):
+            raise ValueError(f"method {method.name} unavailable")
+        count, was_paused = self.particle_count, self.paused
+        self.method = method
+        self.state = self._generate_state(count)
+        self.paused = was_paused
+
+    # -- output ---------------------------------------------------------------
+    def colors_rgba(self, params: Union[SimParams, np.ndarray]) -> np.ndarray:
+        """float32[n_active, 4] current colors (compute.wgsl:74-93)."""
+        pv = jnp.asarray(params.pack() if isinstance(params, SimParams)
+                         else params)
+        rgb = step_jnp.colors_jit(self.state.pos, self.state.vel,
+                                  self.state.init_color, pv)
+        n = self.particle_count
+        out = np.ones((n, 4), dtype=np.float32)
+        out[:, :3] = np.asarray(rgb.reshape(3, -1)[:, :n]).T
+        return out
+
+    def render_frame(
+        self, camera: Camera, params: Union[SimParams, np.ndarray],
+        width: int = 1920, height: int = 1080,
+    ) -> np.ndarray:
+        """uint8[H, W, 4] frame via the headless rasterizer."""
+        pv = jnp.asarray(params.pack() if isinstance(params, SimParams)
+                         else params)
+        fb = raster.render_jit(
+            self.state.pos, self.state.vel, self.state.init_color, pv,
+            jnp.asarray(camera.view_proj()), self.state.n_active,
+            width=width, height=height)
+        return np.asarray(raster.to_rgba8(fb))

@@ -1,0 +1,73 @@
+"""Checkpoint / resume — capability extension over the reference.
+
+The reference has no persistence: the closest features are Pause (a bool
+gate, ``mod.rs:48-49``) and Reset (regenerate, ``cpu.rs:172-186``); a crash
+loses the cloud (SURVEY.md §5 failure detection). Because our state is three
+SoA arrays, snapshots are cheap: positions, velocities, init colors sliced
+to the active count, plus scene metadata — a single .npz. This is the
+preemption-recovery story for TPU runs: periodic snapshot, resume on a fresh
+slice.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+
+from ..core.params import Method, PairwiseParams, SphereGeneration
+from ..core.state import ParticleState
+from ..engine import Engine
+
+FORMAT_VERSION = 1
+
+
+def save(path: str, engine: Engine, step_index: int = 0) -> None:
+    state = engine.state
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "generation_mode": int(engine.generation_mode),
+        "method": int(engine.method),
+        "paused": engine.paused,
+        "step_index": step_index,
+        "substeps": engine.substeps,
+        "pairwise": (
+            [engine.pairwise.gravitational_constant, engine.pairwise.softening]
+            if engine.pairwise else None),
+    }
+    np.savez_compressed(
+        path,
+        positions=state.positions(),
+        velocities=state.velocities(),
+        init_colors=np.asarray(
+            state.init_color.reshape(3, -1)[:, : engine.particle_count]).T,
+        meta=json.dumps(meta),
+    )
+
+
+def load(path: str, method: Optional[Method] = None,
+         interpret: bool = False) -> tuple:
+    """-> (Engine, step_index). ``method`` overrides the saved backend (a
+    checkpoint from a TPU run can resume on CPU, like the reference's
+    backend hot-swap but state-preserving)."""
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        if meta["format_version"] != FORMAT_VERSION:
+            raise ValueError(f"unsupported checkpoint version: {meta}")
+        positions = z["positions"]
+        velocities = z["velocities"]
+        init_colors = z["init_colors"]
+
+    pair = meta.get("pairwise")
+    engine = Engine(
+        particle_count=1,  # placeholder; state is replaced below
+        method=method if method is not None else Method(meta["method"]),
+        generation_mode=SphereGeneration(meta["generation_mode"]),
+        pairwise=PairwiseParams(*pair) if pair else None,
+        interpret=interpret,
+        substeps=meta.get("substeps", 1),
+    )
+    engine.state = ParticleState.from_arrays(positions, velocities, init_colors)
+    engine.paused = bool(meta["paused"])
+    return engine, int(meta["step_index"])
