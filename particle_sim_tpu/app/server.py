@@ -1,0 +1,345 @@
+"""Streaming server: the TPU engine feeding a thin interactive client.
+
+The reference couples simulation and presentation in one process
+(egui/wgpu, ``app.rs:521-618``). The TPU-native split (BASELINE.json north
+star): the engine runs next to the TPU and streams packed position/color
+frames; the interactive frontend survives as a thin client — here a browser
+viewer (the reference itself ships a web build, ``index.html`` + trunk) —
+sending input events back.
+
+Stdlib only: a tiny HTTP server that serves the viewer page and upgrades
+``/ws`` to a WebSocket (RFC 6455). One sim thread steps the engine and
+re-packs the latest frame; per-client writer threads push the newest frame
+(latest-wins, slow clients drop frames instead of stalling the sim — the
+AutoVsync analog).
+
+Wire protocol (binary server->client):
+    u32 magic 'PSIM' | u32 mode (0 planar-f32, 1 compact-f16) | u32 count
+    | u32 frame_id | u32 total_particles | f32 fps | f32 update_ms
+    | payload (mode 0: pos f32[3*count] then rgba u8[4*count];
+               mode 1: 10-byte records — see io/packer.py)
+Client->server JSON events: params / mouse / pause / reset / resize /
+method / generation / view — mirroring the egui panel (app.rs:320-518).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+import socket
+import struct
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..core.params import Method, SimParams, SphereGeneration
+from ..engine import Engine
+from ..io import packer
+
+MAGIC = 0x4D495350  # 'PSIM' little-endian
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+_VIEWER_PATH = os.path.join(os.path.dirname(__file__), "viewer", "index.html")
+
+
+# ---------------------------------------------------------------- WebSocket --
+def _ws_accept_key(key: str) -> str:
+    digest = hashlib.sha1((key + _WS_GUID).encode()).digest()
+    return base64.b64encode(digest).decode()
+
+
+def ws_encode(payload: bytes, opcode: int = 0x2) -> bytes:
+    """Server frame (unmasked): binary by default."""
+    n = len(payload)
+    head = bytes([0x80 | opcode])
+    if n < 126:
+        head += bytes([n])
+    elif n < (1 << 16):
+        head += bytes([126]) + struct.pack(">H", n)
+    else:
+        head += bytes([127]) + struct.pack(">Q", n)
+    return head + payload
+
+
+def ws_read_frame(sock: socket.socket) -> Optional[tuple]:
+    """-> (opcode, payload) or None on close/EOF."""
+    def recv_exact(k: int) -> Optional[bytes]:
+        buf = b""
+        while len(buf) < k:
+            chunk = sock.recv(k - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    head = recv_exact(2)
+    if head is None:
+        return None
+    opcode = head[0] & 0x0F
+    masked = head[1] & 0x80
+    n = head[1] & 0x7F
+    if n == 126:
+        ext = recv_exact(2)
+        if ext is None:
+            return None
+        n = struct.unpack(">H", ext)[0]
+    elif n == 127:
+        ext = recv_exact(8)
+        if ext is None:
+            return None
+        n = struct.unpack(">Q", ext)[0]
+    mask = recv_exact(4) if masked else b"\x00" * 4
+    if mask is None:
+        return None
+    payload = recv_exact(n) if n else b""
+    if payload is None:
+        return None
+    if masked:
+        m = np.frombuffer((mask * ((n // 4) + 1))[:n], dtype=np.uint8)
+        payload = (np.frombuffer(payload, dtype=np.uint8) ^ m).tobytes()
+    if opcode == 0x8:  # close
+        return None
+    return opcode, payload
+
+
+# ------------------------------------------------------------------- Server --
+class StreamServer:
+    def __init__(self, engine: Engine, host: str = "127.0.0.1",
+                 port: int = 8787, target_fps: float = 60.0):
+        self.engine = engine
+        self.host, self.port = host, port
+        self.target_dt = 1.0 / target_fps
+        self.params = SimParams()
+        self.frame_id = 0
+        self.latest: Optional[bytes] = None
+        self.cond = threading.Condition()
+        self.lock = threading.Lock()       # guards engine + params mutations
+        self.max_points = 250_000
+        self.wire_mode = 0                 # 0 planar f32, 1 compact f16
+        self.running = False
+        self._threads: list = []
+        self._sock: Optional[socket.socket] = None
+
+    # -- input events (client JSON -> engine mutations) ----------------------
+    def handle_event(self, ev: dict) -> None:
+        t = ev.get("type")
+        with self.lock:
+            p = self.params
+            if t == "params":
+                fields = {k: v for k, v in ev.items()
+                          if k in SimParams.__dataclass_fields__}
+                if "mouse_position" in fields:
+                    fields["mouse_position"] = tuple(fields["mouse_position"])
+                self.params = p.replace(**fields)
+            elif t == "mouse":
+                self.params = p.replace(
+                    mouse_position=tuple(ev["pos"]),
+                    is_mouse_dragging=bool(ev.get("dragging", False)))
+            elif t == "pause":
+                self.engine.set_paused(not self.engine.is_paused())
+            elif t == "reset":
+                self.engine.reset()
+            elif t == "resize":
+                self.engine.resize(int(ev["count"]))
+            elif t == "generation":
+                mode = (SphereGeneration.HOLLOW if ev["mode"] == "hollow"
+                        else SphereGeneration.FILLED)
+                self.engine.resize(self.engine.particle_count, mode)
+            elif t == "method":
+                try:
+                    self.engine.set_method(Method[ev["name"].upper()])
+                except (KeyError, ValueError):
+                    pass
+            elif t == "view":
+                self.max_points = int(ev.get("max_points", self.max_points))
+                self.wire_mode = {"planar": 0, "compact": 1}.get(
+                    ev.get("mode", ""), self.wire_mode)
+
+    # -- frame production -----------------------------------------------------
+    def _build_frame(self) -> bytes:
+        with self.lock:
+            params = self.params
+            pos, rgba = self.engine.frame_arrays(params, self.max_points)
+            total = self.engine.particle_count
+            stats = self.engine.stats
+        if self.wire_mode == 1:
+            payload = packer.pack_f16(pos, rgba).tobytes()
+            count = len(payload) // packer.RECORD_BYTES
+        else:
+            count = pos.shape[1]
+            payload = pos.tobytes() + rgba.tobytes()
+        head = struct.pack(
+            "<IIIIIff", MAGIC, self.wire_mode, count, self.frame_id,
+            total, float(stats.fps), float(stats.update_ms))
+        return head + payload
+
+    def _sim_loop(self) -> None:
+        while self.running:
+            t0 = time.perf_counter()
+            with self.lock:
+                self.engine.step(self.params)
+            frame = self._build_frame()
+            with self.cond:
+                self.latest = frame
+                self.frame_id += 1
+                self.cond.notify_all()
+            elapsed = time.perf_counter() - t0
+            if elapsed < self.target_dt:
+                time.sleep(self.target_dt - elapsed)
+
+    # -- client handling ------------------------------------------------------
+    def _client_writer(self, sock: socket.socket) -> None:
+        last_sent = -1
+        try:
+            while self.running:
+                with self.cond:
+                    self.cond.wait_for(
+                        lambda: self.frame_id != last_sent or not self.running,
+                        timeout=1.0)
+                    frame, last_sent = self.latest, self.frame_id
+                if frame is not None:
+                    sock.sendall(ws_encode(frame))
+        except OSError:
+            pass
+
+    def _client_reader(self, sock: socket.socket) -> None:
+        try:
+            while self.running:
+                got = ws_read_frame(sock)
+                if got is None:
+                    break
+                opcode, payload = got
+                if opcode == 0x9:  # ping -> pong
+                    sock.sendall(ws_encode(payload, opcode=0xA))
+                elif opcode == 0x1:
+                    try:
+                        self.handle_event(json.loads(payload.decode()))
+                    except (ValueError, KeyError):
+                        pass
+        except OSError:
+            pass
+        finally:
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def _handle_conn(self, sock: socket.socket) -> None:
+        try:
+            sock.settimeout(5.0)
+            req = b""
+            while b"\r\n\r\n" not in req:
+                chunk = sock.recv(4096)
+                if not chunk:
+                    return
+                req += chunk
+            head = req.decode("latin-1")
+            lines = head.split("\r\n")
+            path = lines[0].split(" ")[1] if " " in lines[0] else "/"
+            headers = {}
+            for line in lines[1:]:
+                if ": " in line:
+                    k, v = line.split(": ", 1)
+                    headers[k.lower()] = v
+
+            if "sec-websocket-key" in headers and path.startswith("/ws"):
+                accept = _ws_accept_key(headers["sec-websocket-key"])
+                sock.sendall((
+                    "HTTP/1.1 101 Switching Protocols\r\n"
+                    "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                    f"Sec-WebSocket-Accept: {accept}\r\n\r\n"
+                ).encode())
+                sock.settimeout(None)
+                w = threading.Thread(target=self._client_writer, args=(sock,),
+                                     daemon=True)
+                w.start()
+                self._client_reader(sock)
+            else:
+                # serve the viewer
+                try:
+                    with open(_VIEWER_PATH, "rb") as f:
+                        body = f.read()
+                    sock.sendall(
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                        + body)
+                except OSError:
+                    sock.sendall(b"HTTP/1.1 404 Not Found\r\n\r\n")
+                sock.close()
+        except OSError:
+            pass
+
+    # -- lifecycle ------------------------------------------------------------
+    def start(self) -> None:
+        self.running = True
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((self.host, self.port))
+        self._sock.listen(8)
+        sim = threading.Thread(target=self._sim_loop, daemon=True)
+        sim.start()
+        self._threads.append(sim)
+        acceptor = threading.Thread(target=self._accept_loop, daemon=True)
+        acceptor.start()
+        self._threads.append(acceptor)
+
+    def _accept_loop(self) -> None:
+        while self.running:
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                break
+            t = threading.Thread(target=self._handle_conn, args=(conn,),
+                                 daemon=True)
+            t.start()
+
+    def stop(self) -> None:
+        self.running = False
+        with self.cond:
+            self.cond.notify_all()
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+
+    def serve_forever(self) -> None:
+        self.start()
+        print(f"viewer: http://{self.host}:{self.port}/  "
+              f"(ws on /ws, {self.engine.particle_count} particles, "
+              f"method {self.engine.method.name})")
+        try:
+            while True:
+                time.sleep(1.0)
+        except KeyboardInterrupt:
+            self.stop()
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="particle_sim_tpu stream server")
+    ap.add_argument("--count", type=int, default=None)
+    ap.add_argument("--method", choices=["auto", "jnp", "pallas"],
+                    default="auto")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8787)
+    ap.add_argument("--fps", type=float, default=60.0)
+    ap.add_argument("--max-points", type=int, default=250_000)
+    args = ap.parse_args(argv)
+
+    method = {"auto": None, "jnp": Method.JNP,
+              "pallas": Method.PALLAS}[args.method]
+    engine = Engine(particle_count=args.count, method=method)
+    server = StreamServer(engine, host=args.host, port=args.port,
+                          target_fps=args.fps)
+    server.max_points = args.max_points
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

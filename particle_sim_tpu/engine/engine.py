@@ -239,6 +239,27 @@ class Engine:
         out[:, :3] = np.asarray(rgb.reshape(3, -1)[:, :n]).T
         return out
 
+    def frame_arrays(
+        self, params: Union[SimParams, np.ndarray], max_points: int = 0,
+    ) -> tuple:
+        """Host-side (pos f32[3, n], rgba u8[n, 4]) for the stream packer.
+
+        rgba is premultiplied by the fragment brightness min(2|v|,1)
+        (particle.wgsl:41-44) so thin clients just draw the color. When
+        ``max_points`` > 0, returns a strided subsample, chosen device-side
+        so only the subsample crosses to the host.
+        """
+        pv = jnp.asarray(params.pack() if isinstance(params, SimParams)
+                         else params)
+        n = self.particle_count
+        stride = 1
+        if max_points and n > max_points:
+            stride = -(-n // max_points)
+        pos_dev, rgba_dev = raster.pack_points_jit(
+            self.state.pos, self.state.vel, self.state.init_color, pv,
+            n_stop=n, stride=stride)
+        return np.asarray(pos_dev), np.asarray(rgba_dev)
+
     def render_frame(
         self, camera: Camera, params: Union[SimParams, np.ndarray],
         width: int = 1920, height: int = 1080,

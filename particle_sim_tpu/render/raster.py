@@ -106,6 +106,39 @@ def render_jit(pos, vel, init_color, param_vec, view_proj, n_active,
                   width=width, height=height)
 
 
+@functools.partial(jax.jit, static_argnames=("stride",))
+def _pack_points(pos, vel, init_color, param_vec, n_stop, stride: int = 1):
+    flat_pos = pos.reshape(3, -1)[:, ::stride]
+    flat_vel = vel.reshape(3, -1)[:, ::stride]
+    flat_col = init_color.reshape(3, -1)[:, ::stride]
+    n = flat_pos.shape[1]
+    r, g, b = physics.color_rgb(
+        flat_pos[0], flat_pos[1], flat_pos[2],
+        flat_vel[0], flat_vel[1], flat_vel[2],
+        flat_col[0], flat_col[1], flat_col[2],
+        color_mode=param_vec[P.P_COLOR_MODE],
+        max_dist_for_color=param_vec[P.P_MAX_DIST],
+    )
+    bright = physics.brightness(flat_vel[0], flat_vel[1], flat_vel[2])
+    active = ((jnp.arange(n, dtype=jnp.int32) * stride) < n_stop)
+    af = active.astype(jnp.float32)
+    rgb = jnp.stack([r, g, b]) * (bright * af)
+    rgba = jnp.concatenate(
+        [rgb, af[None, :]], axis=0).T                       # [n, 4]
+    rgba8 = (jnp.clip(rgba, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    return flat_pos, rgba8
+
+
+def pack_points_jit(pos, vel, init_color, param_vec, n_stop, stride: int = 1):
+    """Device-side stream packing: -> (pos f32[3, m], rgba8 u8[m, 4]).
+
+    Inactive slots get alpha 0 (clients discard); stride subsamples on
+    device so only the subsample crosses the PCI/host boundary.
+    """
+    return _pack_points(pos, vel, init_color, param_vec,
+                        jnp.asarray(n_stop, jnp.int32), stride=stride)
+
+
 def to_rgba8(fb: jax.Array) -> jax.Array:
     """f32[H,W,3] -> u8[H,W,4] (alpha 255)."""
     rgb8 = (jnp.clip(fb, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)

@@ -1,0 +1,208 @@
+"""Packer parity and stream-server protocol tests (loopback, no browser)."""
+
+import base64
+import hashlib
+import json
+import socket
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from particle_sim_tpu.core.params import Method, SimParams
+from particle_sim_tpu.engine import Engine
+from particle_sim_tpu.io import packer
+
+
+class TestPacker:
+    def setup_method(self):
+        rng = np.random.default_rng(3)
+        self.pos = (rng.normal(size=(3, 5000)) * 50).astype(np.float32)
+        self.rgba = rng.integers(0, 256, (5000, 4), dtype=np.uint8)
+
+    def test_f16_native_matches_numpy(self):
+        if not packer.have_native():
+            pytest.skip("native packer unavailable")
+        a = packer.pack_f16(self.pos, self.rgba, stride=2)
+        lib = packer._lib
+        packer._lib = None
+        try:
+            b = packer.pack_f16(self.pos, self.rgba, stride=2)
+        finally:
+            packer._lib = lib
+        np.testing.assert_array_equal(a, b)
+
+    def test_f16_roundtrip_precision(self):
+        buf = packer.pack_f16(self.pos, self.rgba)
+        p, c = packer.unpack_f16(buf)
+        np.testing.assert_array_equal(c, self.rgba)
+        # f16 relative precision is 2^-11
+        rel = np.abs(p - self.pos.T) / (1.0 + np.abs(self.pos.T))
+        assert rel.max() < 6e-4
+
+    def test_planar_gather_exact(self):
+        p, c = packer.pack_planar_f32(self.pos, self.rgba, stride=7)
+        np.testing.assert_array_equal(p, self.pos[:, ::7])
+        np.testing.assert_array_equal(c, self.rgba[::7])
+
+
+# ---------------------------------------------------------------- ws client --
+class _WsSock:
+    """Socket wrapper that replays handshake-read overshoot bytes first."""
+
+    def __init__(self, sock: socket.socket, leftover: bytes):
+        self._s = sock
+        self._buf = leftover
+
+    def recv(self, n: int) -> bytes:
+        if self._buf:
+            out, self._buf = self._buf[:n], self._buf[n:]
+            return out
+        return self._s.recv(n)
+
+    def sendall(self, data: bytes) -> None:
+        self._s.sendall(data)
+
+    def close(self) -> None:
+        self._s.close()
+
+
+def ws_connect(host, port, timeout=10.0):
+    s = socket.create_connection((host, port), timeout=timeout)
+    key = base64.b64encode(b"0123456789abcdef").decode()
+    s.sendall((f"GET /ws HTTP/1.1\r\nHost: {host}\r\nUpgrade: websocket\r\n"
+               f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+               "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+    resp = b""
+    while b"\r\n\r\n" not in resp:
+        resp += s.recv(4096)
+    head, _, leftover = resp.partition(b"\r\n\r\n")
+    assert b"101" in head.split(b"\r\n")[0]
+    expect = base64.b64encode(hashlib.sha1(
+        (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()
+    ).digest())
+    assert expect in head
+    return _WsSock(s, leftover)
+
+
+def ws_send_text(s, obj):
+    payload = json.dumps(obj).encode()
+    mask = b"\x11\x22\x33\x44"
+    masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    assert len(payload) < 126
+    s.sendall(bytes([0x81, 0x80 | len(payload)]) + mask + masked)
+
+
+def ws_recv_binary(s):
+    def rexact(k):
+        buf = b""
+        while len(buf) < k:
+            c = s.recv(k - len(buf))
+            if not c:
+                raise ConnectionError("eof")
+            buf += c
+        return buf
+    head = rexact(2)
+    n = head[1] & 0x7F
+    if n == 126:
+        n = struct.unpack(">H", rexact(2))[0]
+    elif n == 127:
+        n = struct.unpack(">Q", rexact(8))[0]
+    return head[0] & 0x0F, rexact(n)
+
+
+@pytest.fixture
+def server():
+    from particle_sim_tpu.app.server import StreamServer
+
+    engine = Engine(particle_count=2000, method=Method.JNP)
+    srv = StreamServer(engine, host="127.0.0.1", port=0, target_fps=30)
+    # port 0: rebind to an ephemeral port
+    srv._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv._sock.bind(("127.0.0.1", 0))
+    srv.port = srv._sock.getsockname()[1]
+    srv._sock.listen(8)
+    srv.running = True
+    import threading
+    for target in (srv._sim_loop, srv._accept_loop):
+        t = threading.Thread(target=target, daemon=True)
+        t.start()
+    yield srv
+    srv.stop()
+
+
+class TestStreamServer:
+    def test_http_serves_viewer(self, server):
+        s = socket.create_connection(("127.0.0.1", server.port), timeout=5)
+        s.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+        resp = b""
+        s.settimeout(5)
+        try:
+            while True:
+                c = s.recv(65536)
+                if not c:
+                    break
+                resp += c
+                if b"</html>" in resp:
+                    break
+        except socket.timeout:
+            pass
+        assert b"200 OK" in resp and b"particle-sim-tpu" in resp
+
+    def test_frame_stream_and_events(self, server):
+        s = ws_connect("127.0.0.1", server.port)
+        op, frame = ws_recv_binary(s)
+        assert op == 0x2
+        magic, mode, count, fid, total, fps, upd = struct.unpack(
+            "<IIIIIff", frame[:28])
+        assert magic == 0x4D495350
+        assert mode == 0
+        assert total == 2000
+        assert count >= total  # capacity slots; padding carries alpha 0
+        pos = np.frombuffer(frame, dtype=np.float32,
+                            count=3 * count, offset=28).reshape(3, -1)
+        rgba = np.frombuffer(frame, dtype=np.uint8, count=4 * count,
+                             offset=28 + 12 * count).reshape(-1, 4)
+        assert np.isfinite(pos).all()
+        # hollow sphere: radius ~50 for every active particle
+        radii = np.sqrt((pos[:, :total] ** 2).sum(0))
+        assert abs(np.median(radii) - 50.0) < 2.0
+        assert (rgba[:total, 3] == 255).all()
+        assert (rgba[total:, 3] == 0).all()  # padding discarded client-side
+
+        # resize event -> total shrinks in a later frame
+        ws_send_text(s, {"type": "resize", "count": 500})
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            _, frame = ws_recv_binary(s)
+            total = struct.unpack("<I", frame[16:20])[0]
+            if total == 500:
+                break
+        assert total == 500
+
+        # pause toggles engine state
+        ws_send_text(s, {"type": "pause"})
+        deadline = time.time() + 5
+        while time.time() < deadline and not server.engine.is_paused():
+            time.sleep(0.05)
+        assert server.engine.is_paused()
+        s.close()
+
+    def test_param_and_mouse_events(self, server):
+        s = ws_connect("127.0.0.1", server.port)
+        ws_recv_binary(s)
+        ws_send_text(s, {"type": "params", "gravity": 3.5, "color_mode": 2})
+        ws_send_text(s, {"type": "mouse", "pos": [1, 2, 3], "dragging": True})
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            if (server.params.gravity == 3.5
+                    and server.params.is_mouse_dragging):
+                break
+            time.sleep(0.05)
+        assert server.params.gravity == 3.5
+        assert server.params.color_mode == 2
+        assert server.params.mouse_position == (1, 2, 3)
+        assert server.params.is_mouse_dragging
+        s.close()
