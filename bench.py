@@ -76,6 +76,36 @@ def main() -> None:
     t_batch = timed(2, substeps=2048)
     batch_rate = 2 * 2048 * cap / t_batch
 
+    # All-pairs O(N^2) frame at 65k (BASELINE config 3).
+    pairwise_ms = None
+    if on_tpu:
+        from particle_sim_tpu.ops import pairwise_pallas
+        import functools
+
+        pos65, _, _ = psim.generate.generate(65536, psim.SphereGeneration.FILLED)
+        st65 = psim.ParticleState.from_arrays(
+            pos65, np.zeros_like(pos65), np.zeros_like(pos65))
+        flat = jnp.asarray(st65.pos.reshape(3, -1))
+        n65 = flat.shape[1]
+
+        @jax.jit
+        def pair_frames(f, n_active):
+            def body(_, x):
+                acc = pairwise_pallas.pairwise_accel(
+                    x.T, x, n_active, 1.0, 0.5, tile_i=512, tile_j=1024)
+                return x + acc.T * 1e-6
+            return jax.lax.fori_loop(0, 5, body, f)
+
+        best = float("inf")
+        for _ in range(2):
+            out = pair_frames(flat, st65.n_active)
+            _sync(out)
+            t0 = time.perf_counter()
+            out = pair_frames(out, st65.n_active)
+            _sync(out)
+            best = min(best, time.perf_counter() - t0)
+        pairwise_ms = best / 5 * 1e3
+
     value = interactive_rate
     target = 1e10  # BASELINE.json: >=1e10 particle-steps/sec/chip
     result = {
@@ -91,6 +121,8 @@ def main() -> None:
             "batch_substep_rate": round(batch_rate, 1),
             "reference_implied_floor": 6.0e7,  # 1M @ 60 FPS (SURVEY.md §6)
             "vs_reference_floor": round(value / 6.0e7, 1),
+            "all_pairs_65k_frame_ms": (
+                round(pairwise_ms, 3) if pairwise_ms else None),
         },
     }
     print(json.dumps(result))

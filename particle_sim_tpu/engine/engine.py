@@ -69,8 +69,10 @@ class Engine:
         pairwise: Optional[PairwiseParams] = None,
         interpret: bool = False,
         substeps: int = 1,
+        debug_checks: bool = False,
     ):
         self._interpret = interpret
+        self.debug_checks = debug_checks
         avail = available_methods(interpret)
         if method is None:
             method = avail[-1]  # best available (app.rs:106-125)
@@ -160,6 +162,9 @@ class Engine:
                                    init_color=self.state.init_color,
                                    n_active=self.state.n_active)
         self.stats.record_update(time.perf_counter() - t0)
+        if self.debug_checks:
+            from ..utils.debug import validate_state
+            validate_state(self.state.pos, self.state.vel)
 
     def step_synced(self, params: Union[SimParams, np.ndarray]) -> None:
         """step() + device sync, recording honest device time."""

@@ -124,6 +124,129 @@ def pairwise_accel(
     return call(scalars, x_nx3, x_3xn)
 
 
+# --------------------------------------------------------------- MXU path --
+#
+# EXPERIMENTAL — measured on v5e and NOT the default: the VPU kernel above
+# runs at ~0.14-0.16 T pairs/s (~82% of VPU peak for its ~22 ops/pair),
+# while this MXU formulation measures ~0.08 T pairs/s because the f32
+# matmuls decompose into multi-pass bf16 (Precision.HIGHEST) and the
+# (4,TJ)x(TI,TJ) contraction forces a W relayout per tile. It also loses
+# ~2% relative accuracy near-field to the expanded-|x|^2 cancellation
+# (the dx^2 form of the VPU kernel is exact to f32). Kept as the starting
+# point for a bf16 far-field/hierarchical variant where MXU wins.
+#
+# The idea: move the two O(N^2) contractions onto the MXU leaving ~5 VPU
+# ops + one rsqrt per pair:
+#
+#   r^2_ij = |xi|^2 + |xj|^2 - 2 xi.xj
+#          = dot(-2*xi, xj^T)  +  (|xi|^2 + eps^2)_col  +  |xj|^2_row
+#   W      = rsqrt(r^2)^3                      (G folded into xj_aug)
+#   S      = xj_aug^T @ W^T : (4, TI)          xj_aug = G * [x, y, z, 1] * valid
+#   a_i    = S[:3] - xi * S[3]                 (O(N), done outside)
+#
+# Padding/mask trick: invalid j columns carry |xj|^2 += 1e30, so w =
+# rsqrt(1e30)^3 = 1e-45 which is a denormal -> flushed to exactly 0 on TPU;
+# their xj_aug rows are also zeroed, so they contribute nothing through
+# either path. The contraction output is (4, TI) — sublane-padded to 8
+# rather than lane-padded to 128, which is what makes the accumulation
+# matmul 16x cheaper than the naive (TI,TJ)@(TJ,4) orientation.
+
+MASK_BIG = 1e30
+
+
+def _kernel_mxu(xi_ref, xj_t_ref, xj2_ref, xj_aug_ref, eps_ref, out_ref):
+    eps_sq = eps_ref[0, 0]
+    xi = xi_ref[...]                                   # (TI, 3)
+    xi2 = jnp.sum(xi * xi, axis=1, keepdims=True)      # (TI, 1)
+    dot2 = jax.lax.dot_general(
+        xi * jnp.float32(-2.0), xj_t_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                  # (TI, TJ) = -2 xi.xj
+    r2 = dot2 + (xi2 + eps_sq) + xj2_ref[...]          # (TI, TJ)
+    inv = jax.lax.rsqrt(r2)
+    w = inv * inv * inv
+    s = jax.lax.dot_general(
+        xj_aug_ref[...], w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                  # (4, TI)
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += s
+
+
+@functools.lru_cache(maxsize=None)
+def _build_mxu(n_i: int, n_j: int, tile_i: int, tile_j: int, interpret: bool):
+    grid = (cdiv(n_i, tile_i), cdiv(n_j, tile_j))
+    return pl.pallas_call(
+        _kernel_mxu,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((4, tile_i), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, n_i), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 8 * n_i * n_j + 7 * n_i * n_j,
+            bytes_accessed=(n_i + 3 * n_j) * 4 * 4 * (n_j // tile_j + 1),
+            transcendentals=n_i * n_j,
+        ),
+    )
+
+
+def pairwise_accel_mxu(
+    pos_flat: jax.Array,   # f32[3, Ni] — receivers (component rows)
+    src_flat: jax.Array,   # f32[3, Nj] — sources (may be a rotating ring buf)
+    n_active,              # active count among GLOBAL sources
+    g_const,
+    softening,
+    *,
+    j_base=0,
+    tile_i: int = 512,
+    tile_j: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """f32[3, Ni] accelerations — MXU formulation. Traceable."""
+    n_i = pos_flat.shape[1]
+    n_j = src_flat.shape[1]
+    tile_i = min(tile_i, n_i)
+    tile_j = min(tile_j, n_j)
+
+    g = jnp.asarray(g_const, jnp.float32)
+    xi = pos_flat.T                                        # (Ni, 3)
+    j_idx = jnp.arange(n_j, dtype=jnp.int32) + jnp.asarray(j_base, jnp.int32)
+    valid = (j_idx < n_active).astype(jnp.float32)         # (Nj,)
+    xj2 = (jnp.sum(src_flat * src_flat, axis=0)
+           + (1.0 - valid) * MASK_BIG).reshape(1, n_j)
+    xj_aug = jnp.concatenate(
+        [src_flat, jnp.ones((1, n_j), jnp.float32)], axis=0
+    ) * (g * valid)[None, :]                               # (4, Nj)
+    eps = jnp.asarray(softening, jnp.float32).reshape(1, 1) ** 2
+
+    call = _build_mxu(n_i, n_j, tile_i, tile_j, interpret)
+    s = call(xi, src_flat, xj2, xj_aug, eps)               # (4, Ni)
+    return s[:3, :] - pos_flat * s[3:4, :]
+
+
 def step_pairwise(
     pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
     pair_vec: jax.Array, n_active, *, interpret: bool = False,

@@ -110,6 +110,20 @@ class TestPallasKernel:
             np.asarray(got) + np.asarray(first), np.asarray(full).T,
             rtol=2e-4, atol=1e-4)
 
+    def test_mxu_variant_matches_loosely(self):
+        # MXU path trades ~2% near-field accuracy for MXU offload (see
+        # pairwise_pallas.py); verify it agrees to that documented tolerance.
+        state = make_state(2048)
+        flat = jnp.asarray(state.pos.reshape(3, -1))
+        expect = np.asarray(
+            pairwise.pairwise_accel(flat, state.n_active, GC, EPS))
+        got = np.asarray(pairwise_pallas.pairwise_accel_mxu(
+            flat, flat, state.n_active, GC, EPS,
+            tile_i=256, tile_j=512, interpret=INTERPRET))
+        n = int(state.n_active)
+        rel = np.abs(got[:, :n] - expect[:, :n]) / (np.abs(expect[:, :n]) + 1e-2)
+        assert rel.max() < 0.05
+
     def test_step_pairwise_matches_oracle_step(self):
         state = make_state(1024)
         pv = jnp.asarray(SimParams(gravity=0.3, is_mouse_dragging=True,
