@@ -76,6 +76,29 @@ def main() -> None:
     t_batch = timed(2, substeps=2048)
     batch_rate = 2 * 2048 * cap / t_batch
 
+    # 16M-particle attractor frame (BASELINE metric names 1M and 16M).
+    p50_16m_ms = None
+    if on_tpu:
+        pos16, vel16, col16 = psim.generate.generate(
+            16_000_000, psim.SphereGeneration.HOLLOW)
+        st16 = psim.ParticleState.from_arrays(pos16, vel16, col16)
+        del pos16, vel16, col16
+
+        def timed16(n_steps):
+            best = float("inf")
+            for _ in range(2):
+                p, v = jnp.array(st16.pos), jnp.array(st16.vel)
+                out = step_pallas.step_n_jit(p, v, pv, n_steps)
+                _sync(out)
+                t0 = time.perf_counter()
+                out = step_pallas.step_n_jit(*out, n_steps)
+                _sync(out)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        p50_16m_ms = max(timed16(12) - timed16(2), 1e-9) / 10 * 1e3
+        del st16
+
     # All-pairs O(N^2) frame at 65k (BASELINE config 3).
     pairwise_ms = None
     if on_tpu:
@@ -123,6 +146,8 @@ def main() -> None:
             "vs_reference_floor": round(value / 6.0e7, 1),
             "all_pairs_65k_frame_ms": (
                 round(pairwise_ms, 3) if pairwise_ms else None),
+            "p50_frame_time_ms_16m": (
+                round(p50_16m_ms, 3) if p50_16m_ms else None),
         },
     }
     print(json.dumps(result))

@@ -258,15 +258,26 @@ class StreamServer:
                 w.start()
                 self._client_reader(sock)
             else:
-                # serve the viewer
+                # serve the viewer shell (whitelisted static files)
+                static = {
+                    "/": ("index.html", "text/html"),
+                    "/index.html": ("index.html", "text/html"),
+                    "/manifest.json": ("manifest.json", "application/json"),
+                    "/sw.js": ("sw.js", "application/javascript"),
+                }
+                entry = static.get(path.split("?")[0])
                 try:
-                    with open(_VIEWER_PATH, "rb") as f:
+                    if entry is None:
+                        raise FileNotFoundError(path)
+                    fname, ctype = entry
+                    fpath = os.path.join(os.path.dirname(_VIEWER_PATH), fname)
+                    with open(fpath, "rb") as f:
                         body = f.read()
                     sock.sendall(
-                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                        f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n".encode()
                         + body)
-                except OSError:
+                except (OSError, FileNotFoundError):
                     sock.sendall(b"HTTP/1.1 404 Not Found\r\n\r\n")
                 sock.close()
         except OSError:

@@ -32,15 +32,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.state import cdiv
 
-DEFAULT_TILE_I = 256
-DEFAULT_TILE_J = 512
+DEFAULT_TILE_I = 256   # (TI,TJ) f32 intermediates: 256*2048*4 = 2 MB each
+DEFAULT_TILE_J = 2048  # measured best on v5e (28.7 ms @ 65k^2)
 
 
-def _kernel(scalar_ref, xi_ref, xj_ref, out_ref, *, tile_j: int):
-    g_const = scalar_ref[0, 0]
+def _dividing_tile(n: int, preferred: int) -> int:
+    """Largest tile <= preferred that divides n exactly.
+
+    Ragged edge blocks are NOT safe for the j-reduction: on hardware the
+    out-of-bounds part of a padded block read is uninitialized VMEM (only
+    interpret mode zero-fills), and those lanes would feed the force sum.
+    Capacities are multiples of 1024 (core/state.py), so this normally
+    lands on 1024/2048; it degrades gracefully for odd shard sizes.
+    """
+    t = min(preferred, n)
+    while t > 1 and n % t:
+        t //= 2
+    return max(t, 1)
+
+
+def _kernel(scalar_ref, xi_ref, xj_ref, gv_ref, out_ref):
     eps_sq = scalar_ref[0, 1]
-    n_active = scalar_ref[0, 2]   # float compare is exact below 2^24
-    j_base = scalar_ref[0, 3]
 
     j = pl.program_id(1)
 
@@ -53,13 +65,10 @@ def _kernel(scalar_ref, xi_ref, xj_ref, out_ref, *, tile_j: int):
     dz = xj_z - xi_z
     r2 = dx * dx + dy * dy + dz * dz + eps_sq
     inv = jax.lax.rsqrt(r2)
-    w = g_const * inv * inv * inv
-
-    # mask padding on the j side (global index >= n_active)
-    tj = dx.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, tj), 1).astype(jnp.float32)
-    j_global = col + (j_base + j.astype(jnp.float32) * tile_j)
-    w = w * (j_global < n_active).astype(jnp.float32)
+    # gv row = G * (global j index < n_active): the O(N) validity/constant
+    # work is hoisted out of the O(N^2) tile loop (one mul here instead of
+    # iota+offset+compare+convert per pair).
+    w = gv_ref[...] * (inv * inv * inv)
 
     ax = jnp.sum(w * dx, axis=1, keepdims=True)   # (TI, 1)
     ay = jnp.sum(w * dy, axis=1, keepdims=True)
@@ -77,13 +86,15 @@ def _kernel(scalar_ref, xi_ref, xj_ref, out_ref, *, tile_j: int):
 def _build(n_i: int, n_j: int, tile_i: int, tile_j: int, interpret: bool):
     grid = (cdiv(n_i, tile_i), cdiv(n_j, tile_j))
     return pl.pallas_call(
-        functools.partial(_kernel, tile_j=tile_j),
+        _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
@@ -113,15 +124,18 @@ def pairwise_accel(
     """f32[Ni, 3] accelerations from all sources. Traceable."""
     n_i = x_nx3.shape[0]
     n_j = x_3xn.shape[1]
-    tile_i = min(tile_i, n_i)
-    tile_j = min(tile_j, n_j)
+    tile_i = _dividing_tile(n_i, tile_i)
+    tile_j = _dividing_tile(n_j, tile_j)
     scalars = jnp.stack([
         jnp.float32(g_const), jnp.float32(softening) ** 2,
         jnp.asarray(n_active, jnp.float32), jnp.asarray(j_base, jnp.float32),
         jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0),
     ]).reshape(1, 8)
+    j_idx = jnp.arange(n_j, dtype=jnp.int32) + jnp.asarray(j_base, jnp.int32)
+    g_valid = (jnp.asarray(g_const, jnp.float32)
+               * (j_idx < n_active).astype(jnp.float32)).reshape(1, n_j)
     call = _build(n_i, n_j, tile_i, tile_j, interpret)
-    return call(scalars, x_nx3, x_3xn)
+    return call(scalars, x_nx3, x_3xn, g_valid)
 
 
 # --------------------------------------------------------------- MXU path --
@@ -228,8 +242,8 @@ def pairwise_accel_mxu(
     """f32[3, Ni] accelerations — MXU formulation. Traceable."""
     n_i = pos_flat.shape[1]
     n_j = src_flat.shape[1]
-    tile_i = min(tile_i, n_i)
-    tile_j = min(tile_j, n_j)
+    tile_i = _dividing_tile(n_i, tile_i)
+    tile_j = _dividing_tile(n_j, tile_j)
 
     g = jnp.asarray(g_const, jnp.float32)
     xi = pos_flat.T                                        # (Ni, 3)

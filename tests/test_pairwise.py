@@ -141,6 +141,20 @@ class TestPallasKernel:
                                    rtol=1e-4, atol=1e-5)
 
 
+class TestTileSelection:
+    def test_tiles_always_divide(self):
+        # ragged j-blocks would feed uninitialized VMEM padding into the
+        # force reduction on hardware (interpret mode hides it by
+        # zero-filling) — tiles must divide the array exactly.
+        from particle_sim_tpu.ops.pairwise_pallas import _dividing_tile
+        for n in [1024, 5120, 65536, 1920, 128, 97, 3000]:
+            for pref in [2048, 1024, 512, 256]:
+                t = _dividing_tile(n, pref)
+                assert n % t == 0 and 1 <= t <= max(pref, 1)
+        assert _dividing_tile(5120, 2048) == 1024
+        assert _dividing_tile(65536, 2048) == 2048
+
+
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device")
 class TestRing:
     def test_ring_matches_single_device(self):

@@ -190,6 +190,48 @@ class TestStreamServer:
         assert server.engine.is_paused()
         s.close()
 
+    def test_compact_f16_mode(self, server):
+        s = ws_connect("127.0.0.1", server.port)
+        ws_recv_binary(s)
+        ws_send_text(s, {"type": "view", "mode": "compact"})
+        deadline = time.time() + 10
+        mode = 0
+        while time.time() < deadline:
+            _, frame = ws_recv_binary(s)
+            mode, count = struct.unpack("<II", frame[8:16])[0], struct.unpack(
+                "<I", frame[8:12])[0]
+            mode = struct.unpack("<I", frame[4:8])[0]
+            if mode == 1:
+                break
+        assert mode == 1
+        count = struct.unpack("<I", frame[8:12])[0]
+        assert len(frame) == 28 + count * packer.RECORD_BYTES
+        pos, rgba = packer.unpack_f16(
+            np.frombuffer(frame, np.uint8, offset=28))
+        active = rgba[:, 3] > 0
+        radii = np.linalg.norm(pos[active], axis=1)
+        assert abs(np.median(radii) - 50.0) < 2.0  # hollow sphere survives f16
+        s.close()
+
+    def test_static_files(self, server):
+        for path, marker in [("/manifest.json", b"psim-tpu"),
+                             ("/sw.js", b"psim-tpu-v1"),
+                             ("/nope", b"404")]:
+            s = socket.create_connection(("127.0.0.1", server.port), timeout=5)
+            s.sendall(f"GET {path} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+            resp = b""
+            s.settimeout(3)
+            try:
+                while len(resp) < 65536:
+                    c = s.recv(65536)
+                    if not c:
+                        break
+                    resp += c
+            except socket.timeout:
+                pass
+            assert marker in resp, path
+            s.close()
+
     def test_param_and_mouse_events(self, server):
         s = ws_connect("127.0.0.1", server.port)
         ws_recv_binary(s)
