@@ -72,9 +72,11 @@ def main() -> None:
     interactive_rate = cap / dt_step
     p50_frame_ms = dt_step * 1e3
 
-    # Batch rate: fused substeps (headless throughput mode).
-    t_batch = timed(2, substeps=2048)
-    batch_rate = 2 * 2048 * cap / t_batch
+    # Batch rate: fused in-kernel substeps (headless throughput mode),
+    # marginal between 512 and 2048 substeps to cancel dispatch.
+    t_b_small = timed(1, substeps=512)
+    t_b_big = timed(1, substeps=2048)
+    batch_rate = 1536 * cap / max(t_b_big - t_b_small, 1e-9)
 
     # 16M-particle attractor frame (BASELINE metric names 1M and 16M).
     p50_16m_ms = None
@@ -91,7 +93,7 @@ def main() -> None:
                 out = step_pallas.step_n_jit(p, v, pv, n_steps)
                 _sync(out)
                 t0 = time.perf_counter()
-                out = step_pallas.step_n_jit(*out, n_steps)
+                out = step_pallas.step_n_jit(*out, pv, n_steps)
                 _sync(out)
                 best = min(best, time.perf_counter() - t0)
             return best

