@@ -120,6 +120,7 @@ class StreamServer:
         self.max_points = 250_000
         self.wire_mode = 0                 # 0 planar f32, 1 compact f16
         self.running = False
+        self._state_version = 0
         self._threads: list = []
         self._sock: Optional[socket.socket] = None
 
@@ -160,11 +161,16 @@ class StreamServer:
 
     # -- frame production -----------------------------------------------------
     def _build_frame(self) -> bytes:
+        # dispatch the device-side pack under the lock (orders it against
+        # concurrent donating steps), fetch to host outside it so the sim
+        # thread never waits on the transfer
         with self.lock:
-            params = self.params
-            pos, rgba = self.engine.frame_arrays(params, self.max_points)
+            pos_dev, rgba_dev = self.engine.frame_arrays_device(
+                self.params, self.max_points)
             total = self.engine.particle_count
             stats = self.engine.stats
+        pos = np.asarray(pos_dev)
+        rgba = np.asarray(rgba_dev)
         if self.wire_mode == 1:
             payload = packer.pack_f16(pos, rgba).tobytes()
             count = len(payload) // packer.RECORD_BYTES
@@ -181,14 +187,25 @@ class StreamServer:
             t0 = time.perf_counter()
             with self.lock:
                 self.engine.step(self.params)
+            self._state_version += 1
+            elapsed = time.perf_counter() - t0
+            if elapsed < self.target_dt:
+                time.sleep(self.target_dt - elapsed)
+
+    def _pack_loop(self) -> None:
+        """Builds outgoing frames from the newest state, decoupled from the
+        sim cadence (frame fetch/pack never stalls stepping)."""
+        packed_version = -1
+        while self.running:
+            if self._state_version == packed_version:
+                time.sleep(0.002)
+                continue
+            packed_version = self._state_version
             frame = self._build_frame()
             with self.cond:
                 self.latest = frame
                 self.frame_id += 1
                 self.cond.notify_all()
-            elapsed = time.perf_counter() - t0
-            if elapsed < self.target_dt:
-                time.sleep(self.target_dt - elapsed)
 
     # -- client handling ------------------------------------------------------
     def _client_writer(self, sock: socket.socket) -> None:
@@ -290,12 +307,10 @@ class StreamServer:
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((self.host, self.port))
         self._sock.listen(8)
-        sim = threading.Thread(target=self._sim_loop, daemon=True)
-        sim.start()
-        self._threads.append(sim)
-        acceptor = threading.Thread(target=self._accept_loop, daemon=True)
-        acceptor.start()
-        self._threads.append(acceptor)
+        for target in (self._sim_loop, self._pack_loop, self._accept_loop):
+            t = threading.Thread(target=target, daemon=True)
+            t.start()
+            self._threads.append(t)
 
     def _accept_loop(self) -> None:
         while self.running:

@@ -30,6 +30,7 @@ TPU-native layout decisions:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -138,6 +139,64 @@ class ParticleState:
         """bool[capacity]: True for live particles."""
         idx = jnp.arange(self.capacity, dtype=jnp.int32)
         return idx < self.n_active
+
+
+def _grow_planes_impl(pos, vel, init_color, tail_pos, tail_vel, tail_col,
+                      n_old, new_rows: int):
+    """Append tail particles at flat index n_old, growing capacity to
+    new_rows*LANE. All device-side — no O(N) host roundtrip on resize."""
+    def one(plane, tail):
+        flat = plane.reshape(3, -1)
+        old_n = flat.shape[1]
+        if new_rows * LANE > old_n:
+            out = jnp.zeros((3, new_rows * LANE), jnp.float32)
+            out = jax.lax.dynamic_update_slice(out, flat, (0, 0))
+        else:
+            out = flat
+        out = jax.lax.dynamic_update_slice(out, tail, (0, n_old))
+        return out.reshape(3, new_rows, LANE)
+
+    return (one(pos, tail_pos), one(vel, tail_vel), one(init_color, tail_col))
+
+
+# same-capacity appends update the donated planes in place; capacity growth
+# reallocates, where donation is unusable (shape change) and would warn
+_grow_planes_inplace = functools.partial(
+    jax.jit, static_argnames=("new_rows",),
+    donate_argnums=(0, 1, 2))(_grow_planes_impl)
+_grow_planes_realloc = functools.partial(
+    jax.jit, static_argnames=("new_rows",))(_grow_planes_impl)
+
+
+def grow_state(state: ParticleState, tail_pos, tail_vel, tail_col,
+               new_count: int) -> ParticleState:
+    """Grow-append preserving existing state (cpu.rs:136-147 semantics).
+
+    tail_* are host float32[add, 3] arrays for the newly generated
+    particles; only the tail crosses to the device.
+    """
+    add = tail_pos.shape[0]
+    new_rows = max(capacity_rows(new_count), state.rows)
+
+    def tail_planes(a):
+        buf = np.zeros((3, round_up(max(add, 1), LANE)), dtype=np.float32)
+        buf[:, :add] = np.asarray(a, dtype=np.float32)[:, :3].T
+        return jnp.asarray(buf)
+
+    # tail is padded to a LANE multiple; it may overwrite padding beyond
+    # n_old+add, which is harmless (those slots stay inactive).
+    n_old = int(state.n_active)
+    if n_old + tail_planes(tail_pos).shape[1] > new_rows * LANE:
+        # tail padding would run past capacity: bump capacity one row chunk
+        new_rows = capacity_rows(n_old + round_up(max(add, 1), LANE))
+    grow = (_grow_planes_inplace if new_rows == state.rows
+            else _grow_planes_realloc)
+    pos, vel, col = grow(
+        state.pos, state.vel, state.init_color,
+        tail_planes(tail_pos), tail_planes(tail_vel), tail_planes(tail_col),
+        jnp.asarray(n_old, jnp.int32), new_rows)
+    return ParticleState(pos=pos, vel=vel, init_color=col,
+                         n_active=jnp.asarray(new_count, jnp.int32))
 
 
 def zeros_state(capacity: int) -> ParticleState:

@@ -209,16 +209,12 @@ class Engine:
                 init_color=self.state.init_color,
                 n_active=jnp.asarray(new_count, jnp.int32))
             return
-        # grow: append newly generated particles (cpu.rs:136-147)
+        # grow: append newly generated particles device-side — only the new
+        # tail crosses to the device (cpu.rs:136-147 semantics)
+        from ..core.state import grow_state
         add = new_count - old_count
         pos_a, vel_a, col_a = gen.generate(add, self.generation_mode)
-        pos = np.asarray(self.state.pos.reshape(3, -1)).T[:old_count]
-        vel = np.asarray(self.state.vel.reshape(3, -1)).T[:old_count]
-        col = np.asarray(self.state.init_color.reshape(3, -1)).T[:old_count]
-        self.state = ParticleState.from_arrays(
-            np.concatenate([pos, pos_a]), np.concatenate([vel, vel_a]),
-            np.concatenate([col, col_a]),
-            capacity=max(self.capacity, capacity_rows(new_count) * LANE))
+        self.state = grow_state(self.state, pos_a, vel_a, col_a, new_count)
 
     def set_method(self, method: Method) -> None:
         """Hot-swap backend: fresh state, count+pause preserved
@@ -254,16 +250,24 @@ class Engine:
         ``max_points`` > 0, returns a strided subsample, chosen device-side
         so only the subsample crosses to the host.
         """
+        pos_dev, rgba_dev = self.frame_arrays_device(params, max_points)
+        return np.asarray(pos_dev), np.asarray(rgba_dev)
+
+    def frame_arrays_device(
+        self, params: Union[SimParams, np.ndarray], max_points: int = 0,
+    ) -> tuple:
+        """Device-array variant of frame_arrays: dispatches the pack and
+        returns without forcing the device->host transfer, so a caller can
+        release locks before the (slow) fetch."""
         pv = jnp.asarray(params.pack() if isinstance(params, SimParams)
                          else params)
         n = self.particle_count
         stride = 1
         if max_points and n > max_points:
             stride = -(-n // max_points)
-        pos_dev, rgba_dev = raster.pack_points_jit(
+        return raster.pack_points_jit(
             self.state.pos, self.state.vel, self.state.init_color, pv,
             n_stop=n, stride=stride)
-        return np.asarray(pos_dev), np.asarray(rgba_dev)
 
     def render_frame(
         self, camera: Camera, params: Union[SimParams, np.ndarray],

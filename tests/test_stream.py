@@ -126,7 +126,7 @@ def server():
     srv._sock.listen(8)
     srv.running = True
     import threading
-    for target in (srv._sim_loop, srv._accept_loop):
+    for target in (srv._sim_loop, srv._pack_loop, srv._accept_loop):
         t = threading.Thread(target=target, daemon=True)
         t.start()
     yield srv
