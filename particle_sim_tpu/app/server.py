@@ -270,6 +270,17 @@ class StreamServer:
                     f"Sec-WebSocket-Accept: {accept}\r\n\r\n"
                 ).encode())
                 sock.settimeout(None)
+                # hello: capability probe for the client (app.rs:86-100
+                # analog — lets the UI grey out unavailable backends)
+                from ..engine import available_methods
+                hello = json.dumps({
+                    "type": "hello",
+                    "methods": [m.name.lower() for m in available_methods()],
+                    "method": self.engine.method.name.lower(),
+                    "count": self.engine.particle_count,
+                    "paused": self.engine.is_paused(),
+                })
+                sock.sendall(ws_encode(hello.encode(), opcode=0x1))
                 w = threading.Thread(target=self._client_writer, args=(sock,),
                                      daemon=True)
                 w.start()

@@ -271,13 +271,28 @@ class Engine:
 
     def render_frame(
         self, camera: Camera, params: Union[SimParams, np.ndarray],
-        width: int = 1920, height: int = 1080,
+        width: int = 1920, height: int = 1080, renderer: str = "auto",
     ) -> np.ndarray:
-        """uint8[H, W, 4] frame via the headless rasterizer."""
+        """uint8[H, W, 4] frame via the headless rasterizer.
+
+        renderer: "scatter" (XLA .at[].add — works everywhere),
+        "sorted" (Pallas sorted-deposit, ~4x faster at 1M@1080p on TPU),
+        or "auto" (sorted when eligible: TPU backend, tile-aligned
+        resolution, large point count).
+        """
+        from ..render import raster_sorted
+
         pv = jnp.asarray(params.pack() if isinstance(params, SimParams)
                          else params)
-        fb = raster.render_jit(
-            self.state.pos, self.state.vel, self.state.init_color, pv,
-            jnp.asarray(camera.view_proj()), self.state.n_active,
-            width=width, height=height)
+        vp = jnp.asarray(camera.view_proj())
+        eligible = (
+            jax.default_backend() == "tpu"
+            and width % raster_sorted.TILE_W == 0
+            and height % raster_sorted.TILE_H == 0
+            and self.capacity % raster_sorted.CHUNK == 0
+            and self.capacity >= 200_000)
+        use_sorted = renderer == "sorted" or (renderer == "auto" and eligible)
+        fn = raster_sorted.render_jit if use_sorted else raster.render_jit
+        fb = fn(self.state.pos, self.state.vel, self.state.init_color, pv,
+                vp, self.state.n_active, width=width, height=height)
         return np.asarray(raster.to_rgba8(fb))

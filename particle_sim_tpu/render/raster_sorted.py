@@ -1,0 +1,200 @@
+"""Sorted-deposit Pallas rasterizer — the fast path for big point counts.
+
+XLA's TPU scatter is serial (~90 ms for 1M updates into 1080p), which makes
+the straightforward ``fb.at[py, px].add`` rasterizer (raster.py) the
+slowest kernel in the engine. This module replaces the scatter with a
+TPU-native pipeline (all times for 1M points @1080p on v5e):
+
+  1. project + color + premultiply weight (raster.py code, ~1 ms)
+  2. key = tile*1024 + local_pixel; invalid -> sentinel; one
+     ``lax.sort`` of (key, r, g, b) groups points by 8x128 framebuffer
+     tile (~7 ms — TPU sort is fast, scatter is not)
+  3. a chunk table maps each grid step to a CHUNK-aligned slice of the
+     sorted arrays and its framebuffer tile (vectorized binary searches;
+     jnp.searchsorted lowers poorly so we roll a gather-based one)
+  4. a Pallas kernel deposits each chunk into its (3, 1024) VMEM tile
+     accumulator with a one-hot MXU matmul: onehot = (iota == key-local),
+     deposit = rgb @ onehot^T. The one-hot IS the validity mask — entries
+     spilling in from neighboring tiles or the sentinel match no pixel, so
+     the kernel has zero length/edge logic. Auto-pipelined input blocks
+     (prefetch-scalar index maps), accumulated over revisited output tiles.
+
+The deposit is bit-commutative additive blending, same semantics as
+raster.render (which remains the small-N/reference oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import params as P
+from ..ops import physics
+from . import raster
+
+TILE_H, TILE_W = 8, 128
+PX_PER_TILE = TILE_H * TILE_W   # 1024
+CHUNK = 512
+
+
+def _bin_search(sorted_arr: jax.Array, probes: jax.Array, side_right: bool,
+                n_iters: int) -> jax.Array:
+    """Vectorized first-index binary search via gathers.
+
+    side_right=False: first i with sorted_arr[i] >= probe (side='left').
+    side_right=True:  first i with sorted_arr[i] >  probe (side='right').
+    """
+    n = sorted_arr.shape[0]
+    lo = jnp.zeros_like(probes)
+    hi = jnp.full_like(probes, n)
+    for _ in range(n_iters):
+        mid = (lo + hi) // 2
+        v = sorted_arr[jnp.clip(mid, 0, n - 1)]
+        go_right = jnp.where(side_right, v <= probes, v < probes)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
+def _kernel(t_ref, s_ref, f_ref, key_ref, rgb_ref, out_ref):
+    i = pl.program_id(0)
+    tile = t_ref[i]
+    local = key_ref[...] - tile * PX_PER_TILE            # (1, CHUNK) i32
+    sub = jax.lax.broadcasted_iota(jnp.int32, (PX_PER_TILE, 1), 0)
+    onehot = (sub == local).astype(jnp.float32)          # (1024, CHUNK)
+    dep = jax.lax.dot_general(
+        rgb_ref[...], onehot,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # (3, 1024)
+
+    @pl.when(f_ref[i] == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += dep[None]
+
+
+@functools.lru_cache(maxsize=None)
+def _build(n_pad: int, n_tiles: int, c_max: int, interpret: bool):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # tile_of_chunk, block_of_chunk, first_flag
+        grid=(c_max,),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK), lambda i, t, s, f: (0, s[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, CHUNK), lambda i, t, s, f: (0, s[i]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, PX_PER_TILE), lambda i, t, s, f: (t[i], 0, 0),
+            memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles + 1, 3, PX_PER_TILE),
+                                       jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=c_max * (PX_PER_TILE * CHUNK + 2 * 8 * PX_PER_TILE * CHUNK),
+            bytes_accessed=c_max * CHUNK * 16 + (n_tiles + 1) * 3 * 4096,
+            transcendentals=0,
+        ),
+    )
+
+
+def render(
+    pos: jax.Array, vel: jax.Array, init_color: jax.Array,
+    param_vec: jax.Array, view_proj: jax.Array, n_active: jax.Array,
+    *, width: int = 1920, height: int = 1080, interpret: bool = False,
+) -> jax.Array:
+    """f32[height, width, 3] framebuffer in [0, 1]. Traceable.
+
+    Same semantics as raster.render; width/height must be multiples of
+    128/8 (framebuffer tile size).
+    """
+    if width % TILE_W or height % TILE_H:
+        raise ValueError(f"({height},{width}) not a multiple of "
+                         f"({TILE_H},{TILE_W}); use raster.render")
+    tiles_x, tiles_y = width // TILE_W, height // TILE_H
+    n_tiles = tiles_x * tiles_y
+    sentinel = n_tiles * PX_PER_TILE
+
+    flat_pos = pos.reshape(3, -1)
+    flat_vel = vel.reshape(3, -1)
+    flat_col = init_color.reshape(3, -1)
+    n = flat_pos.shape[1]
+    if n % CHUNK:
+        raise ValueError(f"point count {n} not a multiple of {CHUNK}")
+
+    r, g, b = physics.color_rgb(
+        flat_pos[0], flat_pos[1], flat_pos[2],
+        flat_vel[0], flat_vel[1], flat_vel[2],
+        flat_col[0], flat_col[1], flat_col[2],
+        color_mode=param_vec[P.P_COLOR_MODE],
+        max_dist_for_color=param_vec[P.P_MAX_DIST],
+    )
+    bright = physics.brightness(flat_vel[0], flat_vel[1], flat_vel[2])
+    px, py, valid = raster.project_to_pixels(flat_pos, view_proj,
+                                             width, height)
+    active = (jnp.arange(n, dtype=jnp.int32) < n_active).astype(jnp.float32)
+    w = valid * active * bright
+
+    tile = (py // TILE_H) * tiles_x + (px // TILE_W)
+    local = (py % TILE_H) * TILE_W + (px % TILE_W)
+    key = jnp.where(w > 0.0, tile * PX_PER_TILE + local, sentinel)
+
+    key_s, r_s, g_s, b_s = jax.lax.sort(
+        (key.astype(jnp.int32), r * w, g * w, b * w), num_keys=1)
+
+    # pad so every CHUNK-aligned block slice is in bounds
+    key_p = jnp.concatenate(
+        [key_s, jnp.full((CHUNK,), sentinel, jnp.int32)]).reshape(1, -1)
+    rgb_p = jnp.stack([
+        jnp.concatenate([c_, jnp.zeros((CHUNK,), jnp.float32)])
+        for c_ in (r_s, g_s, b_s)])                       # (3, n+CHUNK)
+    n_pad = n + CHUNK
+
+    # ---- chunk table (vectorized) ----
+    n_iters = max(n, 2).bit_length() + 1  # static python math (jit-safe)
+    probes = jnp.arange(n_tiles + 1, dtype=jnp.int32) * PX_PER_TILE
+    o = _bin_search(key_s, probes, side_right=False,
+                    n_iters=n_iters).astype(jnp.int32)    # (n_tiles+1,)
+    a_blk = o[:-1] // CHUNK                               # aligned start block
+    end = o[1:]
+    c_t = jnp.maximum(-(-(end - a_blk * CHUNK) // CHUNK), 1)
+    base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(c_t).astype(jnp.int32)])
+    c_max = n // CHUNK + n_tiles + 1                      # static bound
+
+    kk = jnp.arange(c_max, dtype=jnp.int32)
+    t_k = (_bin_search(base, kk, side_right=True,
+                       n_iters=(n_tiles + 2).bit_length() + 1)
+           .astype(jnp.int32) - 1)
+    t_k = jnp.clip(t_k, 0, n_tiles)                       # n_tiles == trash
+    real = t_k < n_tiles
+    t_safe = jnp.minimum(t_k, n_tiles - 1)
+    s_k = jnp.where(real, a_blk[t_safe] + (kk - base[t_safe]), 0)
+    s_k = jnp.clip(s_k, 0, n_pad // CHUNK - 1).astype(jnp.int32)
+    first_k = jnp.where(real, (kk == base[t_safe]), True).astype(jnp.int32)
+
+    call = _build(n_pad, n_tiles, c_max, interpret)
+    tiles = call(t_k, s_k, first_k, key_p, rgb_p)         # (n_tiles+1, 3, 1024)
+
+    fb = tiles[:n_tiles].reshape(tiles_y, tiles_x, 3, TILE_H, TILE_W)
+    fb = fb.transpose(0, 3, 1, 4, 2).reshape(height, width, 3)
+    return jnp.clip(fb, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "interpret"))
+def render_jit(pos, vel, init_color, param_vec, view_proj, n_active,
+               width: int = 1920, height: int = 1080,
+               interpret: bool = False):
+    return render(pos, vel, init_color, param_vec, view_proj, n_active,
+                  width=width, height=height, interpret=interpret)

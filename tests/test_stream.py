@@ -94,7 +94,7 @@ def ws_send_text(s, obj):
     s.sendall(bytes([0x81, 0x80 | len(payload)]) + mask + masked)
 
 
-def ws_recv_binary(s):
+def ws_recv_frame(s):
     def rexact(k):
         buf = b""
         while len(buf) < k:
@@ -110,6 +110,21 @@ def ws_recv_binary(s):
     elif n == 127:
         n = struct.unpack(">Q", rexact(8))[0]
     return head[0] & 0x0F, rexact(n)
+
+
+def ws_recv_binary(s):
+    """Next binary frame, skipping text frames (e.g. the hello message)."""
+    while True:
+        op, payload = ws_recv_frame(s)
+        if op == 0x2:
+            return op, payload
+
+
+def ws_recv_text(s):
+    while True:
+        op, payload = ws_recv_frame(s)
+        if op == 0x1:
+            return json.loads(payload.decode())
 
 
 @pytest.fixture
@@ -150,6 +165,14 @@ class TestStreamServer:
         except socket.timeout:
             pass
         assert b"200 OK" in resp and b"particle-sim-tpu" in resp
+
+    def test_hello_capabilities(self, server):
+        s = ws_connect("127.0.0.1", server.port)
+        hello = ws_recv_text(s)
+        assert hello["type"] == "hello"
+        assert "jnp" in hello["methods"]
+        assert hello["count"] == 2000
+        s.close()
 
     def test_frame_stream_and_events(self, server):
         s = ws_connect("127.0.0.1", server.port)
