@@ -52,7 +52,7 @@ def main() -> None:
         def run(p, v, n_steps, substeps=1):
             return step_jnp.step_n_jit(p, v, pv, n_steps * substeps)
 
-    def timed(n_steps, substeps=1, reps=3):
+    def timed(n_steps, substeps=1, reps=5):
         best = float("inf")
         for _ in range(reps):
             p, v = jnp.array(state.pos), jnp.array(state.vel)

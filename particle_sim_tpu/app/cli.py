@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--generation", choices=["hollow", "filled"],
                    default="hollow")
     p.add_argument("--substeps", type=int, default=1)
+    p.add_argument("--mesh", choices=["none", "auto"], default="none",
+                   help="auto: shard particles over all visible devices "
+                        "(dp axis; pairwise mode uses the ICI ring)")
     # SimParams surface (defaults = mod.rs:69-84 / app.rs:143-148)
     p.add_argument("--dt", type=float, default=0.016)
     p.add_argument("--gravity", type=float, default=0.0)
@@ -86,6 +89,15 @@ def main(argv=None) -> int:
         print(f"resumed from {args.resume} at step {start_step} "
               f"({engine.particle_count} particles)", file=sys.stderr)
     else:
+        mesh = None
+        if args.mesh == "auto":
+            import jax
+
+            from ..parallel import mesh as mesh_lib
+            if len(jax.devices()) > 1:
+                mesh = mesh_lib.make_mesh()
+                print(f"mesh: dp over {mesh.devices.size} devices",
+                      file=sys.stderr)
         engine = Engine(
             particle_count=args.count,
             method=method,
@@ -95,6 +107,7 @@ def main(argv=None) -> int:
             pairwise=(PairwiseParams(args.pairwise_g, args.pairwise_softening)
                       if args.pairwise else None),
             substeps=args.substeps,
+            mesh=mesh,
         )
 
     camera = Camera(aspect=args.width / args.height)

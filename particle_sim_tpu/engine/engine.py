@@ -70,9 +70,15 @@ class Engine:
         interpret: bool = False,
         substeps: int = 1,
         debug_checks: bool = False,
+        mesh=None,
     ):
+        """``mesh``: a 1-D jax.sharding.Mesh (parallel.mesh.make_mesh) to
+        row-shard the state over its ``dp`` axis — the multi-chip mode.
+        Attractor stepping is then zero-communication data parallelism;
+        pairwise mode uses the ppermute ring (parallel/ring.py)."""
         self._interpret = interpret
         self.debug_checks = debug_checks
+        self.mesh = mesh
         avail = available_methods(interpret)
         if method is None:
             method = avail[-1]  # best available (app.rs:106-125)
@@ -94,10 +100,28 @@ class Engine:
         self.state = self._generate_state(particle_count)
 
     # -- construction helpers -------------------------------------------------
+    @property
+    def _row_multiple(self) -> int:
+        if self.mesh is None:
+            return 8
+        return 8 * int(self.mesh.devices.size)
+
+    def _shard(self, state: ParticleState) -> ParticleState:
+        if self.mesh is None:
+            return state
+        from ..parallel import mesh as mesh_lib
+
+        pos, vel, col = mesh_lib.shard_state_planes(
+            self.mesh, state.pos, state.vel, state.init_color)
+        return ParticleState(pos=pos, vel=vel, init_color=col,
+                             n_active=state.n_active)
+
     def _generate_state(self, count: int,
                         capacity: Optional[int] = None) -> ParticleState:
         pos, vel, col = gen.generate(count, self.generation_mode)
-        return ParticleState.from_arrays(pos, vel, col, capacity=capacity)
+        return self._shard(ParticleState.from_arrays(
+            pos, vel, col, capacity=capacity,
+            row_multiple=self._row_multiple))
 
     # -- properties -----------------------------------------------------------
     @property
@@ -111,12 +135,35 @@ class Engine:
     # -- stepping -------------------------------------------------------------
     def _step_fn(self):
         key = (self.method, self.pairwise is not None, self.substeps,
-               self._interpret)
+               self._interpret, self.mesh is not None)
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
         interpret = self._interpret
         substeps = self.substeps
+
+        if self.mesh is not None:
+            from ..parallel import dp, ring
+
+            use_pallas = self.method == Method.PALLAS
+            if self.pairwise is None:
+                sharded = dp.make_sharded_step(
+                    self.mesh, use_pallas=use_pallas, substeps=substeps,
+                    interpret=interpret)
+
+                def fn(pos, vel, pv, pp, n):
+                    return sharded(pos, vel, pv)
+            else:
+                rstep = ring.make_ring_pairwise_step(
+                    self.mesh, interpret=interpret, use_pallas=use_pallas)
+
+                def fn(pos, vel, pv, pp, n):
+                    for _ in range(substeps):
+                        pos, vel = rstep(pos, vel, pv, pp, n)
+                    return pos, vel
+
+            self._jit_cache[key] = fn
+            return fn
 
         if self.pairwise is None:
             if self.method == Method.PALLAS:
@@ -211,9 +258,17 @@ class Engine:
             return
         # grow: append newly generated particles device-side — only the new
         # tail crosses to the device (cpu.rs:136-147 semantics)
-        from ..core.state import grow_state
         add = new_count - old_count
         pos_a, vel_a, col_a = gen.generate(add, self.generation_mode)
+        if self.mesh is not None:
+            # sharded state: rebuild via host (rare path; keeps shardings)
+            self.state = self._shard(ParticleState.from_arrays(
+                np.concatenate([self.state.positions(), pos_a]),
+                np.concatenate([self.state.velocities(), vel_a]),
+                np.concatenate([self.state.init_colors_rgba()[:, :3], col_a]),
+                row_multiple=self._row_multiple))
+            return
+        from ..core.state import grow_state
         self.state = grow_state(self.state, pos_a, vel_a, col_a, new_count)
 
     def set_method(self, method: Method) -> None:

@@ -1,0 +1,81 @@
+"""Multi-chip Engine mode on the virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from particle_sim_tpu.core.params import (
+    Method, PairwiseParams, SimParams, SphereGeneration,
+)
+from particle_sim_tpu.engine import Engine
+from particle_sim_tpu.parallel import mesh as mesh_lib
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs a multi-device platform")
+
+
+def engines(n=4096, **kw):
+    single = Engine(particle_count=n, method=Method.JNP, **kw)
+    sharded = Engine(particle_count=n, method=Method.JNP,
+                     mesh=mesh_lib.make_mesh(), **kw)
+    return single, sharded
+
+
+def test_sharded_step_matches_single(n=4096):
+    single, sharded = engines(n)
+    params = SimParams(gravity=1.5, is_mouse_dragging=True,
+                       mouse_position=(2, -3, 10), mouse_force=40.0)
+    for _ in range(4):
+        single.step(params)
+        sharded.step(params)
+    np.testing.assert_allclose(sharded.state.positions(),
+                               single.state.positions(), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(sharded.state.velocities(),
+                               single.state.velocities(), rtol=0, atol=1e-5)
+
+
+def test_sharded_state_is_sharded():
+    _, sharded = engines()
+    sh = sharded.state.pos.sharding
+    assert sh == mesh_lib.plane_sharding(mesh_lib.make_mesh())
+
+
+def test_sharded_pairwise_ring():
+    pw = PairwiseParams(2.0, 0.5)
+    single, sharded = engines(2048, pairwise=pw)
+    params = SimParams()
+    for _ in range(3):
+        single.step(params)
+        sharded.step(params)
+    np.testing.assert_allclose(sharded.state.positions(),
+                               single.state.positions(), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_lifecycle():
+    _, sharded = engines(3000)
+    sharded.step(SimParams(gravity=2.0))
+    evolved = sharded.state.positions()
+    sharded.resize(5000)
+    assert sharded.particle_count == 5000
+    np.testing.assert_allclose(sharded.state.positions()[:3000], evolved,
+                               atol=1e-6)
+    assert sharded.state.pos.sharding == mesh_lib.plane_sharding(
+        mesh_lib.make_mesh())
+    sharded.resize(1000)
+    assert sharded.particle_count == 1000
+    sharded.reset()
+    assert (sharded.state.velocities() == 0).all()
+
+
+def test_cli_mesh_auto(tmp_path, capsys):
+    import json
+
+    from particle_sim_tpu.app.cli import main
+    rc = main(["--count", "2000", "--steps", "10", "--method", "jnp",
+               "--mesh", "auto", "--gravity", "1.0", "--stats-every", "0"])
+    assert rc == 0
+    out = capsys.readouterr()
+    final = json.loads(out.out.strip().splitlines()[-1])
+    assert final["done"]
+    assert "mesh: dp over 8 devices" in out.err
