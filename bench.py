@@ -29,6 +29,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from particle_sim_tpu.utils.cache import enable as enable_compile_cache
+    enable_compile_cache()
+
     import particle_sim_tpu as psim
     from particle_sim_tpu.ops import step_jnp, step_pallas
 

@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from ..utils.cache import enable as enable_compile_cache
+    enable_compile_cache()
+
     from ..core.params import (
         Method, PairwiseParams, SimParams, SphereGeneration,
     )

@@ -358,6 +358,9 @@ class StreamServer:
 def main(argv=None) -> int:
     import argparse
 
+    from ..utils.cache import enable as enable_compile_cache
+    enable_compile_cache()
+
     ap = argparse.ArgumentParser(description="particle_sim_tpu stream server")
     ap.add_argument("--count", type=int, default=None)
     ap.add_argument("--method", choices=["auto", "jnp", "pallas"],

@@ -9,7 +9,11 @@ the accumulated force equals the single-device O(N^2) result.
 Communication volume per step: each device sends its 12-byte/particle
 position shard n_dev-1 times — O(N) bytes against O(N^2/n_dev) compute, so
 the ring is compute-bound at any realistic size and XLA overlaps the
-ppermute with the next tile's kernel.
+ppermute with the next tile's kernel. (A bidirectional ring — rotating two
+half-buffers in opposite ICI directions, the ring-attention bandwidth
+trick — would halve transfer latency, but with compute/comm ratios of
+N/n_dev * ~20 FLOPs per 12 bytes it cannot matter below ~billions of
+particles; kept unidirectional for simplicity.)
 
 ``j_base`` bookkeeping: after k hops a device holds the shard originally
 owned by device (my_idx + k) mod n_dev, whose global column offset is

@@ -134,6 +134,24 @@ class TestStepping:
         r1 = np.linalg.norm(e.state.positions(), axis=1).mean()
         assert r1 < r0  # mutual gravity pulls the cloud inward
 
+    def test_no_recompile_on_param_changes(self):
+        # headline design decision: every interactive control is a traced
+        # scalar — parameter edits (sliders, mouse, color mode) must never
+        # retrace (SURVEY.md §7 "interactive loop latency")
+        from particle_sim_tpu.ops import step_jnp
+        e = make_engine(n=512)
+        e.step(SimParams(gravity=1.0))
+        size0 = step_jnp.step_n_jit._cache_size()
+        for p in [
+            SimParams(gravity=4.2),
+            SimParams(mouse_force=99.0, mouse_radius=3.0),
+            SimParams(is_mouse_dragging=True, mouse_position=(9, 9, 9)),
+            SimParams(color_mode=2, max_dist_for_color=10.0),
+            SimParams(delta_time=0.004, damping=0.5),
+        ]:
+            e.step(p)
+        assert step_jnp.step_n_jit._cache_size() == size0
+
     def test_stats_update(self):
         e = make_engine()
         e.step_synced(SimParams())
