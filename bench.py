@@ -25,12 +25,49 @@ def _sync(x):
     return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0:1])
 
 
+def _device_responsive(timeout_s: float = 180.0) -> bool:
+    """True if the accelerator completes a trivial op within timeout.
+
+    The axon tunnel can wedge its data plane (device_put hangs forever even
+    though jax.devices() answers); without this probe a hung chip would
+    stall the whole bench run.
+    """
+    import threading
+
+    ok = []
+
+    def probe():
+        try:
+            import jax.numpy as jnp
+            _sync((jnp.ones((8, 128)) * 2.0).sum())
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
     from particle_sim_tpu.utils.cache import enable as enable_compile_cache
     enable_compile_cache()
+
+    if not _device_responsive():
+        print(json.dumps({
+            "metric": "particle_steps_per_sec_per_chip_1m_attractor",
+            "value": 0.0,
+            "unit": "particle-steps/s/chip",
+            "vs_baseline": 0.0,
+            "detail": {"error": "accelerator unresponsive (data-plane hang); "
+                                "see memory/axon-tpu-platform-quirks"},
+        }))
+        return
+
+    import jax.numpy as jnp
 
     import particle_sim_tpu as psim
     from particle_sim_tpu.ops import step_jnp, step_pallas

@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     # rendering
     p.add_argument("--render-every", type=int, default=0)
     p.add_argument("--render-dir", default="frames")
+    p.add_argument("--renderer", choices=["auto", "scatter", "sorted"],
+                   default="auto",
+                   help="headless rasterizer: sorted-deposit Pallas (fast, "
+                        "TPU, tile-aligned sizes) or XLA scatter")
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     # checkpointing
@@ -138,7 +142,8 @@ def main(argv=None) -> int:
 
         if args.render_every and (i + 1) % args.render_every == 0:
             img = engine.render_frame(camera, params,
-                                      width=args.width, height=args.height)
+                                      width=args.width, height=args.height,
+                                      renderer=args.renderer)
             path = os.path.join(args.render_dir, f"frame_{i + 1:06d}.png")
             write_png(path, img)
             print(f"wrote {path}", file=sys.stderr)
