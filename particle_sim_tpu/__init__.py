@@ -9,6 +9,7 @@ from .core import (
     ColorMode,
     Method,
     PairwiseParams,
+    PMConfig,
     ParticleState,
     SimParams,
     SphereGeneration,
@@ -21,6 +22,7 @@ __all__ = [
     "ColorMode",
     "Method",
     "PairwiseParams",
+    "PMConfig",
     "ParticleState",
     "SimParams",
     "SphereGeneration",

@@ -3,6 +3,7 @@ from .params import (
     FILLED_SEED,
     Method,
     PairwiseParams,
+    PMConfig,
     PARAM_VEC_SIZE,
     SimParams,
     SPHERE_RADIUS,
@@ -17,6 +18,7 @@ __all__ = [
     "LANE",
     "Method",
     "PairwiseParams",
+    "PMConfig",
     "PARAM_VEC_SIZE",
     "ParticleState",
     "SPHERE_RADIUS",

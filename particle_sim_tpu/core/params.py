@@ -109,6 +109,42 @@ class SimParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class PMConfig:
+    """Particle-mesh solver configuration (ops/pm.py, ops/pm_pallas.py).
+
+    PM solves the same softened gravity as PairwiseParams' direct sum, at
+    O(N + G^3 log G): CIC deposit -> FFT Poisson -> CIC gather. All fields
+    are STATIC (they shape grids and the cached Green's-function FFTs);
+    the per-step traced scalar (G_const) stays in PairwiseParams.pack().
+
+    grid:      cells per axis (the Pallas fast path requires 128).
+    box_min:   world coords of the grid origin.
+    box_size:  world extent per axis; cell size h = box_size/grid. Default
+               box spans [-64, 64)^3 around the radius-50 generation sphere
+               (core/params.py SPHERE_RADIUS) with margin, h = 1.
+    softening: Plummer eps (static here — baked into the kernel FFT —
+               unlike PairwiseParams.softening which is traced). Resolve
+               eps >= ~2h or short-range forces fall below mesh resolution.
+    boundary:  'isolated' (vacuum, Hockney doubled-grid — parity with the
+               direct sum) or 'periodic' (closed-form Fourier kernel,
+               ~8x cheaper FFTs, periodic images).
+    gradient:  'exact' (three inverse vector-kernel FFTs) or 'fd' (one
+               potential FFT + central differences).
+    """
+
+    grid: int = 128
+    box_min: Tuple[float, float, float] = (-64.0, -64.0, -64.0)
+    box_size: float = 128.0
+    softening: float = 2.0
+    boundary: str = "isolated"
+    gradient: str = "exact"
+
+    @property
+    def cell_size(self) -> float:
+        return self.box_size / self.grid
+
+
+@dataclasses.dataclass(frozen=True)
 class PairwiseParams:
     """Parameters of the all-pairs O(N^2) interaction extension.
 

@@ -1,0 +1,238 @@
+"""Particle-mesh (PM) long-range gravity — jax.numpy reference + spectral solve.
+
+The direct all-pairs kernel (ops/pairwise*.py) is O(N^2): physically optimal
+per pair (~82% of VPU peak) but algorithmically capped at ~65k particles per
+16 ms frame. PM is the TPU-native route to millions of self-gravitating
+particles per frame: CIC mass deposit onto a G^3 grid, FFT Poisson solve
+(MXU/XLA-friendly dense transforms), CIC force gather — O(N + G^3 log G).
+
+Physics matches the pairwise oracle's Plummer-softened monopole attraction
+(ops/pairwise.py:8, itself the generalization of the reference's 1-body
+attractor, /root/reference/src/shaders/compute.wgsl:56-66):
+
+    a(x) = G_const * sum_j m_j K(x - x_j),
+    K(r) = -r / (|r|^2 + eps^2)^(3/2)
+
+Two boundary modes:
+  * ``isolated`` (default): Hockney-Eastwood zero-padded doubling. K is
+    sampled in real space on a (2G)^3 grid and convolved spectrally — the
+    PM result is then exactly the CIC-smoothed direct sum (vacuum BCs, the
+    mode that parity-tests against ops/pairwise.pairwise_accel).
+  * ``periodic``: closed-form Plummer kernel in Fourier space
+    (phi_hat = -4*pi*exp(-|k| eps)/k^2, accel via i*k), G^3 transforms —
+    ~8x cheaper FFTs; forces include periodic images.
+
+Gradient modes: ``exact`` (three inverse FFTs of the vector kernel) or
+``fd`` (one inverse FFT of the potential + 2nd-order central differences —
+trades a little accuracy for ~2x fewer inverse transforms).
+
+This module is the any-grid reference implementation (XLA scatter/gather
+deposit — correct everywhere, slow on TPU at large N) plus the spectral
+machinery shared with the Pallas fast path (ops/pm_pallas.py: sorted-deposit
+/ sorted-gather kernels, G=128).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import params as P
+from . import physics
+
+
+def cell_coords(pos_flat: jax.Array, cfg: "P.PMConfig") -> jax.Array:
+    """f32[3, N] continuous cell-space coords, clamped so the CIC upper
+    corner (floor+1) stays on the grid: coords in [0, G-1-ulp]."""
+    h = cfg.box_size / cfg.grid
+    box_min = jnp.asarray(cfg.box_min, jnp.float32).reshape(3, 1)
+    c = (pos_flat - box_min) / h
+    return jnp.clip(c, 0.0, np.float32(cfg.grid - 1) - 1e-3)
+
+
+def cic_weights(c: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(i0 i32[3,N] lower corner, f f32[3,N] fractional offset)."""
+    i0 = jnp.floor(c).astype(jnp.int32)
+    return i0, c - i0.astype(jnp.float32)
+
+
+_CORNERS = [(cz, cy, cx) for cz in (0, 1) for cy in (0, 1) for cx in (0, 1)]
+
+
+def cic_deposit_ref(pos_flat: jax.Array, n_active: jax.Array,
+                    cfg: "P.PMConfig") -> jax.Array:
+    """f32[G, G, G] mass grid (unit masses) — XLA scatter-add reference."""
+    g = cfg.grid
+    n = pos_flat.shape[1]
+    c = cell_coords(pos_flat, cfg)
+    i0, f = cic_weights(c)
+    m = (jnp.arange(n, dtype=jnp.int32) < n_active).astype(jnp.float32)
+    rho = jnp.zeros((g, g, g), jnp.float32)
+    for cz, cy, cx in _CORNERS:
+        w = (m
+             * jnp.where(cx, f[0], 1.0 - f[0])
+             * jnp.where(cy, f[1], 1.0 - f[1])
+             * jnp.where(cz, f[2], 1.0 - f[2]))
+        rho = rho.at[i0[2] + cz, i0[1] + cy, i0[0] + cx].add(w)
+    return rho
+
+
+def cic_gather_ref(grids: jax.Array, pos_flat: jax.Array,
+                   cfg: "P.PMConfig") -> jax.Array:
+    """f32[3, N] trilinear interpolation of grids f32[3, G, G, G]."""
+    c = cell_coords(pos_flat, cfg)
+    i0, f = cic_weights(c)
+    out = jnp.zeros_like(pos_flat)
+    for cz, cy, cx in _CORNERS:
+        w = (jnp.where(cx, f[0], 1.0 - f[0])
+             * jnp.where(cy, f[1], 1.0 - f[1])
+             * jnp.where(cz, f[2], 1.0 - f[2]))
+        out = out + w[None] * grids[:, i0[2] + cz, i0[1] + cy, i0[0] + cx]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# spectral solve (shared by reference and Pallas paths)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _isolated_kernels_host(grid: int, h: float, eps: float,
+                           gradient: str) -> tuple:
+    """rfftn of the real-space kernel on the doubled grid (host, cached).
+
+    Hockney-Eastwood: sample K (or the potential phi for gradient='fd') at
+    circularly-wrapped offsets on a (2G)^3 grid; circular convolution with
+    the zero-padded mass grid is then the exact linear convolution for
+    sources and targets inside the G^3 physical region.
+    """
+    g2 = 2 * grid
+    idx = np.arange(g2)
+    d = np.where(idx < grid, idx, idx - g2).astype(np.float32) * h
+    dz = d[:, None, None]
+    dy = d[None, :, None]
+    dx = d[None, None, :]
+    r2 = dx * dx + dy * dy + dz * dz + np.float32(eps * eps)
+    inv_r3 = r2 ** np.float32(-1.5)
+    if gradient == "fd":
+        phi = -(r2 ** np.float32(-0.5))
+        return (np.fft.rfftn(phi).astype(np.complex64),)
+    return tuple(
+        np.fft.rfftn(-dc * inv_r3).astype(np.complex64)
+        for dc in (dx, dy, dz)
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _periodic_kernels_host(grid: int, h: float, eps: float,
+                           gradient: str) -> tuple:
+    """Closed-form Plummer kernel in Fourier space on the G^3 grid."""
+    k1 = 2.0 * np.pi * np.fft.fftfreq(grid, d=h).astype(np.float32)
+    kr = 2.0 * np.pi * np.fft.rfftfreq(grid, d=h).astype(np.float32)
+    kz = k1[:, None, None]
+    ky = k1[None, :, None]
+    kx = kr[None, None, :]
+    k2 = kx * kx + ky * ky + kz * kz
+    kmag = np.sqrt(k2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi_hat = np.where(k2 > 0.0, -4.0 * np.pi * np.exp(-kmag * eps) / k2,
+                           0.0).astype(np.complex64)
+    if gradient == "fd":
+        return (phi_hat,)
+    return tuple((-1j * kc * phi_hat).astype(np.complex64)
+                 for kc in (kx, ky, kz))
+
+
+def _fd_gradient(phi: jax.Array, h: float) -> jax.Array:
+    """-grad(phi) via 2nd-order central differences; f32[3, G, G, G].
+
+    Differences wrap circularly: exact for periodic mode; for isolated
+    mode the wrap touches only the outermost grid layer (the box carries
+    a margin around the cloud, so clamped particles there are edge cases
+    the 'exact' gradient mode handles properly).
+    """
+    def diff(axis):
+        return (jnp.roll(phi, 1, axis=axis)
+                - jnp.roll(phi, -1, axis=axis)) / (2.0 * h)
+    return jnp.stack([diff(2), diff(1), diff(0)])
+
+
+def solve_accel(rho: jax.Array, cfg: "P.PMConfig",
+                softening) -> jax.Array:
+    """f32[3, G, G, G] acceleration grids (unit G_const) from the mass grid.
+
+    ``softening`` must be a static python float (the kernel FFT is cached
+    per (grid, h, eps, mode)).
+    """
+    g = cfg.grid
+    h = cfg.box_size / g
+    eps = float(softening)
+    if cfg.boundary == "isolated":
+        kernels = _isolated_kernels_host(g, h, eps, cfg.gradient)
+        rho_p = jnp.pad(rho, ((0, g), (0, g), (0, g)))
+        rho_hat = jnp.fft.rfftn(rho_p)
+        if cfg.gradient == "fd":
+            phi = jnp.fft.irfftn(rho_hat * jnp.asarray(kernels[0]),
+                                 s=rho_p.shape)[:g, :g, :g]
+            return _fd_gradient(phi.astype(jnp.float32), h)
+        return jnp.stack([
+            jnp.fft.irfftn(rho_hat * jnp.asarray(k_hat),
+                           s=rho_p.shape)[:g, :g, :g].astype(jnp.float32)
+            for k_hat in kernels
+        ])
+    elif cfg.boundary == "periodic":
+        kernels = _periodic_kernels_host(g, h, eps, cfg.gradient)
+        rho_hat = jnp.fft.rfftn(rho)
+        if cfg.gradient == "fd":
+            phi = jnp.fft.irfftn(rho_hat * jnp.asarray(kernels[0]),
+                                 s=rho.shape)
+            return _fd_gradient(phi.astype(jnp.float32), h)
+        return jnp.stack([
+            jnp.fft.irfftn(rho_hat * jnp.asarray(k_hat),
+                           s=rho.shape).astype(jnp.float32)
+            for k_hat in kernels
+        ])
+    raise ValueError(f"unknown boundary mode {cfg.boundary!r}")
+
+
+# ---------------------------------------------------------------------------
+# full reference pipeline
+# ---------------------------------------------------------------------------
+
+def pm_accel_ref(pos_flat: jax.Array, n_active: jax.Array, g_const,
+                 softening, cfg: "P.PMConfig") -> jax.Array:
+    """f32[3, N] PM acceleration — scatter/gather reference (any grid)."""
+    rho = cic_deposit_ref(pos_flat, n_active, cfg)
+    grids = solve_accel(rho, cfg, softening)
+    return g_const * cic_gather_ref(grids, pos_flat, cfg)
+
+
+def step_pm_ref(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
+                pair_vec: jax.Array, n_active: jax.Array,
+                cfg: "P.PMConfig") -> Tuple[jax.Array, jax.Array]:
+    """One frame: PM self-gravity + the reference's attractor step, on
+    (3, R, LANE) planes. Same integrator contract as step_pairwise
+    (ops/pairwise.py:49): accelerations accumulate into velocity first,
+    then p += v*dt, then v *= damping (compute.wgsl:52-72).
+
+    The softening rides in ``cfg`` (static, baked into the cached kernel
+    FFT); pair_vec[0] (G_const) stays traced.
+    """
+    shape = pos.shape
+    flat = pos.reshape(3, -1)
+    acc = pm_accel_ref(flat, n_active, pair_vec[0], cfg.softening, cfg)
+    dt = param_vec[P.P_DT]
+    vel = vel + acc.reshape(shape) * dt
+    px, py, pz, vx, vy, vz = physics.attractor_step(
+        pos[0], pos[1], pos[2], vel[0], vel[1], vel[2],
+        dt=dt, gravity=param_vec[P.P_GRAVITY],
+        mouse_force=param_vec[P.P_MOUSE_FORCE],
+        mouse_radius=param_vec[P.P_MOUSE_RADIUS],
+        damping=param_vec[P.P_DAMPING],
+        mouse_x=param_vec[P.P_MOUSE_X], mouse_y=param_vec[P.P_MOUSE_Y],
+        mouse_z=param_vec[P.P_MOUSE_Z], dragging=param_vec[P.P_DRAGGING],
+    )
+    return jnp.stack([px, py, pz]), jnp.stack([vx, vy, vz])

@@ -1,0 +1,135 @@
+"""Particle-mesh solver tests — reference path (ops/pm.py).
+
+Strategy (SURVEY.md §4 oracle chain): PM's isolated mode must reproduce the
+direct all-pairs softened sum (ops/pairwise.py — itself NumPy-verified) up
+to mesh-resolution error; invariants (momentum, far-field law) pin the
+physics independently of tolerances.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import particle_sim_tpu as psim
+from particle_sim_tpu.core.params import PMConfig
+from particle_sim_tpu.ops import pairwise, pm
+
+
+def _cloud(n, seed=0, radius=40.0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    r = radius * rng.random(n).astype(np.float32) ** (1 / 3)
+    return (x * r[:, None]).astype(np.float32)
+
+
+def _flat(pos_nx3):
+    return jnp.asarray(pos_nx3.T)  # f32[3, N]
+
+
+@pytest.mark.parametrize("gradient", ["exact", "fd"])
+def test_isolated_matches_direct_sum(gradient):
+    """PM (isolated) vs direct O(N^2) softened gravity: RMS error small."""
+    n = 2048
+    pos = _flat(_cloud(n))
+    cfg = PMConfig(grid=128, box_min=(-64, -64, -64), box_size=128.0,
+                   softening=5.0, boundary="isolated", gradient=gradient)
+    n_act = jnp.asarray(n, jnp.int32)
+    a_pm = np.asarray(pm.pm_accel_ref(pos, n_act, 1.0, cfg.softening, cfg))
+    a_direct = np.asarray(pairwise.pairwise_accel(
+        pos, n_act, 1.0, cfg.softening))
+    err = np.linalg.norm(a_pm - a_direct, axis=0)
+    scale = np.linalg.norm(a_direct, axis=0).mean()
+    rms_rel = np.sqrt((err ** 2).mean()) / scale
+    tol = 0.05 if gradient == "exact" else 0.12
+    assert rms_rel < tol, f"rms relative error {rms_rel:.4f} ({gradient})"
+
+
+def test_two_body_far_field():
+    """Two well-separated particles: PM force ~ softened inverse-square."""
+    eps = 4.0
+    d = 40.0
+    pos = jnp.asarray([[-d / 2, d / 2], [0.0, 0.0], [0.0, 0.0]], jnp.float32)
+    cfg = PMConfig(softening=eps)
+    a = np.asarray(pm.pm_accel_ref(pos, jnp.asarray(2, jnp.int32), 1.0,
+                                   eps, cfg))
+    expected = d / (d * d + eps * eps) ** 1.5
+    # particle 0 pulled +x, particle 1 pulled -x, equal magnitude
+    assert a[0, 0] == pytest.approx(expected, rel=0.05)
+    assert a[0, 1] == pytest.approx(-expected, rel=0.05)
+    assert abs(a[1]).max() < expected * 0.05  # no transverse force
+    assert abs(a[2]).max() < expected * 0.05
+
+
+def test_momentum_conservation():
+    """CIC deposit + isolated exact kernel + CIC gather conserves momentum
+    (antisymmetric kernel, identical assignment both ways)."""
+    n = 512
+    pos = _flat(_cloud(n, seed=3))
+    cfg = PMConfig(softening=3.0)
+    a = np.asarray(pm.pm_accel_ref(pos, jnp.asarray(n, jnp.int32), 1.0,
+                                   cfg.softening, cfg))
+    total = np.abs(a.sum(axis=1))
+    typical = np.linalg.norm(a, axis=0).mean() * n
+    assert (total < 1e-3 * typical).all(), f"net momentum drift {total}"
+
+
+def test_deposit_total_mass_and_active_mask():
+    """Deposit conserves total mass; inactive padding deposits nothing."""
+    n, n_act = 300, 200
+    pos = _flat(_cloud(n, seed=1))
+    cfg = PMConfig()
+    rho = pm.cic_deposit_ref(pos, jnp.asarray(n_act, jnp.int32), cfg)
+    assert float(rho.sum()) == pytest.approx(n_act, rel=1e-5)
+    assert float(rho.min()) >= 0.0
+
+
+def test_gather_of_linear_field_is_exact():
+    """Trilinear interpolation reproduces a linear field exactly."""
+    cfg = PMConfig(grid=32, box_min=(0.0, 0.0, 0.0), box_size=32.0)
+    g = cfg.grid
+    z, y, x = jnp.meshgrid(jnp.arange(g, dtype=jnp.float32),
+                           jnp.arange(g, dtype=jnp.float32),
+                           jnp.arange(g, dtype=jnp.float32), indexing="ij")
+    grids = jnp.stack([2.0 * x + 1.0, -3.0 * y, 0.5 * z])
+    rng = np.random.default_rng(7)
+    pts = (1.0 + 29.0 * rng.random((64, 3))).astype(np.float32)
+    out = np.asarray(pm.cic_gather_ref(grids, _flat(pts), cfg))
+    np.testing.assert_allclose(out[0], 2.0 * pts[:, 0] + 1.0, rtol=2e-5)
+    np.testing.assert_allclose(out[1], -3.0 * pts[:, 1], rtol=2e-5,
+                               atol=1e-4)
+    np.testing.assert_allclose(out[2], 0.5 * pts[:, 2], rtol=2e-5, atol=1e-4)
+
+
+def test_periodic_mode_runs_and_pulls_inward():
+    """Periodic mode: a centered cloud still collapses toward its center."""
+    n = 1024
+    pos_np = _cloud(n, seed=5, radius=20.0)
+    pos = _flat(pos_np)
+    cfg = PMConfig(softening=3.0, boundary="periodic")
+    a = np.asarray(pm.pm_accel_ref(pos, jnp.asarray(n, jnp.int32), 1.0,
+                                   cfg.softening, cfg))
+    r = pos_np
+    radial = (a.T * r).sum(axis=1)  # a . x, negative = inward
+    frac_inward = (radial < 0).mean()
+    assert frac_inward > 0.9
+
+
+def test_step_pm_ref_full_frame():
+    """Engine-shaped step: PM gravity + attractor integrator contract."""
+    n = 1000
+    pos_np = _cloud(n)
+    st = psim.ParticleState.from_arrays(
+        pos_np, np.zeros_like(pos_np), np.zeros_like(pos_np))
+    cfg = PMConfig(softening=3.0)
+    pv = jnp.asarray(psim.SimParams(delta_time=0.016).pack())
+    pp = jnp.asarray(psim.PairwiseParams(1.0, cfg.softening).pack())
+    p, v = pm.step_pm_ref(st.pos, st.vel, pv, pp, st.n_active, cfg)
+    assert np.isfinite(np.asarray(p)).all()
+    # self-gravity contracts the cloud: mean radius decreases over steps
+    r0 = np.linalg.norm(pos_np, axis=1).mean()
+    for _ in range(20):
+        p, v = pm.step_pm_ref(p, v, pv, pp, st.n_active, cfg)
+    flat = np.asarray(p.reshape(3, -1)[:, :n]).T
+    assert np.linalg.norm(flat, axis=1).mean() < r0
