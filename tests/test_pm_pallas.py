@@ -1,0 +1,112 @@
+"""PM fast-path parity: sorted Pallas deposit/gather vs the jnp reference.
+
+Mirrors the repo's oracle chain (SURVEY.md §4): pm_pallas must reproduce
+ops/pm.pm_accel_ref (itself parity-tested against the direct O(N^2) sum)
+to float tolerance — the only intended deviation is the gather's bf16
+acceleration tiles (~0.4% relative).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import particle_sim_tpu as psim
+from particle_sim_tpu.core.params import PMConfig
+from particle_sim_tpu.ops import pm, pm_pallas
+
+CFG = PMConfig(softening=4.0, gradient="exact", boundary="isolated")
+
+
+def _planes(pos_nx3, capacity=None):
+    n = pos_nx3.shape[0]
+    st = psim.ParticleState.from_arrays(
+        pos_nx3, np.zeros_like(pos_nx3), np.zeros_like(pos_nx3),
+        capacity=capacity)
+    return st.pos.reshape(3, -1), st.n_active, n
+
+
+def _cloud(n, seed, radius=45.0, offset=(0, 0, 0)):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    r = radius * rng.random(n).astype(np.float32) ** (1 / 3)
+    return (x * r[:, None] + np.asarray(offset, np.float32)).astype(
+        np.float32)
+
+
+def _compare(pos_flat, n_active, rtol=0.02):
+    a_fast = np.asarray(pm_pallas.pm_accel(
+        pos_flat, n_active, 1.0, CFG, interpret=True))
+    a_ref = np.asarray(pm.pm_accel_ref(
+        pos_flat, n_active, 1.0, CFG.softening, CFG))
+    n = int(n_active)
+    scale = np.abs(a_ref[:, :n]).max() + 1e-12
+    np.testing.assert_allclose(a_fast[:, :n], a_ref[:, :n],
+                               atol=rtol * scale)
+    # padding particles get exactly zero acceleration
+    assert np.all(a_fast[:, n:] == 0.0)
+
+
+@pytest.mark.parametrize("seed,n", [(0, 1000), (1, 3000)])
+def test_parity_filled_cloud(seed, n):
+    pos, n_act, _ = _planes(_cloud(n, seed))
+    _compare(pos, n_act)
+
+
+def test_parity_clustered_off_center():
+    """Dense off-center clump: exercises tile-spill and lookback paths."""
+    pos_np = np.concatenate([
+        _cloud(1500, 2, radius=6.0, offset=(30.0, -25.0, 40.0)),
+        _cloud(500, 3, radius=55.0),
+    ])
+    pos, n_act, _ = _planes(pos_np)
+    _compare(pos, n_act)
+
+
+def test_parity_partial_active():
+    """n_active < capacity: sentinel particles must not deposit/gather."""
+    pos_np = _cloud(900, 4)
+    st = psim.ParticleState.from_arrays(
+        pos_np, np.zeros_like(pos_np), np.zeros_like(pos_np), capacity=2048)
+    # poison the padding region with in-box garbage positions
+    poison = jnp.asarray(
+        np.tile(np.float32([[1.0], [2.0], [3.0]]), (1, 2048 - 900)))
+    flat = st.pos.reshape(3, -1).at[:, 900:].set(poison)
+    _compare(flat, st.n_active)
+
+
+def test_parity_out_of_box_clamped():
+    """Positions outside the box clamp to the boundary, same as the ref."""
+    pos_np = _cloud(800, 5, radius=90.0)  # spills past the [-64,64) box
+    pos, n_act, _ = _planes(pos_np)
+    _compare(pos, n_act)
+
+
+def test_parity_grid_aligned_positions():
+    """Exact cell-corner positions (f == 0) hit one-hot edge cases."""
+    g = np.stack(np.meshgrid(*([np.arange(-48, 48, 12, dtype=np.float32)] * 3),
+                             indexing="ij"), axis=-1).reshape(-1, 3)
+    pos, n_act, _ = _planes(g)
+    _compare(pos, n_act)
+
+
+def test_step_pm_matches_ref_step():
+    n = 1024
+    pos_np = _cloud(n, 6)
+    st = psim.ParticleState.from_arrays(
+        pos_np, np.zeros_like(pos_np), np.zeros_like(pos_np))
+    pv = jnp.asarray(psim.SimParams(delta_time=0.016, gravity=0.5).pack())
+    pp = jnp.asarray(psim.PairwiseParams(1.0, CFG.softening).pack())
+    p_f, v_f = pm_pallas.step_pm(st.pos, st.vel, pv, pp, st.n_active, CFG,
+                                 interpret=True)
+    p_r, v_r = pm.step_pm_ref(st.pos, st.vel, pv, pp, st.n_active, CFG)
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_r), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_r), atol=5e-2)
+
+
+def test_rejects_wrong_grid():
+    pos = jnp.zeros((3, 512))
+    with pytest.raises(ValueError, match="grid"):
+        pm_pallas.pm_accel(pos, jnp.asarray(1), 1.0,
+                           PMConfig(grid=64), interpret=True)
