@@ -141,6 +141,38 @@ def main() -> None:
         p50_16m_ms = max(timed16(12) - timed16(2), 1e-9) / 10 * 1e3
         del st16
 
+    # Particle-mesh self-gravity frame at 1M (O(N) long-range solver —
+    # the algorithmic route past the O(N^2) wall; ops/pm_pallas.py).
+    pm_ms = None
+    if on_tpu:
+        from particle_sim_tpu.core.params import PMConfig
+        from particle_sim_tpu.ops import pm_pallas
+
+        cfg = PMConfig(softening=2.0)
+        pp_vec = jnp.asarray(psim.PairwiseParams(0.05, cfg.softening).pack())
+
+        @jax.jit
+        def pm_frames(p, v, k):
+            def body(_, c):
+                return pm_pallas.step_pm(c[0], c[1], pv, pp_vec,
+                                         jnp.asarray(cap, jnp.int32), cfg)
+            return jax.lax.fori_loop(0, k, body, (p, v))
+
+        best = float("inf")
+        for _ in range(2):
+            p, v = jnp.array(state.pos), jnp.array(state.vel)
+            out = pm_frames(p, v, 2)
+            _sync(out)
+            t0 = time.perf_counter()
+            out = pm_frames(out[0], out[1], 2)
+            _sync(out)
+            t2 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = pm_frames(out[0], out[1], 12)
+            _sync(out)
+            best = min(best, (time.perf_counter() - t0 - t2) / 10)
+        pm_ms = best * 1e3
+
     # All-pairs O(N^2) frame at 65k (BASELINE config 3).
     pairwise_ms = None
     if on_tpu:
@@ -188,6 +220,8 @@ def main() -> None:
             "vs_reference_floor": round(value / 6.0e7, 1),
             "all_pairs_65k_frame_ms": (
                 round(pairwise_ms, 3) if pairwise_ms else None),
+            "pm_self_gravity_1m_frame_ms": (
+                round(pm_ms, 3) if pm_ms else None),
             "p50_frame_time_ms_16m": (
                 round(p50_16m_ms, 3) if p50_16m_ms else None),
         },

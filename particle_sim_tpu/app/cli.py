@@ -57,6 +57,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pairwise", action="store_true")
     p.add_argument("--pairwise-g", type=float, default=1.0)
     p.add_argument("--pairwise-softening", type=float, default=0.5)
+    # particle-mesh solver (O(N) self-gravity; implies --pairwise physics)
+    p.add_argument("--pm", action="store_true",
+                   help="solve the pairwise gravity with the particle-mesh "
+                        "FFT solver (millions of particles per frame)")
+    p.add_argument("--pm-grid", type=int, default=128)
+    p.add_argument("--pm-box", type=float, nargs=4,
+                   default=[-64.0, -64.0, -64.0, 128.0],
+                   metavar=("XMIN", "YMIN", "ZMIN", "SIZE"))
+    p.add_argument("--pm-boundary", choices=["isolated", "periodic"],
+                   default="isolated")
+    p.add_argument("--pm-gradient", choices=["exact", "fd"], default="exact")
     # rendering
     p.add_argument("--render-every", type=int, default=0)
     p.add_argument("--render-dir", default="frames")
@@ -81,7 +92,7 @@ def main(argv=None) -> int:
     enable_compile_cache()
 
     from ..core.params import (
-        Method, PairwiseParams, SimParams, SphereGeneration,
+        Method, PairwiseParams, PMConfig, SimParams, SphereGeneration,
     )
     from ..engine import Engine
     from ..io import checkpoint as ckpt
@@ -105,6 +116,13 @@ def main(argv=None) -> int:
                 mesh = mesh_lib.make_mesh()
                 print(f"mesh: dp over {mesh.devices.size} devices",
                       file=sys.stderr)
+        pm_cfg = None
+        if args.pm:
+            pm_cfg = PMConfig(
+                grid=args.pm_grid,
+                box_min=tuple(args.pm_box[:3]), box_size=args.pm_box[3],
+                softening=args.pairwise_softening,
+                boundary=args.pm_boundary, gradient=args.pm_gradient)
         engine = Engine(
             particle_count=args.count,
             method=method,
@@ -112,7 +130,8 @@ def main(argv=None) -> int:
                              if args.generation == "hollow"
                              else SphereGeneration.FILLED),
             pairwise=(PairwiseParams(args.pairwise_g, args.pairwise_softening)
-                      if args.pairwise else None),
+                      if (args.pairwise or args.pm) else None),
+            pm=pm_cfg,
             substeps=args.substeps,
             mesh=mesh,
         )

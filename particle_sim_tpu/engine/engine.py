@@ -30,6 +30,7 @@ recompiles when the capacity bucket actually changes.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional, Union
 
@@ -39,7 +40,7 @@ import numpy as np
 
 from ..core import generate as gen
 from ..core.params import (
-    ColorMode, Method, PairwiseParams, SimParams, SphereGeneration,
+    ColorMode, Method, PairwiseParams, PMConfig, SimParams, SphereGeneration,
 )
 from ..core.state import LANE, ParticleState, capacity_rows
 from ..ops import pairwise as pairwise_jnp
@@ -67,6 +68,7 @@ class Engine:
         method: Optional[Method] = None,
         generation_mode: SphereGeneration = SphereGeneration.HOLLOW,
         pairwise: Optional[PairwiseParams] = None,
+        pm: Optional[PMConfig] = None,
         interpret: bool = False,
         substeps: int = 1,
         debug_checks: bool = False,
@@ -75,7 +77,15 @@ class Engine:
         """``mesh``: a 1-D jax.sharding.Mesh (parallel.mesh.make_mesh) to
         row-shard the state over its ``dp`` axis — the multi-chip mode.
         Attractor stepping is then zero-communication data parallelism;
-        pairwise mode uses the ppermute ring (parallel/ring.py)."""
+        pairwise mode uses the ppermute ring (parallel/ring.py).
+
+        ``pm``: solve the pairwise gravity with the O(N) particle-mesh
+        solver (ops/pm*.py) instead of the direct O(N^2) sum; the traced
+        G constant still comes from ``pairwise`` (defaulted if omitted),
+        while the softening is pm.softening (static). The PALLAS method
+        uses the sorted CIC kernels when pm.grid == 128, the jnp
+        reference otherwise; multi-chip uses the psum-grid step
+        (parallel/pm_dp.py)."""
         self._interpret = interpret
         self.debug_checks = debug_checks
         self.mesh = mesh
@@ -92,6 +102,9 @@ class Engine:
                               else DEFAULT_COUNT_JNP)
         self.method = method
         self.generation_mode = generation_mode
+        self.pm = pm
+        if pm is not None and pairwise is None:
+            pairwise = PairwiseParams(1.0, pm.softening)
         self.pairwise = pairwise
         self.substeps = substeps
         self.paused = False
@@ -135,12 +148,46 @@ class Engine:
     # -- stepping -------------------------------------------------------------
     def _step_fn(self):
         key = (self.method, self.pairwise is not None, self.substeps,
-               self._interpret, self.mesh is not None)
+               self._interpret, self.mesh is not None, self.pm)
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
         interpret = self._interpret
         substeps = self.substeps
+
+        if self.pm is not None:
+            from ..ops import pm as pm_ref
+            from ..ops import pm_pallas
+
+            cfg = self.pm
+            use_fast = (self.method == Method.PALLAS
+                        and cfg.grid == pm_pallas.GRID)
+            if self.mesh is not None:
+                from ..parallel import pm_dp
+
+                pstep = pm_dp.make_pm_step(
+                    self.mesh, cfg, use_pallas=use_fast, interpret=interpret)
+
+                def one(pos, vel, pv, pp, n):
+                    return pstep(pos, vel, pv, pp, n)
+            elif use_fast:
+                def one(pos, vel, pv, pp, n):
+                    return pm_pallas.step_pm_jit(pos, vel, pv, pp, n, cfg,
+                                                 interpret=interpret)
+            else:
+                ref_jit = jax.jit(functools.partial(
+                    pm_ref.step_pm_ref, cfg=cfg))
+
+                def one(pos, vel, pv, pp, n):
+                    return ref_jit(pos, vel, pv, pp, n)
+
+            def fn(pos, vel, pv, pp, n):
+                for _ in range(substeps):
+                    pos, vel = one(pos, vel, pv, pp, n)
+                return pos, vel
+
+            self._jit_cache[key] = fn
+            return fn
 
         if self.mesh is not None:
             from ..parallel import dp, ring

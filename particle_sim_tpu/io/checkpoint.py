@@ -16,7 +16,9 @@ from typing import Optional
 
 import numpy as np
 
-from ..core.params import Method, PairwiseParams, SphereGeneration
+import dataclasses
+
+from ..core.params import Method, PairwiseParams, PMConfig, SphereGeneration
 from ..core.state import ParticleState
 from ..engine import Engine
 
@@ -35,6 +37,7 @@ def save(path: str, engine: Engine, step_index: int = 0) -> None:
         "pairwise": (
             [engine.pairwise.gravitational_constant, engine.pairwise.softening]
             if engine.pairwise else None),
+        "pm": dataclasses.asdict(engine.pm) if engine.pm else None,
     }
     np.savez_compressed(
         path,
@@ -60,11 +63,15 @@ def load(path: str, method: Optional[Method] = None,
         init_colors = z["init_colors"]
 
     pair = meta.get("pairwise")
+    pm_meta = meta.get("pm")
+    if pm_meta:
+        pm_meta["box_min"] = tuple(pm_meta["box_min"])
     engine = Engine(
         particle_count=1,  # placeholder; state is replaced below
         method=method if method is not None else Method(meta["method"]),
         generation_mode=SphereGeneration(meta["generation_mode"]),
         pairwise=PairwiseParams(*pair) if pair else None,
+        pm=PMConfig(**pm_meta) if pm_meta else None,
         interpret=interpret,
         substeps=meta.get("substeps", 1),
     )

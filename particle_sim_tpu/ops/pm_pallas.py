@@ -273,16 +273,18 @@ def _gather_table(key_s: jax.Array, n_pad: int):
 # pipeline
 # ---------------------------------------------------------------------------
 
-def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
-             cfg: "P.PMConfig", *, interpret: bool = False) -> jax.Array:
-    """f32[3, N] PM acceleration — sorted-kernel fast path (grid must be
-    128, N a multiple of 512). Traceable."""
+def pm_sort(pos_flat: jax.Array, n_active: jax.Array,
+            cfg: "P.PMConfig") -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(key_s, idx_s, frac_s): particles grouped by cell id.
+
+    key_s i32[N] sorted cell ids (inactive -> SENTINEL, at the end);
+    idx_s i32[N] carried original indices; frac_s f32[3, N] CIC fractions.
+    """
     if cfg.grid != GRID:
         raise ValueError(f"fast path requires grid={GRID}, got {cfg.grid}")
     n = pos_flat.shape[1]
     if n % CHUNK:
         raise ValueError(f"particle capacity {n} not a multiple of {CHUNK}")
-
     c = pm.cell_coords(pos_flat, cfg)
     i0 = jnp.floor(c)
     f = c - i0
@@ -290,30 +292,47 @@ def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
     key = (i0[2] * GRID + i0[1]) * GRID + i0[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     key = jnp.where(idx < n_active, key, SENTINEL)
-
     key_s, idx_s, fx_s, fy_s, fz_s = jax.lax.sort(
         (key, idx, f[0], f[1], f[2]), num_keys=1)
-    frac_s = jnp.stack([fx_s, fy_s, fz_s])
+    return key_s, idx_s, jnp.stack([fx_s, fy_s, fz_s])
 
-    # deposit -> (G, G, G) mass grid
+
+def pm_deposit_sorted(key_s: jax.Array, frac_s: jax.Array,
+                      *, interpret: bool = False) -> jax.Array:
+    """f32[G, G, G] mass grid from cell-sorted particles."""
+    n = key_s.shape[0]
     t_k, s_k, first_k, c_max_d = _deposit_table(key_s, n)
     dep = _build_deposit(c_max_d, interpret)
     tiles = dep(t_k, s_k, first_k, key_s.reshape(1, -1), frac_s)
-    rho = tiles[:N_TILES].reshape(GRID, GRID, GRID)
+    return tiles[:N_TILES].reshape(GRID, GRID, GRID)
 
-    grids = pm.solve_accel(rho, cfg, cfg.softening)      # (3, G, G, G)
 
-    # gather <- bf16 acceleration tiles
+def pm_gather_sorted(grids: jax.Array, key_s: jax.Array, frac_s: jax.Array,
+                     idx_s: jax.Array, *, interpret: bool = False
+                     ) -> jax.Array:
+    """f32[3, N] accelerations in ORIGINAL particle order, interpolated
+    from grids f32[3, G, G, G] at the cell-sorted particles."""
+    n = key_s.shape[0]
     a_tiles = grids.reshape(3, ROWS_TOTAL, LANE).astype(jnp.bfloat16)
     sg_k, tg_k, firstg_k, c_max_g = _gather_table(key_s, n)
     gat = _build_gather(n, c_max_g, interpret)
     acc_sorted = gat(sg_k, tg_k, firstg_k, key_s.reshape(1, -1), frac_s,
                      a_tiles)[:, :n]
-
     # un-sort via a second key sort on the carried original index
     _, ax, ay, az = jax.lax.sort(
         (idx_s, acc_sorted[0], acc_sorted[1], acc_sorted[2]), num_keys=1)
-    return g_const * jnp.stack([ax, ay, az])
+    return jnp.stack([ax, ay, az])
+
+
+def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
+             cfg: "P.PMConfig", *, interpret: bool = False) -> jax.Array:
+    """f32[3, N] PM acceleration — sorted-kernel fast path (grid must be
+    128, N a multiple of 512). Traceable."""
+    key_s, idx_s, frac_s = pm_sort(pos_flat, n_active, cfg)
+    rho = pm_deposit_sorted(key_s, frac_s, interpret=interpret)
+    grids = pm.solve_accel(rho, cfg, cfg.softening)      # (3, G, G, G)
+    acc = pm_gather_sorted(grids, key_s, frac_s, idx_s, interpret=interpret)
+    return g_const * acc
 
 
 def step_pm(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,

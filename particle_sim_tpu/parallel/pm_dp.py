@@ -1,0 +1,96 @@
+"""Multi-chip particle-mesh stepping: local deposit -> psum(grid) -> solve.
+
+PM parallelizes differently from the ppermute ring (parallel/ring.py): the
+coupling between shards is entirely through the G^3 mass grid, so one
+``psum`` of the 8 MB grid over ICI replaces the ring's n_dev-1 position
+rotations. Per step, per device:
+
+  1. CIC-deposit the local particle shard onto a full local grid
+     (zero-communication: the grid is dense, every shard can reach every
+     cell);
+  2. ``lax.psum`` the mass grids over the dp axis — the ONLY collective;
+  3. solve the FFT Poisson convolution redundantly on every chip
+     (replicated compute beats sharded FFTs at G=128: 8 MB of ICI traffic
+     vs an all-to-all transpose inside every transform);
+  4. CIC-gather accelerations for the local shard only.
+
+Communication volume is O(G^3), independent of N — at 16M particles over 8
+chips that is 8 MB/step against 2M particle-updates/chip, firmly
+compute-bound.
+
+Global padding is masked by translating the global ``n_active`` into each
+shard's local count (shards hold contiguous flat index ranges, so
+``clip(n_active - shard_idx * local_n, 0, local_n)``), mirroring the ring's
+j_base bookkeeping (ring.py:17-22).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core import params as Pm
+from ..ops import physics, pm, pm_pallas
+from .mesh import DP_AXIS
+
+
+def _plane_spec() -> P:
+    return P(None, DP_AXIS, None)
+
+
+def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
+                 interpret: bool = False):
+    """Jitted (pos, vel, param_vec, pair_vec, n_active) -> (pos, vel).
+
+    pos/vel are (3, R, LANE) planes row-sharded over dp; n_active is the
+    GLOBAL active count (replicated scalar). ``use_pallas`` selects the
+    sorted-kernel CIC path (TPU) over the XLA scatter/gather reference.
+    """
+
+    def local_step(pos, vel, pv, pairv, n_active):
+        shape = pos.shape
+        local_n = shape[1] * shape[2]
+        my_idx = jax.lax.axis_index(DP_AXIS)
+        local_active = jnp.clip(n_active - my_idx * local_n, 0, local_n)
+        flat = pos.reshape(3, -1)
+
+        if use_pallas:
+            key_s, idx_s, frac_s = pm_pallas.pm_sort(flat, local_active, cfg)
+            rho = pm_pallas.pm_deposit_sorted(key_s, frac_s,
+                                              interpret=interpret)
+            rho = jax.lax.psum(rho, DP_AXIS)
+            grids = pm.solve_accel(rho, cfg, cfg.softening)
+            acc = pairv[0] * pm_pallas.pm_gather_sorted(
+                grids, key_s, frac_s, idx_s, interpret=interpret)
+        else:
+            rho = pm.cic_deposit_ref(flat, local_active, cfg)
+            rho = jax.lax.psum(rho, DP_AXIS)
+            grids = pm.solve_accel(rho, cfg, cfg.softening)
+            acc = pairv[0] * pm.cic_gather_ref(grids, flat, cfg)
+            # clamp-gathered padding particles see nonzero field; zero them
+            live = (jnp.arange(local_n, dtype=jnp.int32)
+                    < local_active).astype(jnp.float32)
+            acc = acc * live[None]
+
+        dt = pv[Pm.P_DT]
+        vel = vel + acc.reshape(shape) * dt
+        px, py, pz, vx, vy, vz = physics.attractor_step(
+            pos[0], pos[1], pos[2], vel[0], vel[1], vel[2],
+            dt=dt, gravity=pv[Pm.P_GRAVITY],
+            mouse_force=pv[Pm.P_MOUSE_FORCE],
+            mouse_radius=pv[Pm.P_MOUSE_RADIUS], damping=pv[Pm.P_DAMPING],
+            mouse_x=pv[Pm.P_MOUSE_X], mouse_y=pv[Pm.P_MOUSE_Y],
+            mouse_z=pv[Pm.P_MOUSE_Z], dragging=pv[Pm.P_DRAGGING],
+        )
+        return jnp.stack([px, py, pz]), jnp.stack([vx, vy, vz])
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(_plane_spec(), _plane_spec(), P(), P(), P()),
+        out_specs=(_plane_spec(), _plane_spec()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
