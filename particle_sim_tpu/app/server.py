@@ -36,7 +36,9 @@ from typing import Optional
 
 import numpy as np
 
-from ..core.params import Method, SimParams, SphereGeneration
+from ..core.params import (
+    Method, PairwiseParams, PMConfig, SimParams, SphereGeneration,
+)
 from ..engine import Engine
 from ..io import packer
 
@@ -158,6 +160,22 @@ class StreamServer:
                 self.max_points = int(ev.get("max_points", self.max_points))
                 self.wire_mode = {"planar": 0, "compact": 1}.get(
                     ev.get("mode", ""), self.wire_mode)
+            elif t == "solver":
+                # runtime self-gravity switch: off / particle-mesh / direct
+                # (the engine's step cache is keyed on these, so switching
+                # just selects a different compiled step)
+                name = ev.get("name", "off")
+                g = float(ev.get("g", 1.0))
+                eps = float(ev.get("softening", 2.0))
+                if name == "pm":
+                    self.engine.pm = PMConfig(softening=eps)
+                    self.engine.pairwise = PairwiseParams(g, eps)
+                elif name == "direct":
+                    self.engine.pm = None
+                    self.engine.pairwise = PairwiseParams(g, eps)
+                else:
+                    self.engine.pm = None
+                    self.engine.pairwise = None
 
     # -- frame production -----------------------------------------------------
     def _build_frame(self) -> bytes:
@@ -279,6 +297,9 @@ class StreamServer:
                     "method": self.engine.method.name.lower(),
                     "count": self.engine.particle_count,
                     "paused": self.engine.is_paused(),
+                    "solver": ("pm" if self.engine.pm is not None
+                               else "direct" if self.engine.pairwise
+                               else "off"),
                 })
                 sock.sendall(ws_encode(hello.encode(), opcode=0x1))
                 w = threading.Thread(target=self._client_writer, args=(sock,),
@@ -369,11 +390,19 @@ def main(argv=None) -> int:
     ap.add_argument("--port", type=int, default=8787)
     ap.add_argument("--fps", type=float, default=60.0)
     ap.add_argument("--max-points", type=int, default=250_000)
+    ap.add_argument("--pm", action="store_true",
+                    help="start with particle-mesh self-gravity on")
+    ap.add_argument("--pm-g", type=float, default=1.0)
+    ap.add_argument("--pm-softening", type=float, default=2.0)
     args = ap.parse_args(argv)
 
     method = {"auto": None, "jnp": Method.JNP,
               "pallas": Method.PALLAS}[args.method]
-    engine = Engine(particle_count=args.count, method=method)
+    engine = Engine(
+        particle_count=args.count, method=method,
+        pm=PMConfig(softening=args.pm_softening) if args.pm else None,
+        pairwise=(PairwiseParams(args.pm_g, args.pm_softening)
+                  if args.pm else None))
     server = StreamServer(engine, host=args.host, port=args.port,
                           target_fps=args.fps)
     server.max_points = args.max_points

@@ -271,3 +271,30 @@ class TestStreamServer:
         assert server.params.mouse_position == (1, 2, 3)
         assert server.params.is_mouse_dragging
         s.close()
+
+
+class TestSolverEvents:
+    def test_solver_event_switches_engine(self):
+        from particle_sim_tpu.app.server import StreamServer
+        from particle_sim_tpu.core.params import Method
+
+        engine = Engine(particle_count=1500, method=Method.JNP)
+        srv = StreamServer(engine, port=0)
+        assert engine.pm is None and engine.pairwise is None
+        srv.handle_event({"type": "solver", "name": "pm",
+                          "g": 0.5, "softening": 3.0})
+        assert engine.pm is not None
+        assert engine.pm.softening == 3.0
+        assert engine.pairwise.gravitational_constant == 0.5
+        engine.step(SimParams(delta_time=0.016))  # PM step compiles + runs
+        import numpy as np
+        assert np.isfinite(engine.state.positions()).all()
+
+        srv.handle_event({"type": "solver", "name": "direct",
+                          "g": 1.0, "softening": 0.5})
+        assert engine.pm is None and engine.pairwise is not None
+        engine.step(SimParams(delta_time=0.016))
+
+        srv.handle_event({"type": "solver", "name": "off"})
+        assert engine.pm is None and engine.pairwise is None
+        engine.step(SimParams(delta_time=0.016))
