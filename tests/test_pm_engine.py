@@ -107,3 +107,31 @@ def test_cli_pm_run(tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     final = json.loads(out[-1])
     assert final["done"] is True
+
+
+def test_mesh_pm_pallas_interpret_matches_ref():
+    """The real multi-chip configuration (sorted Pallas CIC under
+    shard_map) — interpret mode stands in for TPU Mosaic."""
+    from particle_sim_tpu.parallel import mesh as mesh_lib, pm_dp
+
+    mesh = mesh_lib.make_mesh()
+    n_dev = mesh.devices.size
+    n = n_dev * 8 * 128
+    pos, vel, col = psim.generate.generate(n, psim.SphereGeneration.FILLED)
+    st = psim.ParticleState.from_arrays(pos, vel, col,
+                                        row_multiple=8 * n_dev)
+    pv = jnp.asarray(psim.SimParams(delta_time=0.016).pack())
+    pp = jnp.asarray(PairwiseParams(1.0, CFG.softening).pack())
+    pos_sh, vel_sh = mesh_lib.shard_state_planes(mesh, st.pos, st.vel)
+
+    fast = pm_dp.make_pm_step(mesh, CFG, use_pallas=True, interpret=True)
+    p_f, v_f = fast(pos_sh, vel_sh, pv, pp, st.n_active)
+    ref = pm_dp.make_pm_step(mesh, CFG, use_pallas=False)
+    p_r, v_r = ref(jnp.array(st.pos), jnp.array(st.vel), pv, pp, st.n_active)
+
+    # velocity deltas inherit the fast path's bf16 acceleration tiles
+    # (~0.4% of the local field, which can exceed 2% of a tiny velocity)
+    scale = np.abs(np.asarray(v_r)).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_r), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_r),
+                               atol=max(0.02 * scale, 2e-3))
