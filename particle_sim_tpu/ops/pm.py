@@ -147,16 +147,19 @@ def _periodic_kernels_host(grid: int, h: float, eps: float,
 
 
 def _fd_gradient(phi: jax.Array, h: float) -> jax.Array:
-    """-grad(phi) via 2nd-order central differences; f32[3, G, G, G].
+    """-grad(phi) via 4th-order central differences; f32[3, G, G, G].
 
     Differences wrap circularly: exact for periodic mode; for isolated
-    mode the wrap touches only the outermost grid layer (the box carries
-    a margin around the cloud, so clamped particles there are edge cases
-    the 'exact' gradient mode handles properly).
+    mode the wrap touches only the outermost two grid layers (the box
+    carries a margin around the cloud, so clamped particles there are
+    edge cases the 'exact' gradient mode handles properly).
     """
     def diff(axis):
-        return (jnp.roll(phi, 1, axis=axis)
-                - jnp.roll(phi, -1, axis=axis)) / (2.0 * h)
+        p1 = jnp.roll(phi, 1, axis=axis)
+        m1 = jnp.roll(phi, -1, axis=axis)
+        p2 = jnp.roll(phi, 2, axis=axis)
+        m2 = jnp.roll(phi, -2, axis=axis)
+        return (8.0 * (p1 - m1) - (p2 - m2)) / (12.0 * h)
     return jnp.stack([diff(2), diff(1), diff(0)])
 
 

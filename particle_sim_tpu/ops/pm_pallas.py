@@ -97,13 +97,17 @@ def _deposit_kernel(t_ref, s_ref, f_ref, key_ref, frac_ref, out_ref):
     row = key >> 7
     x = key & (LANE - 1)
     fx, fy, fz = frac_ref[0:1], frac_ref[1:2], frac_ref[2:3]
-    R, liota = _corner_onehots(row - t * T_ROWS, fx, fy, fz, jnp.float32)
+    # bf16 one-hots, f32 accumulation: 4x MXU rate; the CIC weights round
+    # identically here and in the gather (same f32 fracs, same cast), so
+    # deposit/gather stay symmetric (momentum conservation holds)
+    R, liota = _corner_onehots(row - t * T_ROWS, fx, fy, fz, jnp.bfloat16)
     wx0, wx1 = 1.0 - fx, fx
     zero = jnp.zeros((LANE, CHUNK), jnp.float32)
     L = (jnp.where(liota == x, wx0, zero)
          + jnp.where(liota == x + 1, wx1, zero))
     dep = jax.lax.dot_general(
-        R, L, dimension_numbers=(((1,), (1,)), ((), ())),
+        R, L.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)   # (T_ROWS, LANE)
 
     @pl.when(f_ref[i] == 1)
@@ -251,9 +255,10 @@ def _gather_table(key_s: jax.Array, n_pad: int):
     base = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
     total = base[-1]
-    # counts_s <= tiles(row span) + 1 + ceil(SPREAD/T_ROWS); spans telescope
-    # (sorted), so sum <= n_chunks + (N_TILES + n_chunks) + 3*n_chunks
-    c_max = 5 * n_chunks + N_TILES + 2
+    # counts_s <= [tile(row_last) - tile(row_first)] + 1 + ceil(SPREAD/T_ROWS)
+    # and the spans telescope (keys sorted: first(s+1) >= last(s)), so
+    # sum <= N_TILES + n_chunks + 3*n_chunks
+    c_max = 4 * n_chunks + N_TILES + 2
     kk = jnp.arange(c_max, dtype=jnp.int32)
     s_k = (_bin_search(base, kk, side_right=True,
                        n_iters=max(n_chunks + 2, 2).bit_length() + 1)
