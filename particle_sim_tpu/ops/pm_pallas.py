@@ -45,7 +45,7 @@ LANE = 128
 ROWS_TOTAL = GRID * GRID * GRID // LANE     # 16384 (row = z*128 + y)
 T_ROWS = 64                                  # grid-tile rows per kernel block
 N_TILES = ROWS_TOTAL // T_ROWS               # 256
-CHUNK = 512
+MIN_CHUNK = 512                              # smallest supported block
 SPREAD = GRID + 1                            # max corner row offset (z+1,y+1)
 SENTINEL = GRID * GRID * GRID                # id past the last cell
 
@@ -68,32 +68,70 @@ def _bin_search(sorted_arr: jax.Array, probes: jax.Array, side_right: bool,
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
+#
+# Pair tables are packed into ONE i32 scalar-prefetch word per grid step —
+# bits [0,22) slice block, [22,31) grid tile, bit 31 first-visit — because
+# scalar prefetch arrays live in SMEM (~1 MB): three separate i32[c_max]
+# arrays blow it at 16M particles. CHUNK adapts to N for the same reason
+# (pick_chunk), keeping c_max*4B comfortably inside SMEM.
 
-def _corner_onehots(key, fx, fy, fz, dtype):
-    """(R (T_ROWS, CHUNK), L (LANE, CHUNK)) separable CIC one-hots.
+_S_BITS = 22
+_S_MASK = (1 << _S_BITS) - 1
+_T_MASK = 0x1FF
 
-    ``key`` here is the tile-local row (may be negative / out of range —
+
+def _pack_pairs(t, s, first):
+    return (s.astype(jnp.int32)
+            | (t.astype(jnp.int32) << _S_BITS)
+            | (first.astype(jnp.int32) << 31))
+
+
+def pick_chunk(n_pad: int) -> int:
+    """Particles per kernel block: smallest supported chunk whose pair
+    table fits the SMEM budget (c_max <= 64Ki words)."""
+    for c in (512, 1024, 2048, 4096, 8192):
+        if n_pad % c == 0 and 4 * (n_pad // c) + 2 * N_TILES + 2 <= 65536:
+            return c
+    for c in (8192, 4096, 2048, 1024, 512):
+        if n_pad % c == 0:
+            return c
+    raise ValueError(f"capacity {n_pad} not a multiple of 512")
+
+
+def _corner_onehots(lrow, fx, fy, fz, dtype):
+    """(R (T_ROWS, chunk), liota (LANE, chunk)) separable CIC one-hots.
+
+    ``lrow`` is the tile-local row (may be negative / out of range —
     non-matching rows contribute nothing, which IS the spill masking).
     Built in f32 (i1 masks relayout from the i32 compares' (8,128) tiling;
     Mosaic can't relayout them straight to bf16's (16,128)) and cast after.
     """
-    lrow = key
-    riota = jax.lax.broadcasted_iota(jnp.int32, (T_ROWS, CHUNK), 0)
+    chunk = lrow.shape[1]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (T_ROWS, chunk), 0)
     wy0, wy1 = 1.0 - fy, fy
     wz0, wz1 = 1.0 - fz, fz
-    zero = jnp.zeros((T_ROWS, CHUNK), jnp.float32)
+    zero = jnp.zeros((T_ROWS, chunk), jnp.float32)
     R = (jnp.where(riota == lrow, wy0 * wz0, zero)
          + jnp.where(riota == lrow + 1, wy1 * wz0, zero)
          + jnp.where(riota == lrow + GRID, wy0 * wz1, zero)
          + jnp.where(riota == lrow + GRID + 1, wy1 * wz1, zero))
-    liota = jax.lax.broadcasted_iota(jnp.int32, (LANE, CHUNK), 0)
+    liota = jax.lax.broadcasted_iota(jnp.int32, (LANE, chunk), 0)
     return R.astype(dtype), liota
 
 
-def _deposit_kernel(t_ref, s_ref, f_ref, key_ref, frac_ref, out_ref):
+def _lane_onehot(liota, x, fx, dtype):
+    chunk = x.shape[1]
+    zero = jnp.zeros((LANE, chunk), jnp.float32)
+    L = (jnp.where(liota == x, 1.0 - fx, zero)
+         + jnp.where(liota == x + 1, fx, zero))
+    return L.astype(dtype)
+
+
+def _deposit_kernel(p_ref, key_ref, frac_ref, out_ref):
     i = pl.program_id(0)
-    t = t_ref[i]
-    key = key_ref[...]                        # (1, CHUNK) i32 cell ids
+    word = p_ref[i]
+    t = (word >> _S_BITS) & _T_MASK
+    key = key_ref[...]                        # (1, chunk) i32 cell ids
     row = key >> 7
     x = key & (LANE - 1)
     fx, fy, fz = frac_ref[0:1], frac_ref[1:2], frac_ref[2:3]
@@ -101,25 +139,22 @@ def _deposit_kernel(t_ref, s_ref, f_ref, key_ref, frac_ref, out_ref):
     # identically here and in the gather (same f32 fracs, same cast), so
     # deposit/gather stay symmetric (momentum conservation holds)
     R, liota = _corner_onehots(row - t * T_ROWS, fx, fy, fz, jnp.bfloat16)
-    wx0, wx1 = 1.0 - fx, fx
-    zero = jnp.zeros((LANE, CHUNK), jnp.float32)
-    L = (jnp.where(liota == x, wx0, zero)
-         + jnp.where(liota == x + 1, wx1, zero))
+    L = _lane_onehot(liota, x, fx, jnp.bfloat16)
     dep = jax.lax.dot_general(
-        R, L.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        R, L, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)   # (T_ROWS, LANE)
 
-    @pl.when(f_ref[i] == 1)
+    @pl.when(word < 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
     out_ref[...] += dep[None]
 
 
-def _gather_kernel(s_ref, t_ref, f_ref, key_ref, frac_ref, a_ref, out_ref):
+def _gather_kernel(p_ref, key_ref, frac_ref, a_ref, out_ref):
     i = pl.program_id(0)
-    t = t_ref[i]
+    word = p_ref[i]
+    t = (word >> _S_BITS) & _T_MASK
     key = key_ref[...]
     row = key >> 7
     x = key & (LANE - 1)
@@ -128,14 +163,11 @@ def _gather_kernel(s_ref, t_ref, f_ref, key_ref, frac_ref, a_ref, out_ref):
     # C[c, l, p] = sum_r A[c, r, l] R[r, p]
     C = jax.lax.dot_general(
         a_ref[...], R, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)   # (3, LANE, CHUNK)
-    wx0, wx1 = (1.0 - fx).astype(jnp.float32), fx.astype(jnp.float32)
-    zero = jnp.zeros((LANE, CHUNK), jnp.float32)
-    L = (jnp.where(liota == x, wx0, zero)
-         + jnp.where(liota == x + 1, wx1, zero))
-    g = (C * L[None]).sum(axis=1)             # (3, CHUNK)
+        preferred_element_type=jnp.float32)   # (3, LANE, chunk)
+    L = _lane_onehot(liota, x, fx, jnp.float32)
+    g = (C * L[None]).sum(axis=1)             # (3, chunk)
 
-    @pl.when(f_ref[i] == 1)
+    @pl.when(word < 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
@@ -143,18 +175,19 @@ def _gather_kernel(s_ref, t_ref, f_ref, key_ref, frac_ref, a_ref, out_ref):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_deposit(c_max: int, interpret: bool):
+def _build_deposit(chunk: int, c_max: int, interpret: bool):
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,   # tile_of_pair, slice_of_pair, first_flag
+        num_scalar_prefetch=1,   # packed (tile | slice | first) words
         grid=(c_max,),
         in_specs=[
-            pl.BlockSpec((1, CHUNK), lambda i, t, s, f: (0, s[i]),
+            pl.BlockSpec((1, chunk), lambda i, p: (0, p[i] & _S_MASK),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, CHUNK), lambda i, t, s, f: (0, s[i]),
+            pl.BlockSpec((3, chunk), lambda i, p: (0, p[i] & _S_MASK),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, T_ROWS, LANE), lambda i, t, s, f: (t[i], 0, 0),
+            (1, T_ROWS, LANE),
+            lambda i, p: ((p[i] >> _S_BITS) & _T_MASK, 0, 0),
             memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -164,38 +197,46 @@ def _build_deposit(c_max: int, interpret: bool):
                                        jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=c_max * 2 * T_ROWS * CHUNK * LANE,
-            bytes_accessed=c_max * CHUNK * 16 + N_TILES * T_ROWS * LANE * 4,
+            flops=c_max * 2 * T_ROWS * chunk * LANE,
+            bytes_accessed=c_max * chunk * 16 + N_TILES * T_ROWS * LANE * 4,
             transcendentals=0,
         ),
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _build_gather(n_pad: int, c_max: int, interpret: bool):
+def _build_gather(n_pad: int, chunk: int, c_max: int, interpret: bool):
+    # Trash pairs carry s == n_chunks: valid for the OUTPUT (which has an
+    # extra trash block) but one past the end of the key/frac inputs — an
+    # input index map must clamp it or the block DMA reads out of bounds
+    # (which halts the device, not just corrupts data).
+    s_last = n_pad // chunk - 1
+
+    def in_s(i, p):
+        return (0, jnp.minimum(p[i] & _S_MASK, s_last))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,   # slice_of_pair, tile_of_pair, first_flag
+        num_scalar_prefetch=1,
         grid=(c_max,),
         in_specs=[
-            pl.BlockSpec((1, CHUNK), lambda i, s, t, f: (0, s[i]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, CHUNK), lambda i, s, t, f: (0, s[i]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, T_ROWS, LANE), lambda i, s, t, f: (0, t[i], 0),
+            pl.BlockSpec((1, chunk), in_s, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, chunk), in_s, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, T_ROWS, LANE),
+                         lambda i, p: (0, (p[i] >> _S_BITS) & _T_MASK, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, CHUNK), lambda i, s, t, f: (0, s[i]),
+        out_specs=pl.BlockSpec((3, chunk), lambda i, p: (0, p[i] & _S_MASK),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         _gather_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((3, n_pad + CHUNK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, n_pad + chunk), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=c_max * (2 * 3 * T_ROWS * CHUNK * LANE
-                           + 3 * CHUNK * LANE),
-            bytes_accessed=c_max * (CHUNK * 16 + 3 * T_ROWS * LANE * 2),
+            flops=c_max * (2 * 3 * T_ROWS * chunk * LANE
+                           + 3 * chunk * LANE),
+            bytes_accessed=c_max * (chunk * 16 + 3 * T_ROWS * LANE * 2),
             transcendentals=0,
         ),
     )
@@ -205,22 +246,22 @@ def _build_gather(n_pad: int, c_max: int, interpret: bool):
 # tables
 # ---------------------------------------------------------------------------
 
-def _deposit_table(key_s: jax.Array, n_pad: int):
-    """Tile-major pair table: (t_k, s_k, first_k, c_max).
+def _deposit_table(key_s: jax.Array, n_pad: int, chunk: int):
+    """Tile-major packed pair table: (pairs i32[c_max], c_max).
 
     Tile t's output rows [t*T_ROWS, (t+1)*T_ROWS) receive corners from
     particles with base row in [t*T_ROWS - SPREAD, (t+1)*T_ROWS), i.e. base
     cell id in [lo*LANE, hi*LANE).
     """
-    n_chunks = n_pad // CHUNK
+    n_chunks = n_pad // chunk
     n_iters = max(n_pad, 2).bit_length() + 1
     t_idx = jnp.arange(N_TILES + 1, dtype=jnp.int32)
     lo = jnp.maximum(t_idx * T_ROWS - SPREAD, 0) * LANE
     hi = jnp.minimum((t_idx + 1) * T_ROWS, ROWS_TOTAL) * LANE
     o = _bin_search(key_s, lo, side_right=False, n_iters=n_iters)[:-1]
     end = _bin_search(key_s, hi, side_right=False, n_iters=n_iters)[:-1]
-    a_blk = (o // CHUNK).astype(jnp.int32)
-    c_t = jnp.maximum(-(-(end - a_blk * CHUNK) // CHUNK), 1).astype(jnp.int32)
+    a_blk = (o // chunk).astype(jnp.int32)
+    c_t = jnp.maximum(-(-(end - a_blk * chunk) // chunk), 1).astype(jnp.int32)
     base = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(c_t).astype(jnp.int32)])
     # static bound: each particle's lookback window spans <= 3 extra tiles
@@ -233,20 +274,20 @@ def _deposit_table(key_s: jax.Array, n_pad: int):
     real = t_k < N_TILES
     t_safe = jnp.minimum(t_k, N_TILES - 1)
     s_k = jnp.where(real, a_blk[t_safe] + (kk - base[t_safe]), 0)
-    s_k = jnp.clip(s_k, 0, n_chunks - 1).astype(jnp.int32)
-    first_k = jnp.where(real, kk == base[t_safe], True).astype(jnp.int32)
-    return t_k, s_k, first_k, c_max
+    s_k = jnp.clip(s_k, 0, n_chunks - 1)
+    first_k = jnp.where(real, kk == base[t_safe], True)
+    return _pack_pairs(t_k, s_k, first_k), c_max
 
 
-def _gather_table(key_s: jax.Array, n_pad: int):
-    """Chunk-major pair table: (s_k, t_k, first_k, c_max).
+def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
+    """Chunk-major packed pair table: (pairs i32[c_max], c_max).
 
-    For each CHUNK-aligned slice, the contiguous range of grid tiles its
+    For each chunk-aligned slice, the contiguous range of grid tiles its
     particles' corner rows touch. Slice-major order keeps the output block
     index non-decreasing (required for revisit accumulation)."""
-    n_chunks = n_pad // CHUNK
-    row_first = key_s[0::CHUNK] >> 7                       # (n_chunks,)
-    row_last = key_s[CHUNK - 1::CHUNK] >> 7
+    n_chunks = n_pad // chunk
+    row_first = key_s[0::chunk] >> 7                       # (n_chunks,)
+    row_last = key_s[chunk - 1::chunk] >> 7
     t_lo = jnp.clip(row_first // T_ROWS, 0, N_TILES - 1).astype(jnp.int32)
     t_hi = jnp.clip((row_last + SPREAD) // T_ROWS, 0,
                     N_TILES - 1).astype(jnp.int32)
@@ -267,11 +308,10 @@ def _gather_table(key_s: jax.Array, n_pad: int):
     real = kk < total
     s_safe = jnp.minimum(s_k, n_chunks - 1)
     t_k = jnp.where(real, t_lo[s_safe] + (kk - base[s_safe]), 0)
-    t_k = jnp.clip(t_k, 0, N_TILES - 1).astype(jnp.int32)
-    s_k = jnp.where(real, s_k, n_chunks).astype(jnp.int32)
-    first_k = jnp.where(real, kk == base[s_safe],
-                        kk == total).astype(jnp.int32)
-    return s_k, t_k, first_k, c_max
+    t_k = jnp.clip(t_k, 0, N_TILES - 1)
+    s_k = jnp.where(real, s_k, n_chunks)
+    first_k = jnp.where(real, kk == base[s_safe], kk == total)
+    return _pack_pairs(t_k, s_k, first_k), c_max
 
 
 # ---------------------------------------------------------------------------
@@ -288,8 +328,8 @@ def pm_sort(pos_flat: jax.Array, n_active: jax.Array,
     if cfg.grid != GRID:
         raise ValueError(f"fast path requires grid={GRID}, got {cfg.grid}")
     n = pos_flat.shape[1]
-    if n % CHUNK:
-        raise ValueError(f"particle capacity {n} not a multiple of {CHUNK}")
+    if n % 512:
+        raise ValueError(f"particle capacity {n} not a multiple of 512")
     c = pm.cell_coords(pos_flat, cfg)
     i0 = jnp.floor(c)
     f = c - i0
@@ -303,26 +343,28 @@ def pm_sort(pos_flat: jax.Array, n_active: jax.Array,
 
 
 def pm_deposit_sorted(key_s: jax.Array, frac_s: jax.Array,
-                      *, interpret: bool = False) -> jax.Array:
+                      *, interpret: bool = False,
+                      chunk: int = 0) -> jax.Array:
     """f32[G, G, G] mass grid from cell-sorted particles."""
     n = key_s.shape[0]
-    t_k, s_k, first_k, c_max_d = _deposit_table(key_s, n)
-    dep = _build_deposit(c_max_d, interpret)
-    tiles = dep(t_k, s_k, first_k, key_s.reshape(1, -1), frac_s)
+    chunk = chunk or pick_chunk(n)
+    pairs, c_max_d = _deposit_table(key_s, n, chunk)
+    dep = _build_deposit(chunk, c_max_d, interpret)
+    tiles = dep(pairs, key_s.reshape(1, -1), frac_s)
     return tiles[:N_TILES].reshape(GRID, GRID, GRID)
 
 
 def pm_gather_sorted(grids: jax.Array, key_s: jax.Array, frac_s: jax.Array,
-                     idx_s: jax.Array, *, interpret: bool = False
-                     ) -> jax.Array:
+                     idx_s: jax.Array, *, interpret: bool = False,
+                     chunk: int = 0) -> jax.Array:
     """f32[3, N] accelerations in ORIGINAL particle order, interpolated
     from grids f32[3, G, G, G] at the cell-sorted particles."""
     n = key_s.shape[0]
+    chunk = chunk or pick_chunk(n)
     a_tiles = grids.reshape(3, ROWS_TOTAL, LANE).astype(jnp.bfloat16)
-    sg_k, tg_k, firstg_k, c_max_g = _gather_table(key_s, n)
-    gat = _build_gather(n, c_max_g, interpret)
-    acc_sorted = gat(sg_k, tg_k, firstg_k, key_s.reshape(1, -1), frac_s,
-                     a_tiles)[:, :n]
+    pairs, c_max_g = _gather_table(key_s, n, chunk)
+    gat = _build_gather(n, chunk, c_max_g, interpret)
+    acc_sorted = gat(pairs, key_s.reshape(1, -1), frac_s, a_tiles)[:, :n]
     # un-sort via a second key sort on the carried original index
     _, ax, ay, az = jax.lax.sort(
         (idx_s, acc_sorted[0], acc_sorted[1], acc_sorted[2]), num_keys=1)

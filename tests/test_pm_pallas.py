@@ -110,3 +110,34 @@ def test_rejects_wrong_grid():
     with pytest.raises(ValueError, match="grid"):
         pm_pallas.pm_accel(pos, jnp.asarray(1), 1.0,
                            PMConfig(grid=64), interpret=True)
+
+
+def test_parity_chunk_1024():
+    """Large-N kernel block size (pick_chunk escalates past 512 to keep
+    the packed pair table inside SMEM) — same results at any chunk."""
+    pos_np = _cloud(3000, 7)
+    st = psim.ParticleState.from_arrays(
+        pos_np, np.zeros_like(pos_np), np.zeros_like(pos_np), capacity=4096)
+    flat = st.pos.reshape(3, -1)
+    key_s, idx_s, frac_s = pm_pallas.pm_sort(flat, st.n_active, CFG)
+    rho_512 = pm_pallas.pm_deposit_sorted(key_s, frac_s, interpret=True,
+                                          chunk=512)
+    rho_1024 = pm_pallas.pm_deposit_sorted(key_s, frac_s, interpret=True,
+                                           chunk=1024)
+    np.testing.assert_allclose(np.asarray(rho_512), np.asarray(rho_1024),
+                               atol=1e-4)
+    grids = pm.solve_accel(rho_512, CFG, CFG.softening)
+    a_512 = pm_pallas.pm_gather_sorted(grids, key_s, frac_s, idx_s,
+                                       interpret=True, chunk=512)
+    a_1024 = pm_pallas.pm_gather_sorted(grids, key_s, frac_s, idx_s,
+                                        interpret=True, chunk=1024)
+    np.testing.assert_allclose(np.asarray(a_512), np.asarray(a_1024),
+                               atol=1e-4)
+
+
+def test_pick_chunk_smem_budget():
+    for n_pad in (1024, 1000448, 16_000_000, 64_000_000):
+        c = pm_pallas.pick_chunk(n_pad)
+        assert n_pad % c == 0
+    assert pm_pallas.pick_chunk(1000448) == 512
+    assert pm_pallas.pick_chunk(16_000_000) == 1024
