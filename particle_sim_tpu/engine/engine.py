@@ -378,7 +378,7 @@ class Engine:
         """uint8[H, W, 4] frame via the headless rasterizer.
 
         renderer: "scatter" (XLA .at[].add — works everywhere),
-        "sorted" (Pallas sorted-deposit, ~4x faster at 1M@1080p on TPU),
+        "sorted" (Pallas sorted-deposit, ~15x faster at 1M@1080p on TPU),
         or "auto" (sorted when eligible: TPU backend, tile-aligned
         resolution, large point count).
         """

@@ -75,6 +75,10 @@ def _bin_search(sorted_arr: jax.Array, probes: jax.Array, side_right: bool,
 # arrays blow it at 16M particles. CHUNK adapts to N for the same reason
 # (pick_chunk), keeping c_max*4B comfortably inside SMEM.
 
+_FQ_BITS = 10
+_FQ_MAX = 1023
+_FQ_MASK = (1 << _FQ_BITS) - 1
+
 _S_BITS = 22
 _S_MASK = (1 << _S_BITS) - 1
 _T_MASK = 0x1FF
@@ -127,6 +131,15 @@ def _lane_onehot(liota, x, fx, dtype):
     return L.astype(dtype)
 
 
+def _unpack_fracs(fq):
+    """CIC fractions from the 10-bit-per-axis packed word (pm_sort)."""
+    scale = jnp.float32(1.0 / _FQ_MAX)
+    fx = (fq & _FQ_MASK).astype(jnp.float32) * scale
+    fy = ((fq >> _FQ_BITS) & _FQ_MASK).astype(jnp.float32) * scale
+    fz = ((fq >> (2 * _FQ_BITS)) & _FQ_MASK).astype(jnp.float32) * scale
+    return fx, fy, fz
+
+
 def _deposit_kernel(p_ref, key_ref, frac_ref, out_ref):
     i = pl.program_id(0)
     word = p_ref[i]
@@ -134,7 +147,7 @@ def _deposit_kernel(p_ref, key_ref, frac_ref, out_ref):
     key = key_ref[...]                        # (1, chunk) i32 cell ids
     row = key >> 7
     x = key & (LANE - 1)
-    fx, fy, fz = frac_ref[0:1], frac_ref[1:2], frac_ref[2:3]
+    fx, fy, fz = _unpack_fracs(frac_ref[...])
     # bf16 one-hots, f32 accumulation: 4x MXU rate; the CIC weights round
     # identically here and in the gather (same f32 fracs, same cast), so
     # deposit/gather stay symmetric (momentum conservation holds)
@@ -158,7 +171,7 @@ def _gather_kernel(p_ref, key_ref, frac_ref, a_ref, out_ref):
     key = key_ref[...]
     row = key >> 7
     x = key & (LANE - 1)
-    fx, fy, fz = frac_ref[0:1], frac_ref[1:2], frac_ref[2:3]
+    fx, fy, fz = _unpack_fracs(frac_ref[...])
     R, liota = _corner_onehots(row - t * T_ROWS, fx, fy, fz, jnp.bfloat16)
     # C[c, l, p] = sum_r A[c, r, l] R[r, p]
     C = jax.lax.dot_general(
@@ -182,7 +195,7 @@ def _build_deposit(chunk: int, c_max: int, interpret: bool):
         in_specs=[
             pl.BlockSpec((1, chunk), lambda i, p: (0, p[i] & _S_MASK),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, chunk), lambda i, p: (0, p[i] & _S_MASK),
+            pl.BlockSpec((1, chunk), lambda i, p: (0, p[i] & _S_MASK),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -220,7 +233,7 @@ def _build_gather(n_pad: int, chunk: int, c_max: int, interpret: bool):
         grid=(c_max,),
         in_specs=[
             pl.BlockSpec((1, chunk), in_s, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, chunk), in_s, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), in_s, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, T_ROWS, LANE),
                          lambda i, p: (0, (p[i] >> _S_BITS) & _T_MASK, 0),
                          memory_space=pltpu.VMEM),
@@ -323,7 +336,7 @@ def pm_sort(pos_flat: jax.Array, n_active: jax.Array,
     """(key_s, idx_s, frac_s): particles grouped by cell id.
 
     key_s i32[N] sorted cell ids (inactive -> SENTINEL, at the end);
-    idx_s i32[N] carried original indices; frac_s f32[3, N] CIC fractions.
+    idx_s i32[N] carried original indices; frac_s i32[N] packed\n    10-bit-per-axis CIC fractions (_unpack_fracs).
     """
     if cfg.grid != GRID:
         raise ValueError(f"fast path requires grid={GRID}, got {cfg.grid}")
@@ -335,11 +348,16 @@ def pm_sort(pos_flat: jax.Array, n_active: jax.Array,
     f = c - i0
     i0 = i0.astype(jnp.int32)
     key = (i0[2] * GRID + i0[1]) * GRID + i0[0]
+    # quantize fractions to 10 bits/axis packed in ONE i32 payload: the
+    # sort is bandwidth-bound, so 3 payload arrays instead of 5 cuts its
+    # cost ~40%; 1/1023 weight quantization sits below the bf16 rounding
+    # the kernels already carry, and deposit/gather stay exactly symmetric
+    fq = jnp.round(f * _FQ_MAX).astype(jnp.int32)
+    packed = fq[0] | (fq[1] << _FQ_BITS) | (fq[2] << (2 * _FQ_BITS))
     idx = jnp.arange(n, dtype=jnp.int32)
     key = jnp.where(idx < n_active, key, SENTINEL)
-    key_s, idx_s, fx_s, fy_s, fz_s = jax.lax.sort(
-        (key, idx, f[0], f[1], f[2]), num_keys=1)
-    return key_s, idx_s, jnp.stack([fx_s, fy_s, fz_s])
+    key_s, idx_s, fq_s = jax.lax.sort((key, idx, packed), num_keys=1)
+    return key_s, idx_s, fq_s
 
 
 def pm_deposit_sorted(key_s: jax.Array, frac_s: jax.Array,
@@ -350,7 +368,7 @@ def pm_deposit_sorted(key_s: jax.Array, frac_s: jax.Array,
     chunk = chunk or pick_chunk(n)
     pairs, c_max_d = _deposit_table(key_s, n, chunk)
     dep = _build_deposit(chunk, c_max_d, interpret)
-    tiles = dep(pairs, key_s.reshape(1, -1), frac_s)
+    tiles = dep(pairs, key_s.reshape(1, -1), frac_s.reshape(1, -1))
     return tiles[:N_TILES].reshape(GRID, GRID, GRID)
 
 
@@ -364,7 +382,8 @@ def pm_gather_sorted(grids: jax.Array, key_s: jax.Array, frac_s: jax.Array,
     a_tiles = grids.reshape(3, ROWS_TOTAL, LANE).astype(jnp.bfloat16)
     pairs, c_max_g = _gather_table(key_s, n, chunk)
     gat = _build_gather(n, chunk, c_max_g, interpret)
-    acc_sorted = gat(pairs, key_s.reshape(1, -1), frac_s, a_tiles)[:, :n]
+    acc_sorted = gat(pairs, key_s.reshape(1, -1), frac_s.reshape(1, -1),
+                     a_tiles)[:, :n]
     # un-sort via a second key sort on the carried original index
     _, ax, ay, az = jax.lax.sort(
         (idx_s, acc_sorted[0], acc_sorted[1], acc_sorted[2]), num_keys=1)
