@@ -52,14 +52,23 @@ SENTINEL = GRID * GRID * GRID                # id past the last cell
 
 def _bin_search(sorted_arr: jax.Array, probes: jax.Array, side_right: bool,
                 n_iters: int) -> jax.Array:
-    """Vectorized binary search via gathers (raster_sorted.py:45)."""
+    """Vectorized binary search via gathers (raster_sorted.py:45).
+
+    Runs a FIXED iteration count, so it must stay stable after
+    convergence: when lo == hi == n (probe beyond every element) the
+    clipped read sees sorted_arr[n-1] < probe and a naive update would
+    push lo past n on every extra iteration — out-of-range results that
+    double chunk-table entries downstream. ``mid < n`` gates the
+    right-move (an out-of-range mid acts as +inf).
+    """
     n = sorted_arr.shape[0]
     lo = jnp.zeros_like(probes)
     hi = jnp.full_like(probes, n)
     for _ in range(n_iters):
         mid = (lo + hi) // 2
         v = sorted_arr[jnp.clip(mid, 0, n - 1)]
-        go_right = jnp.where(side_right, v <= probes, v < probes)
+        go_right = ((mid < n)
+                    & jnp.where(side_right, v <= probes, v < probes))
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_right, hi, mid)
     return lo

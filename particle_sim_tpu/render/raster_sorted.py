@@ -55,7 +55,11 @@ def _bin_search(sorted_arr: jax.Array, probes: jax.Array, side_right: bool,
     for _ in range(n_iters):
         mid = (lo + hi) // 2
         v = sorted_arr[jnp.clip(mid, 0, n - 1)]
-        go_right = jnp.where(side_right, v <= probes, v < probes)
+        # mid < n gates the right-move: with a fixed iteration count,
+        # a probe beyond every element would otherwise push lo past n
+        # once converged (out-of-range -> duplicated chunk-table rows)
+        go_right = ((mid < n)
+                    & jnp.where(side_right, v <= probes, v < probes))
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_right, hi, mid)
     return lo
