@@ -79,3 +79,23 @@ def test_cli_mesh_auto(tmp_path, capsys):
     final = json.loads(out.out.strip().splitlines()[-1])
     assert final["done"]
     assert "mesh: dp over 8 devices" in out.err
+
+
+def test_mesh_render_and_stream():
+    """Output paths consume sharded state (XLA inserts the gathers)."""
+    import particle_sim_tpu as psim
+    from particle_sim_tpu.core.params import Method
+    from particle_sim_tpu.engine import Engine
+    from particle_sim_tpu.parallel import mesh as mesh_lib
+    from particle_sim_tpu.render.camera import Camera
+
+    mesh = mesh_lib.make_mesh()
+    e = Engine(particle_count=mesh.devices.size * 1024, method=Method.JNP,
+               mesh=mesh)
+    p = psim.SimParams(color_mode=1, gravity=1.0)
+    e.step(p)
+    img = e.render_frame(Camera(aspect=16 / 9), p, width=1280, height=720,
+                         renderer="scatter")
+    assert img.shape == (720, 1280, 4) and (img[..., :3] > 0).any()
+    pos, rgba = e.frame_arrays(p, max_points=500)
+    assert pos.shape[0] == 3 and rgba.shape[1] == 4
