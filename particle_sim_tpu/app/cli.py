@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="solve the pairwise gravity with the particle-mesh "
                         "FFT solver (millions of particles per frame)")
     p.add_argument("--pm-grid", type=int, default=128)
+    p.add_argument("--pm-softening", type=float, default=2.0,
+                   help="Plummer eps for the PM solver; keep >= ~2 cell "
+                        "sizes or short-range forces fall below mesh "
+                        "resolution (PMConfig docs)")
     p.add_argument("--pm-box", type=float, nargs=4,
                    default=[-64.0, -64.0, -64.0, 128.0],
                    metavar=("XMIN", "YMIN", "ZMIN", "SIZE"))
@@ -121,7 +125,7 @@ def main(argv=None) -> int:
             pm_cfg = PMConfig(
                 grid=args.pm_grid,
                 box_min=tuple(args.pm_box[:3]), box_size=args.pm_box[3],
-                softening=args.pairwise_softening,
+                softening=args.pm_softening,
                 boundary=args.pm_boundary, gradient=args.pm_gradient)
         engine = Engine(
             particle_count=args.count,
@@ -129,7 +133,9 @@ def main(argv=None) -> int:
             generation_mode=(SphereGeneration.HOLLOW
                              if args.generation == "hollow"
                              else SphereGeneration.FILLED),
-            pairwise=(PairwiseParams(args.pairwise_g, args.pairwise_softening)
+            pairwise=(PairwiseParams(
+                args.pairwise_g,
+                args.pm_softening if args.pm else args.pairwise_softening)
                       if (args.pairwise or args.pm) else None),
             pm=pm_cfg,
             substeps=args.substeps,

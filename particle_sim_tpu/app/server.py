@@ -161,9 +161,11 @@ class StreamServer:
                 self.wire_mode = {"planar": 0, "compact": 1}.get(
                     ev.get("mode", ""), self.wire_mode)
             elif t == "solver":
-                # runtime self-gravity switch: off / particle-mesh / direct
-                # (the engine's step cache is keyed on these, so switching
-                # just selects a different compiled step)
+                # runtime self-gravity switch: off / particle-mesh / direct.
+                # Solver name and G changes reuse compiled steps (G is
+                # traced); a NEW softening value is a new static PMConfig
+                # and compiles a fresh PM step on first use — the viewer
+                # therefore only sends solver events on slider release.
                 name = ev.get("name", "off")
                 g = float(ev.get("g", 1.0))
                 eps = float(ev.get("softening", 2.0))
@@ -300,6 +302,12 @@ class StreamServer:
                     "solver": ("pm" if self.engine.pm is not None
                                else "direct" if self.engine.pairwise
                                else "off"),
+                    "solver_g": (self.engine.pairwise.gravitational_constant
+                                 if self.engine.pairwise else 1.0),
+                    "solver_softening": (
+                        self.engine.pm.softening if self.engine.pm
+                        else self.engine.pairwise.softening
+                        if self.engine.pairwise else 2.0),
                 })
                 sock.sendall(ws_encode(hello.encode(), opcode=0x1))
                 w = threading.Thread(target=self._client_writer, args=(sock,),

@@ -52,18 +52,7 @@ def step_pairwise(
     n_active: jax.Array,
 ) -> Tuple[jax.Array, jax.Array]:
     """One step with all-pairs + attractor + gravity on (3, R, LANE) planes."""
-    shape = pos.shape
     flat = pos.reshape(3, -1)
     acc = pairwise_accel(flat, n_active, pair_vec[0], pair_vec[1])
-    dt = param_vec[P.P_DT]
-    vel = vel + acc.reshape(shape) * dt
-    px, py, pz, vx, vy, vz = physics.attractor_step(
-        pos[0], pos[1], pos[2], vel[0], vel[1], vel[2],
-        dt=dt, gravity=param_vec[P.P_GRAVITY],
-        mouse_force=param_vec[P.P_MOUSE_FORCE],
-        mouse_radius=param_vec[P.P_MOUSE_RADIUS],
-        damping=param_vec[P.P_DAMPING],
-        mouse_x=param_vec[P.P_MOUSE_X], mouse_y=param_vec[P.P_MOUSE_Y],
-        mouse_z=param_vec[P.P_MOUSE_Z], dragging=param_vec[P.P_DRAGGING],
-    )
-    return jnp.stack([px, py, pz]), jnp.stack([vx, vy, vz])
+    return physics.kick_and_step_planes(pos, vel, acc.reshape(pos.shape),
+                                        param_vec)

@@ -266,22 +266,10 @@ def step_pairwise(
     pair_vec: jax.Array, n_active, *, interpret: bool = False,
 ):
     """Pallas analog of ops.pairwise.step_pairwise on (3, R, LANE) planes."""
-    from ..core import params as P
     from . import physics
 
-    shape = pos.shape
     flat = pos.reshape(3, -1)
     acc = pairwise_accel(flat.T, flat, n_active, pair_vec[0], pair_vec[1],
                          interpret=interpret)          # (N, 3)
-    dt = param_vec[P.P_DT]
-    vel = vel + acc.T.reshape(shape) * dt
-    px, py, pz, vx, vy, vz = physics.attractor_step(
-        pos[0], pos[1], pos[2], vel[0], vel[1], vel[2],
-        dt=dt, gravity=param_vec[P.P_GRAVITY],
-        mouse_force=param_vec[P.P_MOUSE_FORCE],
-        mouse_radius=param_vec[P.P_MOUSE_RADIUS],
-        damping=param_vec[P.P_DAMPING],
-        mouse_x=param_vec[P.P_MOUSE_X], mouse_y=param_vec[P.P_MOUSE_Y],
-        mouse_z=param_vec[P.P_MOUSE_Z], dragging=param_vec[P.P_DRAGGING],
-    )
-    return jnp.stack([px, py, pz]), jnp.stack([vx, vy, vz])
+    return physics.kick_and_step_planes(pos, vel, acc.T.reshape(pos.shape),
+                                        param_vec)

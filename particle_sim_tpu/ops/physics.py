@@ -117,3 +117,29 @@ def brightness(vx, vy, vz) -> jnp.ndarray:
     """Fragment-shader brightness = min(2*|v|, 1) — particle.wgsl:41-42."""
     speed = jnp.sqrt(vx * vx + vy * vy + vz * vz)
     return jnp.minimum(speed * 2.0, 1.0)
+
+
+def kick_and_step_planes(pos, vel, acc, param_vec):
+    """Shared tail of every interaction solver: accumulate an external
+    acceleration into velocity (kick), then run the reference's attractor
+    step, on ``(3, R, LANE)`` component planes.
+
+    Keeps the integrator contract (forces -> v, then p += v*dt, then
+    v *= damping — compute.wgsl:52-72) in ONE place for the direct-sum,
+    ring, and particle-mesh steppers. ``acc`` must broadcast to
+    ``pos.shape``; param_vec is the packed SimParams vector.
+    """
+    from ..core import params as P
+
+    dt = param_vec[P.P_DT]
+    vel = vel + acc * dt
+    px, py, pz, vx, vy, vz = attractor_step(
+        pos[0], pos[1], pos[2], vel[0], vel[1], vel[2],
+        dt=dt, gravity=param_vec[P.P_GRAVITY],
+        mouse_force=param_vec[P.P_MOUSE_FORCE],
+        mouse_radius=param_vec[P.P_MOUSE_RADIUS],
+        damping=param_vec[P.P_DAMPING],
+        mouse_x=param_vec[P.P_MOUSE_X], mouse_y=param_vec[P.P_MOUSE_Y],
+        mouse_z=param_vec[P.P_MOUSE_Z], dragging=param_vec[P.P_DRAGGING],
+    )
+    return jnp.stack([px, py, pz]), jnp.stack([vx, vy, vz])

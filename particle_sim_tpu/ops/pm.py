@@ -23,7 +23,7 @@ Two boundary modes:
     ~8x cheaper FFTs; forces include periodic images.
 
 Gradient modes: ``exact`` (three inverse FFTs of the vector kernel) or
-``fd`` (one inverse FFT of the potential + 2nd-order central differences —
+``fd`` (one inverse FFT of the potential + 4th-order central differences —
 trades a little accuracy for ~2x fewer inverse transforms).
 
 This module is the any-grid reference implementation (XLA scatter/gather
@@ -224,18 +224,7 @@ def step_pm_ref(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
     The softening rides in ``cfg`` (static, baked into the cached kernel
     FFT); pair_vec[0] (G_const) stays traced.
     """
-    shape = pos.shape
     flat = pos.reshape(3, -1)
     acc = pm_accel_ref(flat, n_active, pair_vec[0], cfg.softening, cfg)
-    dt = param_vec[P.P_DT]
-    vel = vel + acc.reshape(shape) * dt
-    px, py, pz, vx, vy, vz = physics.attractor_step(
-        pos[0], pos[1], pos[2], vel[0], vel[1], vel[2],
-        dt=dt, gravity=param_vec[P.P_GRAVITY],
-        mouse_force=param_vec[P.P_MOUSE_FORCE],
-        mouse_radius=param_vec[P.P_MOUSE_RADIUS],
-        damping=param_vec[P.P_DAMPING],
-        mouse_x=param_vec[P.P_MOUSE_X], mouse_y=param_vec[P.P_MOUSE_Y],
-        mouse_z=param_vec[P.P_MOUSE_Z], dragging=param_vec[P.P_DRAGGING],
-    )
-    return jnp.stack([px, py, pz]), jnp.stack([vx, vy, vz])
+    return physics.kick_and_step_planes(pos, vel, acc.reshape(pos.shape),
+                                        param_vec)

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core import params as P
+from ..utils.search import bin_search as _bin_search
 from . import physics, pm
 
 GRID = 128
@@ -48,30 +49,6 @@ N_TILES = ROWS_TOTAL // T_ROWS               # 256
 MIN_CHUNK = 512                              # smallest supported block
 SPREAD = GRID + 1                            # max corner row offset (z+1,y+1)
 SENTINEL = GRID * GRID * GRID                # id past the last cell
-
-
-def _bin_search(sorted_arr: jax.Array, probes: jax.Array, side_right: bool,
-                n_iters: int) -> jax.Array:
-    """Vectorized binary search via gathers (raster_sorted.py:45).
-
-    Runs a FIXED iteration count, so it must stay stable after
-    convergence: when lo == hi == n (probe beyond every element) the
-    clipped read sees sorted_arr[n-1] < probe and a naive update would
-    push lo past n on every extra iteration — out-of-range results that
-    double chunk-table entries downstream. ``mid < n`` gates the
-    right-move (an out-of-range mid acts as +inf).
-    """
-    n = sorted_arr.shape[0]
-    lo = jnp.zeros_like(probes)
-    hi = jnp.full_like(probes, n)
-    for _ in range(n_iters):
-        mid = (lo + hi) // 2
-        v = sorted_arr[jnp.clip(mid, 0, n - 1)]
-        go_right = ((mid < n)
-                    & jnp.where(side_right, v <= probes, v < probes))
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    return lo
 
 
 # ---------------------------------------------------------------------------
@@ -111,7 +88,7 @@ def pick_chunk(n_pad: int) -> int:
     raise ValueError(f"capacity {n_pad} not a multiple of 512")
 
 
-def _corner_onehots(lrow, fx, fy, fz, dtype):
+def _corner_onehots(lrow, fy, fz, dtype):
     """(R (T_ROWS, chunk), liota (LANE, chunk)) separable CIC one-hots.
 
     ``lrow`` is the tile-local row (may be negative / out of range —
@@ -160,7 +137,7 @@ def _deposit_kernel(p_ref, key_ref, frac_ref, out_ref):
     # bf16 one-hots, f32 accumulation: 4x MXU rate; the CIC weights round
     # identically here and in the gather (same f32 fracs, same cast), so
     # deposit/gather stay symmetric (momentum conservation holds)
-    R, liota = _corner_onehots(row - t * T_ROWS, fx, fy, fz, jnp.bfloat16)
+    R, liota = _corner_onehots(row - t * T_ROWS, fy, fz, jnp.bfloat16)
     L = _lane_onehot(liota, x, fx, jnp.bfloat16)
     dep = jax.lax.dot_general(
         R, L, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -181,7 +158,7 @@ def _gather_kernel(p_ref, key_ref, frac_ref, a_ref, out_ref):
     row = key >> 7
     x = key & (LANE - 1)
     fx, fy, fz = _unpack_fracs(frac_ref[...])
-    R, liota = _corner_onehots(row - t * T_ROWS, fx, fy, fz, jnp.bfloat16)
+    R, liota = _corner_onehots(row - t * T_ROWS, fy, fz, jnp.bfloat16)
     # C[c, l, p] = sum_r A[c, r, l] R[r, p]
     C = jax.lax.dot_general(
         a_ref[...], R, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -415,21 +392,10 @@ def step_pm(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
             *, interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """One frame: PM self-gravity (fast path) + attractor step, on
     (3, R, LANE) planes — same contract as pm.step_pm_ref."""
-    shape = pos.shape
     flat = pos.reshape(3, -1)
     acc = pm_accel(flat, n_active, pair_vec[0], cfg, interpret=interpret)
-    dt = param_vec[P.P_DT]
-    vel = vel + acc.reshape(shape) * dt
-    px, py, pz, vx, vy, vz = physics.attractor_step(
-        pos[0], pos[1], pos[2], vel[0], vel[1], vel[2],
-        dt=dt, gravity=param_vec[P.P_GRAVITY],
-        mouse_force=param_vec[P.P_MOUSE_FORCE],
-        mouse_radius=param_vec[P.P_MOUSE_RADIUS],
-        damping=param_vec[P.P_DAMPING],
-        mouse_x=param_vec[P.P_MOUSE_X], mouse_y=param_vec[P.P_MOUSE_Y],
-        mouse_z=param_vec[P.P_MOUSE_Z], dragging=param_vec[P.P_DRAGGING],
-    )
-    return jnp.stack([px, py, pz]), jnp.stack([vx, vy, vz])
+    return physics.kick_and_step_planes(pos, vel, acc.reshape(pos.shape),
+                                        param_vec)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))

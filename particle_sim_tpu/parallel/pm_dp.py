@@ -74,17 +74,8 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
                     < local_active).astype(jnp.float32)
             acc = acc * live[None]
 
-        dt = pv[Pm.P_DT]
-        vel = vel + acc.reshape(shape) * dt
-        px, py, pz, vx, vy, vz = physics.attractor_step(
-            pos[0], pos[1], pos[2], vel[0], vel[1], vel[2],
-            dt=dt, gravity=pv[Pm.P_GRAVITY],
-            mouse_force=pv[Pm.P_MOUSE_FORCE],
-            mouse_radius=pv[Pm.P_MOUSE_RADIUS], damping=pv[Pm.P_DAMPING],
-            mouse_x=pv[Pm.P_MOUSE_X], mouse_y=pv[Pm.P_MOUSE_Y],
-            mouse_z=pv[Pm.P_MOUSE_Z], dragging=pv[Pm.P_DRAGGING],
-        )
-        return jnp.stack([px, py, pz]), jnp.stack([vx, vy, vz])
+        return physics.kick_and_step_planes(pos, vel, acc.reshape(shape),
+                                            pv)
 
     sharded = shard_map(
         local_step,

@@ -34,35 +34,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core import params as P
+from ..utils.search import bin_search as _bin_search
 from ..ops import physics
 from . import raster
 
 TILE_H, TILE_W = 8, 128
 PX_PER_TILE = TILE_H * TILE_W   # 1024
 CHUNK = 512
-
-
-def _bin_search(sorted_arr: jax.Array, probes: jax.Array, side_right: bool,
-                n_iters: int) -> jax.Array:
-    """Vectorized first-index binary search via gathers.
-
-    side_right=False: first i with sorted_arr[i] >= probe (side='left').
-    side_right=True:  first i with sorted_arr[i] >  probe (side='right').
-    """
-    n = sorted_arr.shape[0]
-    lo = jnp.zeros_like(probes)
-    hi = jnp.full_like(probes, n)
-    for _ in range(n_iters):
-        mid = (lo + hi) // 2
-        v = sorted_arr[jnp.clip(mid, 0, n - 1)]
-        # mid < n gates the right-move: with a fixed iteration count,
-        # a probe beyond every element would otherwise push lo past n
-        # once converged (out-of-range -> duplicated chunk-table rows)
-        go_right = ((mid < n)
-                    & jnp.where(side_right, v <= probes, v < probes))
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    return lo
 
 
 def _kernel(t_ref, s_ref, f_ref, key_ref, rgb_ref, out_ref):
