@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("XMIN", "YMIN", "ZMIN", "SIZE"))
     p.add_argument("--pm-boundary", choices=["isolated", "periodic"],
                    default="isolated")
+    p.add_argument("--pm-auto-box", action="store_true",
+                   help="track the cloud with a traced box every step "
+                        "(auto-zoom; --pm-softening is then in CELL units)")
     p.add_argument("--pm-gradient", choices=["exact", "fd"], default="exact")
     # rendering
     p.add_argument("--render-every", type=int, default=0)
@@ -126,7 +129,8 @@ def main(argv=None) -> int:
                 grid=args.pm_grid,
                 box_min=tuple(args.pm_box[:3]), box_size=args.pm_box[3],
                 softening=args.pm_softening,
-                boundary=args.pm_boundary, gradient=args.pm_gradient)
+                boundary=args.pm_boundary, gradient=args.pm_gradient,
+                auto_box=args.pm_auto_box)
         engine = Engine(
             particle_count=args.count,
             method=method,

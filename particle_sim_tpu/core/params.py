@@ -130,6 +130,12 @@ class PMConfig:
                ~8x cheaper FFTs, periodic images).
     gradient:  'exact' (three inverse vector-kernel FFTs) or 'fd' (one
                potential FFT + central differences).
+    auto_box:  True -> ignore box_min/box_size and track the live cloud
+               with a traced cubic box every step (auto-zoom: resolution
+               follows a collapsing/drifting cloud). ``softening`` is then
+               in CELL units (the physical eps = softening * cell_size
+               shrinks as the cloud does — adaptive softening), because
+               the cached kernel FFTs must be box-independent.
     """
 
     grid: int = 128
@@ -138,6 +144,7 @@ class PMConfig:
     softening: float = 2.0
     boundary: str = "isolated"
     gradient: str = "exact"
+    auto_box: bool = False
 
     @property
     def cell_size(self) -> float:

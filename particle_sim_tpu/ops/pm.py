@@ -45,13 +45,38 @@ from ..core import params as P
 from . import physics
 
 
+def cell_coords_dyn(pos_flat: jax.Array, box_min, cell_size,
+                    grid: int) -> jax.Array:
+    """f32[3, N] continuous cell-space coords for a (possibly traced) box,
+    clamped so the CIC upper corner (floor+1) stays on the grid:
+    coords in [0, G-1-ulp]. ``box_min``: f32[3, 1] or tuple; ``cell_size``:
+    scalar (python float or traced)."""
+    box_min = jnp.asarray(box_min, jnp.float32).reshape(3, 1)
+    c = (pos_flat - box_min) / cell_size
+    return jnp.clip(c, 0.0, np.float32(grid - 1) - 1e-3)
+
+
 def cell_coords(pos_flat: jax.Array, cfg: "P.PMConfig") -> jax.Array:
-    """f32[3, N] continuous cell-space coords, clamped so the CIC upper
-    corner (floor+1) stays on the grid: coords in [0, G-1-ulp]."""
-    h = cfg.box_size / cfg.grid
-    box_min = jnp.asarray(cfg.box_min, jnp.float32).reshape(3, 1)
-    c = (pos_flat - box_min) / h
-    return jnp.clip(c, 0.0, np.float32(cfg.grid - 1) - 1e-3)
+    """cell_coords_dyn with the config's static box."""
+    return cell_coords_dyn(pos_flat, cfg.box_min, cfg.cell_size, cfg.grid)
+
+
+def auto_box(pos_flat: jax.Array, n_active: jax.Array, grid: int,
+             pad: float = 0.05):
+    """(box_min f32[3,1], cell_size scalar) — a traced cubic box tracking
+    the live particle cloud (auto-zoom PM): the grid's resolution follows
+    the cloud instead of a fixed world box. Padding particles are excluded
+    from the extent."""
+    n = pos_flat.shape[1]
+    live = jnp.arange(n, dtype=jnp.int32) < n_active
+    big = jnp.float32(3.0e38)
+    lo = jnp.min(jnp.where(live[None], pos_flat, big), axis=1)
+    hi = jnp.max(jnp.where(live[None], pos_flat, -big), axis=1)
+    extent = jnp.max(hi - lo)
+    size = jnp.maximum(extent * (1.0 + 2.0 * pad), 1e-3)
+    center = 0.5 * (lo + hi)
+    box_min = (center - 0.5 * size).reshape(3, 1)
+    return box_min, size / grid
 
 
 def cic_weights(c: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -64,11 +89,13 @@ _CORNERS = [(cz, cy, cx) for cz in (0, 1) for cy in (0, 1) for cx in (0, 1)]
 
 
 def cic_deposit_ref(pos_flat: jax.Array, n_active: jax.Array,
-                    cfg: "P.PMConfig") -> jax.Array:
-    """f32[G, G, G] mass grid (unit masses) — XLA scatter-add reference."""
+                    cfg: "P.PMConfig", coords=None) -> jax.Array:
+    """f32[G, G, G] mass grid (unit masses) — XLA scatter-add reference.
+
+    ``coords`` overrides the cell coords (auto-box path)."""
     g = cfg.grid
     n = pos_flat.shape[1]
-    c = cell_coords(pos_flat, cfg)
+    c = cell_coords(pos_flat, cfg) if coords is None else coords
     i0, f = cic_weights(c)
     m = (jnp.arange(n, dtype=jnp.int32) < n_active).astype(jnp.float32)
     rho = jnp.zeros((g, g, g), jnp.float32)
@@ -82,9 +109,9 @@ def cic_deposit_ref(pos_flat: jax.Array, n_active: jax.Array,
 
 
 def cic_gather_ref(grids: jax.Array, pos_flat: jax.Array,
-                   cfg: "P.PMConfig") -> jax.Array:
+                   cfg: "P.PMConfig", coords=None) -> jax.Array:
     """f32[3, N] trilinear interpolation of grids f32[3, G, G, G]."""
-    c = cell_coords(pos_flat, cfg)
+    c = cell_coords(pos_flat, cfg) if coords is None else coords
     i0, f = cic_weights(c)
     out = jnp.zeros_like(pos_flat)
     for cz, cy, cx in _CORNERS:
@@ -164,14 +191,15 @@ def _fd_gradient(phi: jax.Array, h: float) -> jax.Array:
 
 
 def solve_accel(rho: jax.Array, cfg: "P.PMConfig",
-                softening) -> jax.Array:
+                softening, cell_size=None) -> jax.Array:
     """f32[3, G, G, G] acceleration grids (unit G_const) from the mass grid.
 
     ``softening`` must be a static python float (the kernel FFT is cached
-    per (grid, h, eps, mode)).
+    per (grid, h, eps, mode)). ``cell_size`` overrides the config's static
+    h (the auto-box path solves in cell units, h=1).
     """
     g = cfg.grid
-    h = cfg.box_size / g
+    h = cfg.cell_size if cell_size is None else cell_size
     eps = float(softening)
     if cfg.boundary == "isolated":
         kernels = _isolated_kernels_host(g, h, eps, cfg.gradient)
@@ -207,7 +235,20 @@ def solve_accel(rho: jax.Array, cfg: "P.PMConfig",
 
 def pm_accel_ref(pos_flat: jax.Array, n_active: jax.Array, g_const,
                  softening, cfg: "P.PMConfig") -> jax.Array:
-    """f32[3, N] PM acceleration — scatter/gather reference (any grid)."""
+    """f32[3, N] PM acceleration — scatter/gather reference (any grid).
+
+    With ``cfg.auto_box`` the box is a traced cube tracking the cloud and
+    the solve runs in CELL units (h=1, eps = softening in cells; cached
+    kernel FFTs are box-independent); physical acceleration is the
+    cell-unit result scaled by 1/h^2 (a ~ h*dc / (h^2 |dc|^2)^1.5).
+    """
+    if cfg.auto_box:
+        box_min, cell = auto_box(pos_flat, n_active, cfg.grid)
+        c = cell_coords_dyn(pos_flat, box_min, cell, cfg.grid)
+        rho = cic_deposit_ref(pos_flat, n_active, cfg, coords=c)
+        grids = solve_accel(rho, cfg, softening, cell_size=1.0)
+        acc = cic_gather_ref(grids, pos_flat, cfg, coords=c)
+        return (g_const / (cell * cell)) * acc
     rho = cic_deposit_ref(pos_flat, n_active, cfg)
     grids = solve_accel(rho, cfg, softening)
     return g_const * cic_gather_ref(grids, pos_flat, cfg)

@@ -318,18 +318,21 @@ def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
 # ---------------------------------------------------------------------------
 
 def pm_sort(pos_flat: jax.Array, n_active: jax.Array,
-            cfg: "P.PMConfig") -> Tuple[jax.Array, jax.Array, jax.Array]:
+            cfg: "P.PMConfig", coords=None
+            ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(key_s, idx_s, frac_s): particles grouped by cell id.
 
     key_s i32[N] sorted cell ids (inactive -> SENTINEL, at the end);
-    idx_s i32[N] carried original indices; frac_s i32[N] packed\n    10-bit-per-axis CIC fractions (_unpack_fracs).
+    idx_s i32[N] carried original indices; frac_s i32[N] packed
+    10-bit-per-axis CIC fractions (_unpack_fracs). ``coords`` overrides
+    the cell coords (auto-box path).
     """
     if cfg.grid != GRID:
         raise ValueError(f"fast path requires grid={GRID}, got {cfg.grid}")
     n = pos_flat.shape[1]
     if n % 512:
         raise ValueError(f"particle capacity {n} not a multiple of 512")
-    c = pm.cell_coords(pos_flat, cfg)
+    c = pm.cell_coords(pos_flat, cfg) if coords is None else coords
     i0 = jnp.floor(c)
     f = c - i0
     i0 = i0.astype(jnp.int32)
@@ -379,7 +382,19 @@ def pm_gather_sorted(grids: jax.Array, key_s: jax.Array, frac_s: jax.Array,
 def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
              cfg: "P.PMConfig", *, interpret: bool = False) -> jax.Array:
     """f32[3, N] PM acceleration — sorted-kernel fast path (grid must be
-    128, N a multiple of 512). Traceable."""
+    128, N a multiple of 512). Traceable.
+
+    ``cfg.auto_box`` solves in cell units inside a traced cloud-tracking
+    box and rescales by 1/h^2 (see pm.pm_accel_ref)."""
+    if cfg.auto_box:
+        box_min, cell = pm.auto_box(pos_flat, n_active, cfg.grid)
+        c = pm.cell_coords_dyn(pos_flat, box_min, cell, cfg.grid)
+        key_s, idx_s, frac_s = pm_sort(pos_flat, n_active, cfg, coords=c)
+        rho = pm_deposit_sorted(key_s, frac_s, interpret=interpret)
+        grids = pm.solve_accel(rho, cfg, cfg.softening, cell_size=1.0)
+        acc = pm_gather_sorted(grids, key_s, frac_s, idx_s,
+                               interpret=interpret)
+        return (g_const / (cell * cell)) * acc
     key_s, idx_s, frac_s = pm_sort(pos_flat, n_active, cfg)
     rho = pm_deposit_sorted(key_s, frac_s, interpret=interpret)
     grids = pm.solve_accel(rho, cfg, cfg.softening)      # (3, G, G, G)
