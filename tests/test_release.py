@@ -68,3 +68,12 @@ def test_aot_export_cpu(tmp_path):
     pos, vel = exported.call(*args)
     assert pos.shape == args[0].shape
     jax.block_until_ready((pos, vel))
+
+
+def test_warm_kernels_cpu(tmp_path):
+    out = str(tmp_path / "dist")
+    dirs = release.warm_kernels(out, counts=[1024])
+    cache = dirs[0]
+    assert os.path.isdir(cache)
+    # the persistent cache actually captured compiled executables
+    assert any(os.scandir(cache)), "empty XLA cache after warm"
