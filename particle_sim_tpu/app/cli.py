@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default="checkpoint.npz")
     p.add_argument("--resume", default=None)
     p.add_argument("--stats-every", type=int, default=100)
+    p.add_argument("--diagnostics", action="store_true",
+                   help="include physics observables (energy, momentum, "
+                        "radius) in the periodic stats lines")
     return p
 
 
@@ -182,7 +185,11 @@ def main(argv=None) -> int:
             print(f"checkpointed -> {args.checkpoint}", file=sys.stderr)
 
         if args.stats_every and (i + 1) % args.stats_every == 0:
-            print(json.dumps({"step": i + 1, **engine.stats.snapshot()}))
+            line = {"step": i + 1, **engine.stats.snapshot()}
+            if args.diagnostics:
+                line.update(engine.diagnostics(
+                    potential=(args.pairwise or args.pm)).as_dict())
+            print(json.dumps(line))
 
     # final sync so the last step's cost is visible
     np.asarray(engine.state.pos.ravel()[0:1])

@@ -330,6 +330,21 @@ class Engine:
         self.state = self._generate_state(count)
         self.paused = was_paused
 
+    # -- diagnostics -----------------------------------------------------------
+    def diagnostics(self, potential: bool = False):
+        """Physics observables (ops/diagnostics.py): kinetic energy,
+        momentum, mean radius, max speed; ``potential=True`` adds the
+        gravitational potential (exact at small N, mesh estimate with a
+        PM config at large N)."""
+        from ..ops import diagnostics as diag
+
+        g = (self.pairwise.gravitational_constant if self.pairwise else 0.0)
+        eps = (self.pm.softening if self.pm
+               else self.pairwise.softening if self.pairwise else 2.0)
+        return diag.measure(
+            self.state.pos, self.state.vel, self.state.n_active,
+            g_const=g, softening=eps, pm_cfg=self.pm, potential=potential)
+
     # -- output ---------------------------------------------------------------
     def colors_rgba(self, params: Union[SimParams, np.ndarray]) -> np.ndarray:
         """float32[n_active, 4] current colors (compute.wgsl:74-93)."""

@@ -1,0 +1,136 @@
+"""Physics diagnostics: kinetic/potential energy, momentum, extent.
+
+The reference exposes only frame timing (SURVEY.md §5 observability); a
+simulation framework also needs physics observables — both for users
+(collapse virial ratios, drift monitoring) and as regression anchors
+(momentum conservation, bounded energy drift in tests).
+
+All functions are jitted reducers over the SoA planes; one scalar (or a
+handful) crosses to the host per call. Potential energy uses the direct
+pairwise sum at small N and the PM spectral solve at large N (the mesh
+potential is a few FFTs — the same cached kernels as the force solve).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import params as P
+from . import pm
+
+
+@dataclasses.dataclass(frozen=True)
+class Diagnostics:
+    kinetic: float            # 1/2 sum |v|^2 (unit masses)
+    potential: Optional[float]  # pairwise softened potential * G (None: off)
+    momentum: tuple           # sum v (3,)
+    mean_radius: float        # mean |x| over live particles
+    max_speed: float
+
+    def as_dict(self) -> dict:
+        return {
+            "kinetic": self.kinetic,
+            "potential": self.potential,
+            "total_energy": (None if self.potential is None
+                             else self.kinetic + self.potential),
+            "momentum": list(self.momentum),
+            "mean_radius": self.mean_radius,
+            "max_speed": self.max_speed,
+        }
+
+
+@jax.jit
+def _base_reductions(pos, vel, n_active):
+    flat_p = pos.reshape(3, -1)
+    flat_v = vel.reshape(3, -1)
+    n = flat_p.shape[1]
+    live = (jnp.arange(n, dtype=jnp.int32) < n_active).astype(jnp.float32)
+    count = jnp.maximum(n_active.astype(jnp.float32), 1.0)
+    kinetic = 0.5 * jnp.sum((flat_v * flat_v).sum(0) * live)
+    momentum = (flat_v * live[None]).sum(1)
+    radius = jnp.sqrt((flat_p * flat_p).sum(0))
+    mean_radius = jnp.sum(radius * live) / count
+    speed = jnp.sqrt((flat_v * flat_v).sum(0))
+    max_speed = jnp.max(speed * live)
+    return kinetic, momentum, mean_radius, max_speed
+
+
+def _potential_direct(pos_flat, n_active, g_const, softening):
+    """Exact softened pairwise potential: G * sum_{i<j} -1/sqrt(r^2+eps^2).
+    O(N^2) memory — small N only."""
+    n = pos_flat.shape[1]
+    live = (jnp.arange(n, dtype=jnp.int32) < n_active).astype(jnp.float32)
+    diff = pos_flat[:, None, :] - pos_flat[:, :, None]
+    r2 = (diff ** 2).sum(0) + softening * softening
+    inv = jax.lax.rsqrt(r2)
+    w = inv * live[None, :] * live[:, None]
+    # the diagonal contributes one 1/eps self-pair per live particle
+    total = w.sum() - n_active.astype(jnp.float32) / softening
+    return -0.5 * g_const * total
+
+
+_potential_direct_jit = jax.jit(_potential_direct)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _potential_pm(pos_flat, n_active, g_const, cfg: "P.PMConfig"):
+    """Mesh potential: E = G/2 * sum_i phi(x_i), phi from the spectral
+    solve's 'fd' kernel (one forward + one inverse FFT)."""
+    fd_cfg = dataclasses.replace(cfg, gradient="fd")
+    rho = pm.cic_deposit_ref(pos_flat, n_active, fd_cfg)
+    g = fd_cfg.grid
+    h = fd_cfg.cell_size
+    eps = float(fd_cfg.softening)
+    if fd_cfg.boundary == "isolated":
+        kern = pm._isolated_kernels_host(g, h, eps, "fd")[0]
+        rho_p = jnp.pad(rho, ((0, g), (0, g), (0, g)))
+        phi = jnp.fft.irfftn(jnp.fft.rfftn(rho_p) * jnp.asarray(kern),
+                             s=rho_p.shape)[:g, :g, :g]
+    else:
+        kern = pm._periodic_kernels_host(g, h, eps, "fd")[0]
+        phi = jnp.fft.irfftn(jnp.fft.rfftn(rho) * jnp.asarray(kern),
+                             s=rho.shape)
+    phi_i = pm.cic_gather_ref(phi.astype(jnp.float32)[None], pos_flat,
+                              fd_cfg)[0]
+    live = (jnp.arange(pos_flat.shape[1], dtype=jnp.int32)
+            < n_active).astype(jnp.float32)
+    # subtract each particle's self-energy (its own CIC cloud's potential
+    # is NOT just -1/eps on the mesh; the dominant constant term is the
+    # kernel's r=0 value spread over the particle's own cells)
+    self_phi = float(np.real(-1.0 / eps))
+    return 0.5 * g_const * ((phi_i * live).sum() - self_phi * n_active)
+
+
+def measure(pos, vel, n_active, *, g_const: float = 0.0,
+            softening: float = 2.0, pm_cfg: Optional["P.PMConfig"] = None,
+            potential: bool = False) -> Diagnostics:
+    """Compute diagnostics from (3, R, LANE) planes; host scalars out.
+
+    ``potential=True`` adds gravitational potential energy: the exact
+    pairwise sum when capacity <= 16384, the mesh estimate otherwise
+    (requires ``pm_cfg``; the mesh self-energy correction makes it an
+    ESTIMATE — good for drift tracking, not an absolute reference).
+    """
+    kinetic, momentum, mean_radius, max_speed = _base_reductions(
+        pos, vel, n_active)
+    pot = None
+    if potential and g_const != 0.0:
+        flat = pos.reshape(3, -1)
+        if flat.shape[1] <= 16384:
+            pot = float(_potential_direct_jit(flat, n_active, g_const,
+                                              softening))
+        elif pm_cfg is not None:
+            pot = float(_potential_pm(flat, n_active, g_const, pm_cfg))
+    return Diagnostics(
+        kinetic=float(kinetic),
+        potential=pot,
+        momentum=tuple(np.asarray(momentum).tolist()),
+        mean_radius=float(mean_radius),
+        max_speed=float(max_speed),
+    )
