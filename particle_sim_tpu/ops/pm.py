@@ -233,6 +233,22 @@ def solve_accel(rho: jax.Array, cfg: "P.PMConfig",
 # full reference pipeline
 # ---------------------------------------------------------------------------
 
+def momentum_clean(acc: jax.Array, n_active: jax.Array) -> jax.Array:
+    """Subtract the live-mean acceleration (zero it on padding).
+
+    The exact PM self-force sums to zero by the antisymmetry of the
+    kernel; what survives numerically is solver bias — most notably the
+    TPU FFT's systematic rounding along the rfft axis (~1e-3 relative,
+    x-only), which would otherwise pump momentum into the cloud every
+    step. Removing the mean restores conservation exactly.
+    """
+    n = acc.shape[1]
+    live = (jnp.arange(n, dtype=jnp.int32) < n_active).astype(jnp.float32)
+    count = jnp.maximum(n_active.astype(jnp.float32), 1.0)
+    mean = (acc * live[None]).sum(axis=1, keepdims=True) / count
+    return (acc - mean) * live[None]
+
+
 def pm_accel_ref(pos_flat: jax.Array, n_active: jax.Array, g_const,
                  softening, cfg: "P.PMConfig") -> jax.Array:
     """f32[3, N] PM acceleration — scatter/gather reference (any grid).
@@ -248,10 +264,12 @@ def pm_accel_ref(pos_flat: jax.Array, n_active: jax.Array, g_const,
         rho = cic_deposit_ref(pos_flat, n_active, cfg, coords=c)
         grids = solve_accel(rho, cfg, softening, cell_size=1.0)
         acc = cic_gather_ref(grids, pos_flat, cfg, coords=c)
+        acc = momentum_clean(acc, n_active)
         return (g_const / (cell * cell)) * acc
     rho = cic_deposit_ref(pos_flat, n_active, cfg)
     grids = solve_accel(rho, cfg, softening)
-    return g_const * cic_gather_ref(grids, pos_flat, cfg)
+    acc = momentum_clean(cic_gather_ref(grids, pos_flat, cfg), n_active)
+    return g_const * acc
 
 
 def step_pm_ref(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,

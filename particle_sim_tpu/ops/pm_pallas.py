@@ -163,7 +163,11 @@ def _gather_kernel(p_ref, key_ref, frac_ref, a_ref, out_ref):
     C = jax.lax.dot_general(
         a_ref[...], R, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)   # (3, LANE, chunk)
-    L = _lane_onehot(liota, x, fx, jnp.float32)
+    # L must carry the SAME bf16-rounded weight VALUES as the deposit's
+    # lane one-hot or the x-axis kick loses deposit/gather antisymmetry
+    # (a 0.4% weight mismatch compounds into a systematic x-momentum
+    # drift); cast back up for the f32 elementwise apply
+    L = _lane_onehot(liota, x, fx, jnp.bfloat16).astype(jnp.float32)
     g = (C * L[None]).sum(axis=1)             # (3, chunk)
 
     @pl.when(word < 0)
@@ -394,12 +398,13 @@ def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
         grids = pm.solve_accel(rho, cfg, cfg.softening, cell_size=1.0)
         acc = pm_gather_sorted(grids, key_s, frac_s, idx_s,
                                interpret=interpret)
+        acc = pm.momentum_clean(acc, n_active)
         return (g_const / (cell * cell)) * acc
     key_s, idx_s, frac_s = pm_sort(pos_flat, n_active, cfg)
     rho = pm_deposit_sorted(key_s, frac_s, interpret=interpret)
     grids = pm.solve_accel(rho, cfg, cfg.softening)      # (3, G, G, G)
     acc = pm_gather_sorted(grids, key_s, frac_s, idx_s, interpret=interpret)
-    return g_const * acc
+    return g_const * pm.momentum_clean(acc, n_active)
 
 
 def step_pm(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,

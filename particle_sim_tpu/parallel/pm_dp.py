@@ -69,10 +69,16 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
             rho = jax.lax.psum(rho, DP_AXIS)
             grids = pm.solve_accel(rho, cfg, cfg.softening)
             acc = pairv[0] * pm.cic_gather_ref(grids, flat, cfg)
-            # clamp-gathered padding particles see nonzero field; zero them
-            live = (jnp.arange(local_n, dtype=jnp.int32)
-                    < local_active).astype(jnp.float32)
-            acc = acc * live[None]
+
+        # global momentum clean (pm.momentum_clean with a psum'd mean):
+        # removes the solver's net-force bias (TPU FFT rfft-axis rounding)
+        # and zeroes clamp-gathered padding in one pass
+        live = (jnp.arange(local_n, dtype=jnp.int32)
+                < local_active).astype(jnp.float32)
+        local_sum = (acc * live[None]).sum(axis=1, keepdims=True)
+        global_sum = jax.lax.psum(local_sum, DP_AXIS)
+        count = jnp.maximum(n_active.astype(jnp.float32), 1.0)
+        acc = (acc - global_sum / count) * live[None]
 
         return physics.kick_and_step_planes(pos, vel, acc.reshape(shape),
                                             pv)

@@ -198,3 +198,21 @@ def test_parity_adversarial_distributions(case):
         assert np.abs(a).max() < bound
         return
     _compare(pos, n_act, rtol=0.03)
+
+
+def test_fast_path_momentum_isotropic():
+    """Momentum drift must be axis-isotropic float noise: the lane (x)
+    one-hot once used f32 weights against the deposit's bf16, producing a
+    systematic x-only momentum pump (caught live by examples/collapse.py
+    diagnostics)."""
+    pos_np = _cloud(4096, 9, radius=30.0)
+    st = psim.ParticleState.from_arrays(
+        pos_np, np.zeros_like(pos_np), np.zeros_like(pos_np))
+    flat = st.pos.reshape(3, -1)
+    acc = np.asarray(pm_pallas.pm_accel(flat, st.n_active, 1.0, CFG,
+                                        interpret=True))
+    net = np.abs(acc.sum(axis=1))
+    typical = np.linalg.norm(acc, axis=0).mean() * int(st.n_active)
+    assert (net < 2e-3 * typical).all(), f"net force {net} vs {typical}"
+    # no axis more than ~5x the others (isotropy of the residual noise)
+    assert net.max() < 5.0 * max(net.min(), 1e-7 * typical)
