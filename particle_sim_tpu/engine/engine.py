@@ -69,6 +69,7 @@ class Engine:
         generation_mode: SphereGeneration = SphereGeneration.HOLLOW,
         pairwise: Optional[PairwiseParams] = None,
         pm: Optional[PMConfig] = None,
+        masses: Optional[np.ndarray] = None,
         interpret: bool = False,
         substeps: int = 1,
         debug_checks: bool = False,
@@ -85,7 +86,13 @@ class Engine:
         while the softening is pm.softening (static). The PALLAS method
         uses the sorted CIC kernels when pm.grid == 128, the jnp
         reference otherwise; multi-chip uses the psum-grid step
-        (parallel/pm_dp.py)."""
+        (parallel/pm_dp.py).
+
+        ``masses``: f32[particle_count] per-particle SOURCE masses for
+        the gravity solvers (heavy central bodies, multi-species scenes;
+        the reference is unit-mass). Gravity is an acceleration field, so
+        only sources are scaled. Grown particles get mass 1. Not yet
+        supported together with ``mesh``."""
         self._interpret = interpret
         self.debug_checks = debug_checks
         self.mesh = mesh
@@ -110,7 +117,12 @@ class Engine:
         self.paused = False
         self.stats = FrameStats()
         self._jit_cache: dict = {}
+        if masses is not None and mesh is not None:
+            raise NotImplementedError("masses + mesh not supported yet")
         self.state = self._generate_state(particle_count)
+        self._masses = None
+        if masses is not None:
+            self.set_masses(masses)
 
     # -- construction helpers -------------------------------------------------
     @property
@@ -145,10 +157,44 @@ class Engine:
     def capacity(self) -> int:
         return self.state.capacity
 
+    # -- masses -----------------------------------------------------------------
+    @property
+    def masses(self) -> Optional[jax.Array]:
+        """f32[capacity] source masses, or None (unit masses)."""
+        return self._masses
+
+    def set_masses(self, masses) -> None:
+        """Set per-particle source masses (length = particle_count)."""
+        if self.mesh is not None:
+            raise NotImplementedError("masses + mesh not supported yet")
+        m = np.asarray(masses, dtype=np.float32).ravel()
+        if m.shape[0] != self.particle_count:
+            raise ValueError(
+                f"masses length {m.shape[0]} != count {self.particle_count}")
+        buf = np.ones((self.capacity,), np.float32)
+        buf[: m.shape[0]] = m
+        self._masses = jnp.asarray(buf)
+
+    def _masses_for_capacity(self) -> Optional[jax.Array]:
+        """Masses padded/truncated to the CURRENT capacity (resize-safe)."""
+        if self._masses is None:
+            return None
+        cap = self.capacity
+        cur = self._masses.shape[0]
+        if cur == cap:
+            return self._masses
+        if cur > cap:
+            self._masses = self._masses[:cap]
+        else:
+            self._masses = jnp.concatenate(
+                [self._masses, jnp.ones((cap - cur,), jnp.float32)])
+        return self._masses
+
     # -- stepping -------------------------------------------------------------
     def _step_fn(self):
         key = (self.method, self.pairwise is not None, self.substeps,
-               self._interpret, self.mesh is not None, self.pm)
+               self._interpret, self.mesh is not None, self.pm,
+               self._masses is not None)
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
@@ -172,14 +218,16 @@ class Engine:
                     return pstep(pos, vel, pv, pp, n)
             elif use_fast:
                 def one(pos, vel, pv, pp, n):
-                    return pm_pallas.step_pm_jit(pos, vel, pv, pp, n, cfg,
-                                                 interpret=interpret)
+                    return pm_pallas.step_pm_jit(
+                        pos, vel, pv, pp, n, cfg, interpret=interpret,
+                        masses=self._masses_for_capacity())
             else:
                 ref_jit = jax.jit(functools.partial(
                     pm_ref.step_pm_ref, cfg=cfg))
 
                 def one(pos, vel, pv, pp, n):
-                    return ref_jit(pos, vel, pv, pp, n)
+                    return ref_jit(pos, vel, pv, pp, n,
+                                   masses=self._masses_for_capacity())
 
             def fn(pos, vel, pv, pp, n):
                 for _ in range(substeps):
@@ -227,15 +275,17 @@ class Engine:
                 base = pairwise_jnp.step_pairwise
 
             @jax.jit
-            def one(pos, vel, pv, pp, n):
+            def one(pos, vel, pv, pp, n, masses=None):
                 if self.method == Method.PALLAS:
-                    return base(pos, vel, pv, pp, n, interpret=interpret)
-                return base(pos, vel, pv, pp, n)
+                    return base(pos, vel, pv, pp, n, masses=masses,
+                                interpret=interpret)
+                return base(pos, vel, pv, pp, n, masses=masses)
 
             def fn(pos, vel, pv, pp, n):
                 p, v = pos, vel
                 for _ in range(substeps):
-                    p, v = one(p, v, pv, pp, n)
+                    p, v = one(p, v, pv, pp, n,
+                               masses=self._masses_for_capacity())
                 return p, v
 
         self._jit_cache[key] = fn
@@ -343,7 +393,8 @@ class Engine:
                else self.pairwise.softening if self.pairwise else 2.0)
         return diag.measure(
             self.state.pos, self.state.vel, self.state.n_active,
-            g_const=g, softening=eps, pm_cfg=self.pm, potential=potential)
+            g_const=g, softening=eps, pm_cfg=self.pm, potential=potential,
+            masses=self._masses_for_capacity())
 
     # -- output ---------------------------------------------------------------
     def colors_rgba(self, params: Union[SimParams, np.ndarray]) -> np.ndarray:

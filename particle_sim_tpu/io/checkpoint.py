@@ -39,14 +39,17 @@ def save(path: str, engine: Engine, step_index: int = 0) -> None:
             if engine.pairwise else None),
         "pm": dataclasses.asdict(engine.pm) if engine.pm else None,
     }
-    np.savez_compressed(
-        path,
+    arrays = dict(
         positions=state.positions(),
         velocities=state.velocities(),
         init_colors=np.asarray(
             state.init_color.reshape(3, -1)[:, : engine.particle_count]).T,
         meta=json.dumps(meta),
     )
+    if engine.masses is not None:
+        arrays["masses"] = np.asarray(
+            engine.masses[: engine.particle_count])
+    np.savez_compressed(path, **arrays)
 
 
 def load(path: str, method: Optional[Method] = None,
@@ -61,6 +64,7 @@ def load(path: str, method: Optional[Method] = None,
         positions = z["positions"]
         velocities = z["velocities"]
         init_colors = z["init_colors"]
+        masses = z["masses"] if "masses" in z.files else None
 
     pair = meta.get("pairwise")
     pm_meta = meta.get("pm")
@@ -76,5 +80,7 @@ def load(path: str, method: Optional[Method] = None,
         substeps=meta.get("substeps", 1),
     )
     engine.state = ParticleState.from_arrays(positions, velocities, init_colors)
+    if masses is not None:
+        engine.set_masses(masses)
     engine.paused = bool(meta["paused"])
     return engine, int(meta["step_index"])

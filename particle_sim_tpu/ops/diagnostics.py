@@ -46,14 +46,15 @@ class Diagnostics:
 
 
 @jax.jit
-def _base_reductions(pos, vel, n_active):
+def _base_reductions(pos, vel, n_active, masses=None):
     flat_p = pos.reshape(3, -1)
     flat_v = vel.reshape(3, -1)
     n = flat_p.shape[1]
     live = (jnp.arange(n, dtype=jnp.int32) < n_active).astype(jnp.float32)
+    m = live if masses is None else live * masses
     count = jnp.maximum(n_active.astype(jnp.float32), 1.0)
-    kinetic = 0.5 * jnp.sum((flat_v * flat_v).sum(0) * live)
-    momentum = (flat_v * live[None]).sum(1)
+    kinetic = 0.5 * jnp.sum((flat_v * flat_v).sum(0) * m)
+    momentum = (flat_v * m[None]).sum(1)
     radius = jnp.sqrt((flat_p * flat_p).sum(0))
     mean_radius = jnp.sum(radius * live) / count
     speed = jnp.sqrt((flat_v * flat_v).sum(0))
@@ -61,17 +62,18 @@ def _base_reductions(pos, vel, n_active):
     return kinetic, momentum, mean_radius, max_speed
 
 
-def _potential_direct(pos_flat, n_active, g_const, softening):
-    """Exact softened pairwise potential: G * sum_{i<j} -1/sqrt(r^2+eps^2).
-    O(N^2) memory — small N only."""
+def _potential_direct(pos_flat, n_active, g_const, softening, masses=None):
+    """Exact softened pairwise potential:
+    G * sum_{i<j} -m_i m_j / sqrt(r^2+eps^2). O(N^2) memory — small N."""
     n = pos_flat.shape[1]
     live = (jnp.arange(n, dtype=jnp.int32) < n_active).astype(jnp.float32)
+    m = live if masses is None else live * masses
     diff = pos_flat[:, None, :] - pos_flat[:, :, None]
     r2 = (diff ** 2).sum(0) + softening * softening
     inv = jax.lax.rsqrt(r2)
-    w = inv * live[None, :] * live[:, None]
-    # the diagonal contributes one 1/eps self-pair per live particle
-    total = w.sum() - n_active.astype(jnp.float32) / softening
+    w = inv * m[None, :] * m[:, None]
+    # the diagonal contributes one m_i^2/eps self-pair per live particle
+    total = w.sum() - (m * m).sum() / softening
     return -0.5 * g_const * total
 
 
@@ -79,11 +81,12 @@ _potential_direct_jit = jax.jit(_potential_direct)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _potential_pm(pos_flat, n_active, g_const, cfg: "P.PMConfig"):
-    """Mesh potential: E = G/2 * sum_i phi(x_i), phi from the spectral
+def _potential_pm(pos_flat, n_active, g_const, cfg: "P.PMConfig",
+                  masses=None):
+    """Mesh potential: E = G/2 * sum_i m_i phi(x_i), phi from the spectral
     solve's 'fd' kernel (one forward + one inverse FFT)."""
     fd_cfg = dataclasses.replace(cfg, gradient="fd")
-    rho = pm.cic_deposit_ref(pos_flat, n_active, fd_cfg)
+    rho = pm.cic_deposit_ref(pos_flat, n_active, fd_cfg, masses=masses)
     g = fd_cfg.grid
     h = fd_cfg.cell_size
     eps = float(fd_cfg.softening)
@@ -100,16 +103,17 @@ def _potential_pm(pos_flat, n_active, g_const, cfg: "P.PMConfig"):
                               fd_cfg)[0]
     live = (jnp.arange(pos_flat.shape[1], dtype=jnp.int32)
             < n_active).astype(jnp.float32)
+    m = live if masses is None else live * masses
     # subtract each particle's self-energy (its own CIC cloud's potential
-    # is NOT just -1/eps on the mesh; the dominant constant term is the
+    # is NOT just -m/eps on the mesh; the dominant constant term is the
     # kernel's r=0 value spread over the particle's own cells)
     self_phi = float(np.real(-1.0 / eps))
-    return 0.5 * g_const * ((phi_i * live).sum() - self_phi * n_active)
+    return 0.5 * g_const * ((phi_i * m).sum() - self_phi * (m * m).sum())
 
 
 def measure(pos, vel, n_active, *, g_const: float = 0.0,
             softening: float = 2.0, pm_cfg: Optional["P.PMConfig"] = None,
-            potential: bool = False) -> Diagnostics:
+            potential: bool = False, masses=None) -> Diagnostics:
     """Compute diagnostics from (3, R, LANE) planes; host scalars out.
 
     ``potential=True`` adds gravitational potential energy: the exact
@@ -118,15 +122,16 @@ def measure(pos, vel, n_active, *, g_const: float = 0.0,
     ESTIMATE — good for drift tracking, not an absolute reference).
     """
     kinetic, momentum, mean_radius, max_speed = _base_reductions(
-        pos, vel, n_active)
+        pos, vel, n_active, masses)
     pot = None
     if potential and g_const != 0.0:
         flat = pos.reshape(3, -1)
         if flat.shape[1] <= 16384:
             pot = float(_potential_direct_jit(flat, n_active, g_const,
-                                              softening))
+                                              softening, masses))
         elif pm_cfg is not None:
-            pot = float(_potential_pm(flat, n_active, g_const, pm_cfg))
+            pot = float(_potential_pm(flat, n_active, g_const, pm_cfg,
+                                      masses))
     return Diagnostics(
         kinetic=float(kinetic),
         potential=pot,

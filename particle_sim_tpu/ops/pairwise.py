@@ -34,15 +34,22 @@ def pairwise_accel(
     n_active: jax.Array,   # i32 scalar
     g_const,               # scalar
     softening,             # scalar
+    masses=None,           # f32[N] source masses (None = unit)
 ) -> jax.Array:
-    """f32[3, N] accelerations; O(N^2) memory — oracle/small-N path."""
+    """f32[3, N] accelerations; O(N^2) memory — oracle/small-N path.
+
+    Gravity is an acceleration field: only SOURCE masses enter (the
+    receiver's mass cancels), so ``masses`` scales the j side only."""
     n = pos_flat.shape[1]
     diff = pos_flat[:, None, :] - pos_flat[:, :, None]   # [3, i=N, j=N]
     r2 = (diff ** 2).sum(axis=0) + softening * softening
     inv = jax.lax.rsqrt(r2)
     w = g_const * inv * inv * inv                         # [N, N]
     j_idx = jnp.arange(n, dtype=jnp.int32)
-    w = w * (j_idx[None, :] < n_active).astype(jnp.float32)
+    src_w = (j_idx < n_active).astype(jnp.float32)
+    if masses is not None:
+        src_w = src_w * masses
+    w = w * src_w[None, :]
     return jnp.einsum("ij,cij->ci", w, diff)
 
 
@@ -50,9 +57,11 @@ def step_pairwise(
     pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
     pair_vec: jax.Array,   # f32[2]: (G, softening) — PairwiseParams.pack()
     n_active: jax.Array,
+    masses=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One step with all-pairs + attractor + gravity on (3, R, LANE) planes."""
     flat = pos.reshape(3, -1)
-    acc = pairwise_accel(flat, n_active, pair_vec[0], pair_vec[1])
+    acc = pairwise_accel(flat, n_active, pair_vec[0], pair_vec[1],
+                         masses=masses)
     return physics.kick_and_step_planes(pos, vel, acc.reshape(pos.shape),
                                         param_vec)

@@ -117,11 +117,16 @@ def pairwise_accel(
     softening: float,
     *,
     j_base=0,              # global index of x_3xn's first column
+    masses=None,           # f32[Nj] source masses (None = unit)
     tile_i: int = DEFAULT_TILE_I,
     tile_j: int = DEFAULT_TILE_J,
     interpret: bool = False,
 ) -> jax.Array:
-    """f32[Ni, 3] accelerations from all sources. Traceable."""
+    """f32[Ni, 3] accelerations from all sources. Traceable.
+
+    ``masses`` folds into the per-source G*valid row — the O(N^2) kernel
+    is mass-free (gravity is an acceleration field; receiver mass
+    cancels)."""
     n_i = x_nx3.shape[0]
     n_j = x_3xn.shape[1]
     tile_i = _dividing_tile(n_i, tile_i)
@@ -133,7 +138,10 @@ def pairwise_accel(
     ]).reshape(1, 8)
     j_idx = jnp.arange(n_j, dtype=jnp.int32) + jnp.asarray(j_base, jnp.int32)
     g_valid = (jnp.asarray(g_const, jnp.float32)
-               * (j_idx < n_active).astype(jnp.float32)).reshape(1, n_j)
+               * (j_idx < n_active).astype(jnp.float32))
+    if masses is not None:
+        g_valid = g_valid * masses
+    g_valid = g_valid.reshape(1, n_j)
     call = _build(n_i, n_j, tile_i, tile_j, interpret)
     return call(scalars, x_nx3, x_3xn, g_valid)
 
@@ -263,13 +271,13 @@ def pairwise_accel_mxu(
 
 def step_pairwise(
     pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
-    pair_vec: jax.Array, n_active, *, interpret: bool = False,
+    pair_vec: jax.Array, n_active, *, masses=None, interpret: bool = False,
 ):
     """Pallas analog of ops.pairwise.step_pairwise on (3, R, LANE) planes."""
     from . import physics
 
     flat = pos.reshape(3, -1)
     acc = pairwise_accel(flat.T, flat, n_active, pair_vec[0], pair_vec[1],
-                         interpret=interpret)          # (N, 3)
+                         masses=masses, interpret=interpret)   # (N, 3)
     return physics.kick_and_step_planes(pos, vel, acc.T.reshape(pos.shape),
                                         param_vec)

@@ -89,15 +89,19 @@ _CORNERS = [(cz, cy, cx) for cz in (0, 1) for cy in (0, 1) for cx in (0, 1)]
 
 
 def cic_deposit_ref(pos_flat: jax.Array, n_active: jax.Array,
-                    cfg: "P.PMConfig", coords=None) -> jax.Array:
-    """f32[G, G, G] mass grid (unit masses) — XLA scatter-add reference.
+                    cfg: "P.PMConfig", coords=None,
+                    masses=None) -> jax.Array:
+    """f32[G, G, G] mass grid — XLA scatter-add reference.
 
-    ``coords`` overrides the cell coords (auto-box path)."""
+    ``coords`` overrides the cell coords (auto-box path); ``masses``
+    f32[N] overrides the unit masses."""
     g = cfg.grid
     n = pos_flat.shape[1]
     c = cell_coords(pos_flat, cfg) if coords is None else coords
     i0, f = cic_weights(c)
     m = (jnp.arange(n, dtype=jnp.int32) < n_active).astype(jnp.float32)
+    if masses is not None:
+        m = m * masses
     rho = jnp.zeros((g, g, g), jnp.float32)
     for cz, cy, cx in _CORNERS:
         w = (m
@@ -233,24 +237,28 @@ def solve_accel(rho: jax.Array, cfg: "P.PMConfig",
 # full reference pipeline
 # ---------------------------------------------------------------------------
 
-def momentum_clean(acc: jax.Array, n_active: jax.Array) -> jax.Array:
-    """Subtract the live-mean acceleration (zero it on padding).
+def momentum_clean(acc: jax.Array, n_active: jax.Array,
+                   masses=None) -> jax.Array:
+    """Subtract the live mass-weighted mean acceleration (zero padding).
 
-    The exact PM self-force sums to zero by the antisymmetry of the
-    kernel; what survives numerically is solver bias — most notably the
-    TPU FFT's systematic rounding along the rfft axis (~1e-3 relative,
-    x-only), which would otherwise pump momentum into the cloud every
-    step. Removing the mean restores conservation exactly.
+    The exact PM self-force sums (mass-weighted) to zero by the
+    antisymmetry of the kernel; what survives numerically is solver bias
+    — most notably the TPU FFT's systematic rounding along the rfft axis
+    (~1e-3 relative, x-only), which would otherwise pump momentum into
+    the cloud every step. Removing the weighted mean restores
+    conservation exactly: net momentum change = sum_i m_i (a_i - mean)
+    = 0 when mean = sum m_i a_i / sum m_i.
     """
     n = acc.shape[1]
     live = (jnp.arange(n, dtype=jnp.int32) < n_active).astype(jnp.float32)
-    count = jnp.maximum(n_active.astype(jnp.float32), 1.0)
-    mean = (acc * live[None]).sum(axis=1, keepdims=True) / count
+    w = live if masses is None else live * masses
+    count = jnp.maximum(w.sum(), 1e-12)
+    mean = (acc * w[None]).sum(axis=1, keepdims=True) / count
     return (acc - mean) * live[None]
 
 
 def pm_accel_ref(pos_flat: jax.Array, n_active: jax.Array, g_const,
-                 softening, cfg: "P.PMConfig") -> jax.Array:
+                 softening, cfg: "P.PMConfig", masses=None) -> jax.Array:
     """f32[3, N] PM acceleration — scatter/gather reference (any grid).
 
     With ``cfg.auto_box`` the box is a traced cube tracking the cloud and
@@ -261,20 +269,22 @@ def pm_accel_ref(pos_flat: jax.Array, n_active: jax.Array, g_const,
     if cfg.auto_box:
         box_min, cell = auto_box(pos_flat, n_active, cfg.grid)
         c = cell_coords_dyn(pos_flat, box_min, cell, cfg.grid)
-        rho = cic_deposit_ref(pos_flat, n_active, cfg, coords=c)
+        rho = cic_deposit_ref(pos_flat, n_active, cfg, coords=c,
+                              masses=masses)
         grids = solve_accel(rho, cfg, softening, cell_size=1.0)
         acc = cic_gather_ref(grids, pos_flat, cfg, coords=c)
-        acc = momentum_clean(acc, n_active)
+        acc = momentum_clean(acc, n_active, masses)
         return (g_const / (cell * cell)) * acc
-    rho = cic_deposit_ref(pos_flat, n_active, cfg)
+    rho = cic_deposit_ref(pos_flat, n_active, cfg, masses=masses)
     grids = solve_accel(rho, cfg, softening)
-    acc = momentum_clean(cic_gather_ref(grids, pos_flat, cfg), n_active)
+    acc = momentum_clean(cic_gather_ref(grids, pos_flat, cfg), n_active,
+                         masses)
     return g_const * acc
 
 
 def step_pm_ref(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
                 pair_vec: jax.Array, n_active: jax.Array,
-                cfg: "P.PMConfig") -> Tuple[jax.Array, jax.Array]:
+                cfg: "P.PMConfig", masses=None) -> Tuple[jax.Array, jax.Array]:
     """One frame: PM self-gravity + the reference's attractor step, on
     (3, R, LANE) planes. Same integrator contract as step_pairwise
     (ops/pairwise.py:49): accelerations accumulate into velocity first,
@@ -284,6 +294,7 @@ def step_pm_ref(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
     FFT); pair_vec[0] (G_const) stays traced.
     """
     flat = pos.reshape(3, -1)
-    acc = pm_accel_ref(flat, n_active, pair_vec[0], cfg.softening, cfg)
+    acc = pm_accel_ref(flat, n_active, pair_vec[0], cfg.softening, cfg,
+                       masses=masses)
     return physics.kick_and_step_planes(pos, vel, acc.reshape(pos.shape),
                                         param_vec)

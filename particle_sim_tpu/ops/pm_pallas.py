@@ -126,18 +126,18 @@ def _unpack_fracs(fq):
     return fx, fy, fz
 
 
-def _deposit_kernel(p_ref, key_ref, frac_ref, out_ref):
-    i = pl.program_id(0)
-    word = p_ref[i]
+def _deposit_body(word, key, frac, out_ref, mass=None):
     t = (word >> _S_BITS) & _T_MASK
-    key = key_ref[...]                        # (1, chunk) i32 cell ids
     row = key >> 7
     x = key & (LANE - 1)
-    fx, fy, fz = _unpack_fracs(frac_ref[...])
+    fx, fy, fz = _unpack_fracs(frac)
     # bf16 one-hots, f32 accumulation: 4x MXU rate; the CIC weights round
     # identically here and in the gather (same f32 fracs, same cast), so
     # deposit/gather stay symmetric (momentum conservation holds)
     R, liota = _corner_onehots(row - t * T_ROWS, fy, fz, jnp.bfloat16)
+    if mass is not None:
+        # per-particle mass scales the row factor (bf16 columns)
+        R = R * mass.astype(jnp.bfloat16)
     L = _lane_onehot(liota, x, fx, jnp.bfloat16)
     dep = jax.lax.dot_general(
         R, L, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -148,6 +148,17 @@ def _deposit_kernel(p_ref, key_ref, frac_ref, out_ref):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     out_ref[...] += dep[None]
+
+
+def _deposit_kernel(p_ref, key_ref, frac_ref, out_ref):
+    i = pl.program_id(0)
+    _deposit_body(p_ref[i], key_ref[...], frac_ref[...], out_ref)
+
+
+def _deposit_kernel_mass(p_ref, key_ref, frac_ref, mass_ref, out_ref):
+    i = pl.program_id(0)
+    _deposit_body(p_ref[i], key_ref[...], frac_ref[...], out_ref,
+                  mass=mass_ref[...])
 
 
 def _gather_kernel(p_ref, key_ref, frac_ref, a_ref, out_ref):
@@ -178,23 +189,29 @@ def _gather_kernel(p_ref, key_ref, frac_ref, a_ref, out_ref):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_deposit(chunk: int, c_max: int, interpret: bool):
+def _build_deposit(chunk: int, c_max: int, interpret: bool,
+                   has_mass: bool = False):
+    in_specs = [
+        pl.BlockSpec((1, chunk), lambda i, p: (0, p[i] & _S_MASK),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, chunk), lambda i, p: (0, p[i] & _S_MASK),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_mass:
+        in_specs.append(
+            pl.BlockSpec((1, chunk), lambda i, p: (0, p[i] & _S_MASK),
+                         memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,   # packed (tile | slice | first) words
         grid=(c_max,),
-        in_specs=[
-            pl.BlockSpec((1, chunk), lambda i, p: (0, p[i] & _S_MASK),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda i, p: (0, p[i] & _S_MASK),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, T_ROWS, LANE),
             lambda i, p: ((p[i] >> _S_BITS) & _T_MASK, 0, 0),
             memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _deposit_kernel,
+        _deposit_kernel_mass if has_mass else _deposit_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N_TILES + 1, T_ROWS, LANE),
                                        jnp.float32),
@@ -322,14 +339,15 @@ def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
 # ---------------------------------------------------------------------------
 
 def pm_sort(pos_flat: jax.Array, n_active: jax.Array,
-            cfg: "P.PMConfig", coords=None
-            ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(key_s, idx_s, frac_s): particles grouped by cell id.
+            cfg: "P.PMConfig", coords=None, masses=None
+            ) -> tuple:
+    """(key_s, idx_s, frac_s, mass_s): particles grouped by cell id.
 
     key_s i32[N] sorted cell ids (inactive -> SENTINEL, at the end);
     idx_s i32[N] carried original indices; frac_s i32[N] packed
-    10-bit-per-axis CIC fractions (_unpack_fracs). ``coords`` overrides
-    the cell coords (auto-box path).
+    10-bit-per-axis CIC fractions (_unpack_fracs); mass_s f32[N] sorted
+    masses (None when ``masses`` is None). ``coords`` overrides the cell
+    coords (auto-box path).
     """
     if cfg.grid != GRID:
         raise ValueError(f"fast path requires grid={GRID}, got {cfg.grid}")
@@ -349,19 +367,28 @@ def pm_sort(pos_flat: jax.Array, n_active: jax.Array,
     packed = fq[0] | (fq[1] << _FQ_BITS) | (fq[2] << (2 * _FQ_BITS))
     idx = jnp.arange(n, dtype=jnp.int32)
     key = jnp.where(idx < n_active, key, SENTINEL)
+    if masses is not None:
+        key_s, idx_s, fq_s, m_s = jax.lax.sort(
+            (key, idx, packed, masses), num_keys=1)
+        return key_s, idx_s, fq_s, m_s
     key_s, idx_s, fq_s = jax.lax.sort((key, idx, packed), num_keys=1)
-    return key_s, idx_s, fq_s
+    return key_s, idx_s, fq_s, None
 
 
 def pm_deposit_sorted(key_s: jax.Array, frac_s: jax.Array,
-                      *, interpret: bool = False,
+                      mass_s=None, *, interpret: bool = False,
                       chunk: int = 0) -> jax.Array:
     """f32[G, G, G] mass grid from cell-sorted particles."""
     n = key_s.shape[0]
     chunk = chunk or pick_chunk(n)
     pairs, c_max_d = _deposit_table(key_s, n, chunk)
-    dep = _build_deposit(chunk, c_max_d, interpret)
-    tiles = dep(pairs, key_s.reshape(1, -1), frac_s.reshape(1, -1))
+    dep = _build_deposit(chunk, c_max_d, interpret,
+                         has_mass=mass_s is not None)
+    if mass_s is not None:
+        tiles = dep(pairs, key_s.reshape(1, -1), frac_s.reshape(1, -1),
+                    mass_s.reshape(1, -1))
+    else:
+        tiles = dep(pairs, key_s.reshape(1, -1), frac_s.reshape(1, -1))
     return tiles[:N_TILES].reshape(GRID, GRID, GRID)
 
 
@@ -384,42 +411,49 @@ def pm_gather_sorted(grids: jax.Array, key_s: jax.Array, frac_s: jax.Array,
 
 
 def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
-             cfg: "P.PMConfig", *, interpret: bool = False) -> jax.Array:
+             cfg: "P.PMConfig", *, masses=None,
+             interpret: bool = False) -> jax.Array:
     """f32[3, N] PM acceleration — sorted-kernel fast path (grid must be
     128, N a multiple of 512). Traceable.
 
     ``cfg.auto_box`` solves in cell units inside a traced cloud-tracking
-    box and rescales by 1/h^2 (see pm.pm_accel_ref)."""
+    box and rescales by 1/h^2 (see pm.pm_accel_ref). ``masses`` f32[N]
+    scales the deposit (sources); receivers are mass-free (acceleration
+    field)."""
     if cfg.auto_box:
         box_min, cell = pm.auto_box(pos_flat, n_active, cfg.grid)
         c = pm.cell_coords_dyn(pos_flat, box_min, cell, cfg.grid)
-        key_s, idx_s, frac_s = pm_sort(pos_flat, n_active, cfg, coords=c)
-        rho = pm_deposit_sorted(key_s, frac_s, interpret=interpret)
+        key_s, idx_s, frac_s, mass_s = pm_sort(pos_flat, n_active, cfg,
+                                               coords=c, masses=masses)
+        rho = pm_deposit_sorted(key_s, frac_s, mass_s, interpret=interpret)
         grids = pm.solve_accel(rho, cfg, cfg.softening, cell_size=1.0)
         acc = pm_gather_sorted(grids, key_s, frac_s, idx_s,
                                interpret=interpret)
-        acc = pm.momentum_clean(acc, n_active)
+        acc = pm.momentum_clean(acc, n_active, masses)
         return (g_const / (cell * cell)) * acc
-    key_s, idx_s, frac_s = pm_sort(pos_flat, n_active, cfg)
-    rho = pm_deposit_sorted(key_s, frac_s, interpret=interpret)
+    key_s, idx_s, frac_s, mass_s = pm_sort(pos_flat, n_active, cfg,
+                                           masses=masses)
+    rho = pm_deposit_sorted(key_s, frac_s, mass_s, interpret=interpret)
     grids = pm.solve_accel(rho, cfg, cfg.softening)      # (3, G, G, G)
     acc = pm_gather_sorted(grids, key_s, frac_s, idx_s, interpret=interpret)
-    return g_const * pm.momentum_clean(acc, n_active)
+    return g_const * pm.momentum_clean(acc, n_active, masses)
 
 
 def step_pm(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
             pair_vec: jax.Array, n_active: jax.Array, cfg: "P.PMConfig",
-            *, interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+            *, masses=None,
+            interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """One frame: PM self-gravity (fast path) + attractor step, on
     (3, R, LANE) planes — same contract as pm.step_pm_ref."""
     flat = pos.reshape(3, -1)
-    acc = pm_accel(flat, n_active, pair_vec[0], cfg, interpret=interpret)
+    acc = pm_accel(flat, n_active, pair_vec[0], cfg, masses=masses,
+                   interpret=interpret)
     return physics.kick_and_step_planes(pos, vel, acc.reshape(pos.shape),
                                         param_vec)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def step_pm_jit(pos, vel, param_vec, pair_vec, n_active, cfg,
-                interpret: bool = False):
+                interpret: bool = False, masses=None):
     return step_pm(pos, vel, param_vec, pair_vec, n_active, cfg,
-                   interpret=interpret)
+                   masses=masses, interpret=interpret)

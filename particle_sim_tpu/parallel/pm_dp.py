@@ -57,7 +57,8 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
         flat = pos.reshape(3, -1)
 
         if use_pallas:
-            key_s, idx_s, frac_s = pm_pallas.pm_sort(flat, local_active, cfg)
+            key_s, idx_s, frac_s, _ = pm_pallas.pm_sort(flat, local_active,
+                                                        cfg)
             rho = pm_pallas.pm_deposit_sorted(key_s, frac_s,
                                               interpret=interpret)
             rho = jax.lax.psum(rho, DP_AXIS)

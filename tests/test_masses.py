@@ -1,0 +1,139 @@
+"""Per-particle source masses across the force paths (heavy central
+bodies, multi-species scenes — the reference is unit-mass)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import particle_sim_tpu as psim
+from particle_sim_tpu.core.params import Method, PairwiseParams, PMConfig
+from particle_sim_tpu.engine import Engine
+from particle_sim_tpu.ops import pairwise, pairwise_pallas, pm, pm_pallas
+
+
+def _two_body(m_heavy=1000.0, dist=20.0):
+    x = np.array([[0, 0, 0], [dist, 0, 0]], np.float32)
+    masses = np.array([m_heavy, 1.0], np.float32)
+    return x, masses
+
+
+def test_direct_accel_unequal_masses():
+    eps, g, dist = 1.0, 2.0, 20.0
+    x, masses = _two_body(dist=dist)
+    flat = jnp.asarray(x.T)
+    a = np.asarray(pairwise.pairwise_accel(
+        flat, jnp.asarray(2, jnp.int32), g, eps, masses=jnp.asarray(masses)))
+    denom = (dist * dist + eps * eps) ** 1.5
+    # light particle pulled by the heavy source, heavy barely moves
+    assert a[0, 1] == pytest.approx(-g * 1000.0 * dist / denom, rel=1e-4)
+    assert a[0, 0] == pytest.approx(g * 1.0 * dist / denom, rel=1e-4)
+
+
+def test_pallas_direct_matches_oracle_with_masses():
+    rng = np.random.default_rng(0)
+    x = (40 * rng.random((1024, 3)) - 20).astype(np.float32)
+    masses = (0.1 + 5 * rng.random(1024)).astype(np.float32)
+    st = psim.ParticleState.from_arrays(x, np.zeros_like(x),
+                                        np.zeros_like(x))
+    flat = st.pos.reshape(3, -1)
+    m_pad = np.ones((st.capacity,), np.float32)
+    m_pad[:1024] = masses
+    m_dev = jnp.asarray(m_pad)
+    a_oracle = np.asarray(pairwise.pairwise_accel(
+        flat, st.n_active, 1.0, 0.5, masses=m_dev))
+    a_fast = np.asarray(pairwise_pallas.pairwise_accel(
+        flat.T, flat, st.n_active, 1.0, 0.5, masses=m_dev,
+        interpret=True)).T
+    np.testing.assert_allclose(a_fast[:, :1024], a_oracle[:, :1024],
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_pm_heavy_center_matches_direct():
+    """A heavy central mass + light cloud: PM forces track the direct sum."""
+    rng = np.random.default_rng(1)
+    n = 2048
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    x *= (10.0 + 30.0 * rng.random(n).astype(np.float32))[:, None]
+    x[0] = 0.0  # the heavy center
+    masses = np.ones(n, np.float32)
+    masses[0] = 500.0
+    st = psim.ParticleState.from_arrays(x, np.zeros_like(x),
+                                        np.zeros_like(x))
+    flat = st.pos.reshape(3, -1)
+    m_pad = np.ones((st.capacity,), np.float32)
+    m_pad[:n] = masses
+    m_dev = jnp.asarray(m_pad)
+    cfg = PMConfig(softening=5.0)
+    a_pm = np.asarray(pm.pm_accel_ref(flat, st.n_active, 1.0, cfg.softening,
+                                      cfg, masses=m_dev))
+    a_fast = np.asarray(pm_pallas.pm_accel(flat, st.n_active, 1.0, cfg,
+                                           masses=m_dev, interpret=True))
+    a_direct = np.asarray(pairwise.pairwise_accel(
+        flat, st.n_active, 1.0, cfg.softening, masses=m_dev))
+    err = np.linalg.norm(a_pm[:, :n] - a_direct[:, :n], axis=0)
+    scale = np.linalg.norm(a_direct[:, :n], axis=0).mean()
+    assert np.sqrt((err ** 2).mean()) / scale < 0.06
+    scale_f = np.abs(a_pm[:, :n]).max()
+    np.testing.assert_allclose(a_fast[:, :n], a_pm[:, :n],
+                               atol=0.03 * scale_f)
+
+
+def test_engine_kepler_orbit():
+    """Light particle on a circular Kepler orbit around a heavy center:
+    radius stays ~constant over a quarter period."""
+    g, m_heavy, r = 1.0, 2000.0, 20.0
+    eps = 0.1
+    v_circ = np.sqrt(g * m_heavy * r * r / (r * r + eps * eps) ** 1.5)
+    x = np.array([[0, 0, 0], [r, 0, 0]], np.float32)
+    v = np.array([[0, 0, 0], [0, v_circ, 0]], np.float32)
+    e = Engine(particle_count=2, method=Method.JNP,
+               pairwise=PairwiseParams(g, eps),
+               masses=np.array([m_heavy, 1.0], np.float32))
+    e.state = psim.ParticleState.from_arrays(x, v, np.zeros_like(x))
+    params = psim.SimParams(delta_time=0.002, damping=1.0)
+    for _ in range(300):
+        e.step(params)
+    pos = e.state.positions()
+    r_end = np.linalg.norm(pos[1] - pos[0])
+    assert r_end == pytest.approx(r, rel=0.05)
+    # the heavy center barely moved
+    assert np.linalg.norm(pos[0]) < 0.3
+
+
+def test_engine_masses_resize_and_checkpoint(tmp_path):
+    from particle_sim_tpu.io import checkpoint as ckpt
+
+    e = Engine(particle_count=700, method=Method.JNP,
+               pairwise=PairwiseParams(1.0, 2.0),
+               masses=np.full(700, 2.5, np.float32))
+    e.resize(900)  # appended particles get mass 1
+    m = np.asarray(e._masses_for_capacity())
+    assert m.shape[0] == e.capacity
+    assert m[:700].max() == pytest.approx(2.5)
+    assert m[700:900].max() == pytest.approx(1.0)
+    e.step(psim.SimParams(delta_time=0.01))
+
+    path = str(tmp_path / "m.npz")
+    ckpt.save(path, e, step_index=3)
+    e2, _ = ckpt.load(path)
+    assert e2.masses is not None
+    np.testing.assert_allclose(np.asarray(e2.masses[:700]), 2.5)
+    e2.step(psim.SimParams(delta_time=0.01))
+
+
+def test_diagnostics_with_masses():
+    from particle_sim_tpu.ops import diagnostics as diag
+
+    x = np.array([[0, 0, 0], [10, 0, 0]], np.float32)
+    v = np.array([[1, 0, 0], [0, 2, 0]], np.float32)
+    masses = np.array([4.0, 1.0], np.float32)
+    st = psim.ParticleState.from_arrays(x, v, np.zeros_like(x))
+    m_pad = np.ones((st.capacity,), np.float32)
+    m_pad[:2] = masses
+    d = diag.measure(st.pos, st.vel, st.n_active, g_const=1.0,
+                     softening=1.0, potential=True,
+                     masses=jnp.asarray(m_pad))
+    assert d.kinetic == pytest.approx(0.5 * (4 * 1 + 1 * 4), rel=1e-5)
+    np.testing.assert_allclose(d.momentum, [4.0, 2.0, 0.0], atol=1e-5)
+    assert d.potential == pytest.approx(-4.0 / np.sqrt(101.0), rel=1e-5)

@@ -119,7 +119,7 @@ def test_parity_chunk_1024():
     st = psim.ParticleState.from_arrays(
         pos_np, np.zeros_like(pos_np), np.zeros_like(pos_np), capacity=4096)
     flat = st.pos.reshape(3, -1)
-    key_s, idx_s, frac_s = pm_pallas.pm_sort(flat, st.n_active, CFG)
+    key_s, idx_s, frac_s, _ = pm_pallas.pm_sort(flat, st.n_active, CFG)
     rho_512 = pm_pallas.pm_deposit_sorted(key_s, frac_s, interpret=True,
                                           chunk=512)
     rho_1024 = pm_pallas.pm_deposit_sorted(key_s, frac_s, interpret=True,
@@ -186,7 +186,7 @@ def test_parity_adversarial_distributions(case):
         # (perfect cancellation), which bf16 acceleration tiles cannot
         # reproduce below ~0.4% of the LOCAL field. Check mass exactness
         # and that the residual stays at bf16 scale.
-        key_s, idx_s, frac_s = pm_pallas.pm_sort(pos, n_act, CFG)
+        key_s, idx_s, frac_s, _ = pm_pallas.pm_sort(pos, n_act, CFG)
         rho = pm_pallas.pm_deposit_sorted(key_s, frac_s, interpret=True)
         # identical fracs for every particle -> the bf16 weight rounding
         # all biases the same way (no averaging): mass exact to ~0.5%

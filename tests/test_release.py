@@ -71,9 +71,23 @@ def test_aot_export_cpu(tmp_path):
 
 
 def test_warm_kernels_cpu(tmp_path):
+    # fresh interpreter: the persistent-cache dir binds at first use, so an
+    # in-process run after other tests may silently keep their dir
+    import subprocess
+    import sys
+
     out = str(tmp_path / "dist")
-    dirs = release.warm_kernels(out, counts=[1024])
-    cache = dirs[0]
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from particle_sim_tpu.app import release\n"
+        f"release.warm_kernels({out!r}, counts=[1024])\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+                         env=env, capture_output=True, text=True,
+                         timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    cache = os.path.join(out, "xla-cache")
     assert os.path.isdir(cache)
     # the persistent cache actually captured compiled executables
     assert any(os.scandir(cache)), "empty XLA cache after warm"
