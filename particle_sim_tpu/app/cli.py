@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pairwise", action="store_true")
     p.add_argument("--pairwise-g", type=float, default=1.0)
     p.add_argument("--pairwise-softening", type=float, default=0.5)
+    p.add_argument("--central-mass", type=float, default=0.0,
+                   help="give particle 0 this source mass (heavy central "
+                        "body for --pairwise/--pm runs)")
     # particle-mesh solver (O(N) self-gravity; implies --pairwise physics)
     p.add_argument("--pm", action="store_true",
                    help="solve the pairwise gravity with the particle-mesh "
@@ -148,6 +151,10 @@ def main(argv=None) -> int:
             substeps=args.substeps,
             mesh=mesh,
         )
+        if args.central_mass > 0.0:
+            m = np.ones(engine.particle_count, np.float32)
+            m[0] = args.central_mass
+            engine.set_masses(m)
 
     camera = Camera(aspect=args.width / args.height)
     if args.render_every:
