@@ -22,21 +22,23 @@ import numpy as np
 
 
 def make_disk(n: int, m_center: float, g: float, eps: float,
-              r_in: float = 8.0, r_out: float = 45.0, seed: int = 7):
+              r_in: float = 8.0, r_out: float = 45.0, seed: int = 7,
+              disk_mass_fraction: float = 0.1):
     rng = np.random.default_rng(seed)
     r = np.sqrt(rng.uniform(r_in ** 2, r_out ** 2, n)).astype(np.float32)
     th = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
     z = rng.normal(scale=0.5, size=n).astype(np.float32)
     pos = np.stack([r * np.cos(th), z, r * np.sin(th)], axis=1)
-    # circular speed for the softened central force (disk self-gravity is
-    # a perturbation at mass ratio ~n/m_center)
+    # circular speed for the softened central force; the total DISK mass
+    # is capped at disk_mass_fraction * m_center (per-particle mass
+    # m_center*frac/n) so self-gravity really is a perturbation
     v_circ = np.sqrt(g * m_center * r * r / (r * r + eps * eps) ** 1.5)
     vel = np.stack([-v_circ * np.sin(th), np.zeros_like(z),
                     v_circ * np.cos(th)], axis=1).astype(np.float32)
     # center body at rest at the origin
     pos = np.concatenate([np.zeros((1, 3), np.float32), pos])
     vel = np.concatenate([np.zeros((1, 3), np.float32), vel])
-    masses = np.ones(n + 1, np.float32)
+    masses = np.full(n + 1, disk_mass_fraction * m_center / n, np.float32)
     masses[0] = m_center
     return pos, vel, masses
 
@@ -64,18 +66,18 @@ def main() -> int:
 
     pos, vel, masses = make_disk(args.count, args.central_mass, args.g,
                                  args.softening)
+    # tiny placeholder count: the generated sphere is replaced immediately
     engine = Engine(
-        particle_count=len(pos),
+        particle_count=1,
         pairwise=PairwiseParams(args.g, args.softening),
         pm=PMConfig(softening=args.softening),
-        masses=masses,
     )
     engine.state = psim.ParticleState.from_arrays(
         pos, vel, np.full_like(pos, 0.6))
+    engine.set_masses(masses)
     params = psim.SimParams(delta_time=args.dt, color_mode=1, damping=1.0)
-    import numpy as _np
     camera = Camera(aspect=16 / 9,
-                    position=_np.array([0.0, 60.0, 90.0]), pitch=-0.6)
+                    position=np.array([0.0, 60.0, 90.0]), pitch=-0.6)
     if args.out:
         os.makedirs(args.out, exist_ok=True)
 

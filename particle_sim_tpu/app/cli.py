@@ -151,10 +151,12 @@ def main(argv=None) -> int:
             substeps=args.substeps,
             mesh=mesh,
         )
-        if args.central_mass > 0.0:
-            m = np.ones(engine.particle_count, np.float32)
-            m[0] = args.central_mass
-            engine.set_masses(m)
+
+    if args.central_mass > 0.0:
+        # applies to fresh AND resumed runs (overrides checkpoint masses)
+        m = np.ones(engine.particle_count, np.float32)
+        m[0] = args.central_mass
+        engine.set_masses(m)
 
     camera = Camera(aspect=args.width / args.height)
     if args.render_every:
@@ -194,8 +196,13 @@ def main(argv=None) -> int:
         if args.stats_every and (i + 1) % args.stats_every == 0:
             line = {"step": i + 1, **engine.stats.snapshot()}
             if args.diagnostics:
-                line.update(engine.diagnostics(
-                    potential=(args.pairwise or args.pm)).as_dict())
+                d = engine.diagnostics(potential=(args.pairwise or args.pm))
+                if ((args.pairwise or args.pm) and d.potential is None
+                        and i + 1 <= args.stats_every):
+                    print("note: potential unavailable (N too large for "
+                          "the direct sum and no PM config — use --pm)",
+                          file=sys.stderr)
+                line.update(d.as_dict())
             print(json.dumps(line))
 
     # final sync so the last step's cost is visible

@@ -47,8 +47,10 @@ def save(path: str, engine: Engine, step_index: int = 0) -> None:
         meta=json.dumps(meta),
     )
     if engine.masses is not None:
+        # _masses_for_capacity repads after resizes; the raw buffer can be
+        # stale (shorter than the current count) right after a grow
         arrays["masses"] = np.asarray(
-            engine.masses[: engine.particle_count])
+            engine._masses_for_capacity()[: engine.particle_count])
     np.savez_compressed(path, **arrays)
 
 

@@ -84,11 +84,21 @@ _potential_direct_jit = jax.jit(_potential_direct)
 def _potential_pm(pos_flat, n_active, g_const, cfg: "P.PMConfig",
                   masses=None):
     """Mesh potential: E = G/2 * sum_i m_i phi(x_i), phi from the spectral
-    solve's 'fd' kernel (one forward + one inverse FFT)."""
+    solve's 'fd' kernel (one forward + one inverse FFT).
+
+    Honors ``cfg.auto_box`` (solve in cell units on the traced box, eps in
+    cells, rescale by 1/h — phi ~ 1/r)."""
     fd_cfg = dataclasses.replace(cfg, gradient="fd")
-    rho = pm.cic_deposit_ref(pos_flat, n_active, fd_cfg, masses=masses)
+    coords = None
+    scale = 1.0
+    if fd_cfg.auto_box:
+        box_min, cell = pm.auto_box(pos_flat, n_active, fd_cfg.grid)
+        coords = pm.cell_coords_dyn(pos_flat, box_min, cell, fd_cfg.grid)
+        scale = 1.0 / cell
+    rho = pm.cic_deposit_ref(pos_flat, n_active, fd_cfg, coords=coords,
+                             masses=masses)
     g = fd_cfg.grid
-    h = fd_cfg.cell_size
+    h = 1.0 if fd_cfg.auto_box else fd_cfg.cell_size
     eps = float(fd_cfg.softening)
     if fd_cfg.boundary == "isolated":
         kern = pm._isolated_kernels_host(g, h, eps, "fd")[0]
@@ -100,15 +110,16 @@ def _potential_pm(pos_flat, n_active, g_const, cfg: "P.PMConfig",
         phi = jnp.fft.irfftn(jnp.fft.rfftn(rho) * jnp.asarray(kern),
                              s=rho.shape)
     phi_i = pm.cic_gather_ref(phi.astype(jnp.float32)[None], pos_flat,
-                              fd_cfg)[0]
+                              fd_cfg, coords=coords)[0]
     live = (jnp.arange(pos_flat.shape[1], dtype=jnp.int32)
             < n_active).astype(jnp.float32)
     m = live if masses is None else live * masses
     # subtract each particle's self-energy (its own CIC cloud's potential
     # is NOT just -m/eps on the mesh; the dominant constant term is the
     # kernel's r=0 value spread over the particle's own cells)
-    self_phi = float(np.real(-1.0 / eps))
-    return 0.5 * g_const * ((phi_i * m).sum() - self_phi * (m * m).sum())
+    self_phi = -1.0 / eps
+    return (0.5 * g_const * scale
+            * ((phi_i * m).sum() - self_phi * (m * m).sum()))
 
 
 def measure(pos, vel, n_active, *, g_const: float = 0.0,
@@ -117,18 +128,29 @@ def measure(pos, vel, n_active, *, g_const: float = 0.0,
     """Compute diagnostics from (3, R, LANE) planes; host scalars out.
 
     ``potential=True`` adds gravitational potential energy: the exact
-    pairwise sum when capacity <= 16384, the mesh estimate otherwise
-    (requires ``pm_cfg``; the mesh self-energy correction makes it an
-    ESTIMATE — good for drift tracking, not an absolute reference).
+    pairwise sum when n_active <= 12288 (O(N^2) memory), the mesh
+    estimate otherwise (requires ``pm_cfg``; the mesh self-energy
+    correction makes it an ESTIMATE — good for drift tracking, not an
+    absolute reference). When neither applies, ``potential`` stays None.
+    With an auto-box pm_cfg, ``softening``/pm softening are in CELL
+    units; both paths convert via the current traced cell size.
     """
     kinetic, momentum, mean_radius, max_speed = _base_reductions(
         pos, vel, n_active, masses)
     pot = None
     if potential and g_const != 0.0:
         flat = pos.reshape(3, -1)
-        if flat.shape[1] <= 16384:
-            pot = float(_potential_direct_jit(flat, n_active, g_const,
-                                              softening, masses))
+        n = int(n_active)
+        if n <= 12288:
+            eps = softening
+            if pm_cfg is not None and pm_cfg.auto_box:
+                # pm softening is in cell units under auto_box
+                _, cell = pm.auto_box(flat, n_active, pm_cfg.grid)
+                eps = pm_cfg.softening * float(cell)
+            k = min(flat.shape[1], -(-max(n, 1) // 1024) * 1024)
+            pot = float(_potential_direct_jit(
+                flat[:, :k], jnp.minimum(n_active, k), g_const, eps,
+                None if masses is None else masses[:k]))
         elif pm_cfg is not None:
             pot = float(_potential_pm(flat, n_active, g_const, pm_cfg,
                                       masses))

@@ -48,6 +48,10 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
     GLOBAL active count (replicated scalar). ``use_pallas`` selects the
     sorted-kernel CIC path (TPU) over the XLA scatter/gather reference.
     """
+    if cfg.auto_box:
+        raise NotImplementedError(
+            "auto_box + mesh not supported yet (the traced box must be "
+            "computed from GLOBAL extents before the local deposits)")
 
     def local_step(pos, vel, pv, pairv, n_active):
         shape = pos.shape

@@ -96,3 +96,24 @@ def test_cli_diagnostics_line(capsys):
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     stat = next(l for l in lines if l.get("step") == 2)
     assert "kinetic" in stat and stat["total_energy"] is not None
+
+
+def test_auto_box_potential_uses_traced_box():
+    """Potential diagnostics honor auto_box: a small off-center cloud gets
+    the same answer as the direct sum with the equivalent physical eps."""
+    rng = np.random.default_rng(4)
+    n = 2000
+    x = (rng.normal(size=(n, 3)) * 4.0 + np.float32([30, -10, 25])
+         ).astype(np.float32)
+    st = psim.ParticleState.from_arrays(x, np.zeros_like(x),
+                                        np.zeros_like(x))
+    flat = st.pos.reshape(3, -1)
+    cfg = PMConfig(softening=6.0, auto_box=True)
+    from particle_sim_tpu.ops import pm
+
+    _, cell = pm.auto_box(flat, st.n_active, cfg.grid)
+    eps_phys = cfg.softening * float(cell)
+    exact = float(diag._potential_direct_jit(flat, st.n_active, 1.0,
+                                             eps_phys))
+    mesh = float(diag._potential_pm(flat, st.n_active, 1.0, cfg))
+    assert mesh == pytest.approx(exact, rel=0.1), (exact, mesh)

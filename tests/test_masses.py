@@ -137,3 +137,21 @@ def test_diagnostics_with_masses():
     assert d.kinetic == pytest.approx(0.5 * (4 * 1 + 1 * 4), rel=1e-5)
     np.testing.assert_allclose(d.momentum, [4.0, 2.0, 0.0], atol=1e-5)
     assert d.potential == pytest.approx(-4.0 / np.sqrt(101.0), rel=1e-5)
+
+
+def test_checkpoint_after_grow_is_loadable(tmp_path):
+    """Regression: save() right after a grow-resize used the stale raw
+    masses buffer, producing a truncated (unloadable) checkpoint."""
+    from particle_sim_tpu.io import checkpoint as ckpt
+
+    e = Engine(particle_count=700, method=Method.JNP,
+               pairwise=PairwiseParams(1.0, 2.0),
+               masses=np.full(700, 3.0, np.float32))
+    e.resize(5000)  # grow WITHOUT stepping first
+    path = str(tmp_path / "grown.npz")
+    ckpt.save(path, e, step_index=1)
+    e2, _ = ckpt.load(path)
+    assert e2.particle_count == 5000
+    m = np.asarray(e2.masses[:5000])
+    assert m[:700].max() == pytest.approx(3.0)
+    assert m[700:].max() == pytest.approx(1.0)

@@ -83,7 +83,8 @@ def test_warm_kernels_cpu(tmp_path):
         f"release.warm_kernels({out!r}, counts=[1024])\n"
     )
     env = dict(os.environ, JAX_PLATFORMS="cpu")
-    res = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run([sys.executable, "-c", code], cwd=repo_root,
                          env=env, capture_output=True, text=True,
                          timeout=300)
     assert res.returncode == 0, res.stderr[-2000:]
