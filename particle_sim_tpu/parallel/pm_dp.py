@@ -48,11 +48,6 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
     GLOBAL active count (replicated scalar). ``use_pallas`` selects the
     sorted-kernel CIC path (TPU) over the XLA scatter/gather reference.
     """
-    if cfg.auto_box:
-        raise NotImplementedError(
-            "auto_box + mesh not supported yet (the traced box must be "
-            "computed from GLOBAL extents before the local deposits)")
-
     def local_step(pos, vel, pv, pairv, n_active):
         shape = pos.shape
         local_n = shape[1] * shape[2]
@@ -60,20 +55,44 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
         local_active = jnp.clip(n_active - my_idx * local_n, 0, local_n)
         flat = pos.reshape(3, -1)
 
+        coords = None
+        g_scale = pairv[0]
+        cell_size = None
+        if cfg.auto_box:
+            # global traced box: local extents -> pmin/pmax over dp, then
+            # the same cubic-box math as pm.auto_box (cell units solve,
+            # 1/h^2 rescale — see pm.pm_accel_ref)
+            live = (jnp.arange(local_n, dtype=jnp.int32)
+                    < local_active)[None]
+            big = jnp.float32(3.0e38)
+            lo = jax.lax.pmin(
+                jnp.min(jnp.where(live, flat, big), axis=1), DP_AXIS)
+            hi = jax.lax.pmax(
+                jnp.max(jnp.where(live, flat, -big), axis=1), DP_AXIS)
+            size = jnp.maximum(jnp.max(hi - lo) * 1.1, 1e-3)
+            box_min = (0.5 * (lo + hi) - 0.5 * size).reshape(3, 1)
+            cell = size / cfg.grid
+            coords = pm.cell_coords_dyn(flat, box_min, cell, cfg.grid)
+            g_scale = pairv[0] / (cell * cell)
+            cell_size = 1.0
+
         if use_pallas:
             key_s, idx_s, frac_s, _ = pm_pallas.pm_sort(flat, local_active,
-                                                        cfg)
+                                                        cfg, coords=coords)
             rho = pm_pallas.pm_deposit_sorted(key_s, frac_s,
                                               interpret=interpret)
             rho = jax.lax.psum(rho, DP_AXIS)
-            grids = pm.solve_accel(rho, cfg, cfg.softening)
-            acc = pairv[0] * pm_pallas.pm_gather_sorted(
+            grids = pm.solve_accel(rho, cfg, cfg.softening,
+                                   cell_size=cell_size)
+            acc = g_scale * pm_pallas.pm_gather_sorted(
                 grids, key_s, frac_s, idx_s, interpret=interpret)
         else:
-            rho = pm.cic_deposit_ref(flat, local_active, cfg)
+            rho = pm.cic_deposit_ref(flat, local_active, cfg, coords=coords)
             rho = jax.lax.psum(rho, DP_AXIS)
-            grids = pm.solve_accel(rho, cfg, cfg.softening)
-            acc = pairv[0] * pm.cic_gather_ref(grids, flat, cfg)
+            grids = pm.solve_accel(rho, cfg, cfg.softening,
+                                   cell_size=cell_size)
+            acc = g_scale * pm.cic_gather_ref(grids, flat, cfg,
+                                              coords=coords)
 
         # global momentum clean (pm.momentum_clean with a psum'd mean):
         # removes the solver's net-force bias (TPU FFT rfft-axis rounding)

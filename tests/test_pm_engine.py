@@ -135,3 +135,33 @@ def test_mesh_pm_pallas_interpret_matches_ref():
     np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_r), atol=1e-2)
     np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_r),
                                atol=max(0.02 * scale, 2e-3))
+
+
+def test_mesh_pm_auto_box_matches_single_device():
+    """Global traced box (pmin/pmax) == single-device auto-box solve."""
+    from particle_sim_tpu.parallel import mesh as mesh_lib, pm_dp
+    from particle_sim_tpu.ops import pm
+
+    mesh = mesh_lib.make_mesh()
+    n_dev = mesh.devices.size
+    n = n_dev * 8 * 128
+    rng = np.random.default_rng(8)
+    pos = (rng.normal(size=(n, 3)) * 5.0
+           + np.float32([20, -15, 30])).astype(np.float32)
+    st = psim.ParticleState.from_arrays(pos, np.zeros_like(pos),
+                                        np.zeros_like(pos),
+                                        row_multiple=8 * n_dev)
+    cfg = PMConfig(softening=6.0, auto_box=True)
+    pv = jnp.asarray(psim.SimParams(delta_time=0.016).pack())
+    pp = jnp.asarray(PairwiseParams(1.0, cfg.softening).pack())
+    pos_sh, vel_sh = mesh_lib.shard_state_planes(mesh, st.pos, st.vel)
+    step = pm_dp.make_pm_step(mesh, cfg, use_pallas=False)
+    p_mesh, v_mesh = step(pos_sh, vel_sh, pv, pp, st.n_active)
+    p_ref, v_ref = pm.step_pm_ref(jnp.array(st.pos), jnp.array(st.vel),
+                                  pv, pp, st.n_active, cfg)
+
+    def active(x):
+        return np.asarray(x).reshape(3, -1)[:, :n]
+
+    np.testing.assert_allclose(active(p_mesh), active(p_ref), atol=1e-2)
+    np.testing.assert_allclose(active(v_mesh), active(v_ref), atol=1e-2)
