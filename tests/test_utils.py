@@ -80,3 +80,34 @@ class TestProfiling:
                 jnp.asarray(SimParams().pack())))
         files = list(tmp_path.rglob("*"))
         assert files  # trace artifacts written
+
+
+class TestBinSearch:
+    def test_matches_searchsorted(self):
+        import jax.numpy as jnp
+        from particle_sim_tpu.utils.search import bin_search
+
+        rng = np.random.default_rng(0)
+        arr = np.sort(rng.integers(0, 1000, 513)).astype(np.int32)
+        probes = np.concatenate([
+            rng.integers(-5, 1005, 257),
+            arr[::7],            # exact hits
+            [-1, 0, 999, 1000, 2000],  # beyond-the-ends probes
+        ]).astype(np.int32)
+        n_iters = max(len(arr), 2).bit_length() + 1
+        for side, right in (("left", False), ("right", True)):
+            got = np.asarray(bin_search(jnp.asarray(arr),
+                                        jnp.asarray(probes), right, n_iters))
+            want = np.searchsorted(arr, probes, side=side)
+            np.testing.assert_array_equal(got, want)
+
+    def test_extra_iterations_stay_converged(self):
+        """Regression: probes beyond every element used to overshoot past
+        n by one per extra iteration (double chunk-table rows)."""
+        import jax.numpy as jnp
+        from particle_sim_tpu.utils.search import bin_search
+
+        arr = jnp.asarray(np.arange(100, dtype=np.int32))
+        probes = jnp.asarray(np.int32([500, 99, 100]))
+        got = np.asarray(bin_search(arr, probes, False, n_iters=40))
+        np.testing.assert_array_equal(got, [100, 99, 100])
