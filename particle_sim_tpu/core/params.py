@@ -135,7 +135,11 @@ class PMConfig:
                follows a collapsing/drifting cloud). ``softening`` is then
                in CELL units (the physical eps = softening * cell_size
                shrinks as the cloud does — adaptive softening), because
-               the cached kernel FFTs must be box-independent.
+               the cached kernel FFTs must be box-independent. Caveat:
+               adaptive softening changes the energy budget through deep
+               collapses (the well deepens as the box zooms in, so cores
+               can sling-shot) — use the static box (and a dt resolving
+               eps/max_speed) for strict energy studies.
     """
 
     grid: int = 128
