@@ -103,8 +103,7 @@ def _potential_pm(pos_flat, n_active, g_const, cfg: "P.PMConfig",
     if fd_cfg.boundary == "isolated":
         kern = pm._isolated_kernels_host(g, h, eps, "fd")[0]
         rho_p = jnp.pad(rho, ((0, g), (0, g), (0, g)))
-        phi = jnp.fft.irfftn(jnp.fft.rfftn(rho_p) * jnp.asarray(kern),
-                             s=rho_p.shape)[:g, :g, :g]
+        phi = pm._irfftn_octant(jnp.fft.rfftn(rho_p) * jnp.asarray(kern), g)
     else:
         kern = pm._periodic_kernels_host(g, h, eps, "fd")[0]
         phi = jnp.fft.irfftn(jnp.fft.rfftn(rho) * jnp.asarray(kern),

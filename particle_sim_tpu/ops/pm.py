@@ -177,6 +177,20 @@ def _periodic_kernels_host(grid: int, h: float, eps: float,
                  for kc in (kx, ky, kz))
 
 
+def _irfftn_octant(spec: jax.Array, g: int) -> jax.Array:
+    """Inverse 3D rfft of a (2g, 2g, g+1) half-spectrum, keeping only the
+    physical first-octant (g, g, g) output.
+
+    The inverse is separable, so each axis can be sliced to its needed
+    half as soon as it returns to the spatial domain — the remaining axes
+    then transform half/quarter as much data (~40% cheaper than a full
+    ``irfftn`` + slice; the Hockney solve only ever reads the octant).
+    """
+    x = jnp.fft.ifft(spec, axis=0)[:g]                    # z spatial
+    x = jnp.fft.ifft(x, axis=1)[:, :g]                    # y spatial
+    return jnp.fft.irfft(x, n=2 * g, axis=2)[:, :, :g]    # x spatial (c2r)
+
+
 def _fd_gradient(phi: jax.Array, h: float) -> jax.Array:
     """-grad(phi) via 4th-order central differences; f32[3, G, G, G].
 
@@ -210,12 +224,11 @@ def solve_accel(rho: jax.Array, cfg: "P.PMConfig",
         rho_p = jnp.pad(rho, ((0, g), (0, g), (0, g)))
         rho_hat = jnp.fft.rfftn(rho_p)
         if cfg.gradient == "fd":
-            phi = jnp.fft.irfftn(rho_hat * jnp.asarray(kernels[0]),
-                                 s=rho_p.shape)[:g, :g, :g]
+            phi = _irfftn_octant(rho_hat * jnp.asarray(kernels[0]), g)
             return _fd_gradient(phi.astype(jnp.float32), h)
         return jnp.stack([
-            jnp.fft.irfftn(rho_hat * jnp.asarray(k_hat),
-                           s=rho_p.shape)[:g, :g, :g].astype(jnp.float32)
+            _irfftn_octant(rho_hat * jnp.asarray(k_hat), g)
+            .astype(jnp.float32)
             for k_hat in kernels
         ])
     elif cfg.boundary == "periodic":
