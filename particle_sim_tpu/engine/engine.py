@@ -91,8 +91,9 @@ class Engine:
         ``masses``: f32[particle_count] per-particle SOURCE masses for
         the gravity solvers (heavy central bodies, multi-species scenes;
         the reference is unit-mass). Gravity is an acceleration field, so
-        only sources are scaled. Grown particles get mass 1. Not yet
-        supported together with ``mesh``."""
+        only sources are scaled. Grown particles get mass 1. With a
+        ``mesh``, the mass array is row-sharded alongside the state
+        (the ring rotates it with the position shards)."""
         self._interpret = interpret
         self.debug_checks = debug_checks
         self.mesh = mesh
@@ -117,8 +118,6 @@ class Engine:
         self.paused = False
         self.stats = FrameStats()
         self._jit_cache: dict = {}
-        if masses is not None and mesh is not None:
-            raise NotImplementedError("masses + mesh not supported yet")
         self.state = self._generate_state(particle_count)
         self._masses = None
         if masses is not None:
@@ -165,15 +164,22 @@ class Engine:
 
     def set_masses(self, masses) -> None:
         """Set per-particle source masses (length = particle_count)."""
-        if self.mesh is not None:
-            raise NotImplementedError("masses + mesh not supported yet")
         m = np.asarray(masses, dtype=np.float32).ravel()
         if m.shape[0] != self.particle_count:
             raise ValueError(
                 f"masses length {m.shape[0]} != count {self.particle_count}")
         buf = np.ones((self.capacity,), np.float32)
         buf[: m.shape[0]] = m
-        self._masses = jnp.asarray(buf)
+        self._masses = self._place_masses(jnp.asarray(buf))
+
+    def _place_masses(self, m: jax.Array) -> jax.Array:
+        if self.mesh is None:
+            return m
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.mesh import DP_AXIS
+
+        return jax.device_put(
+            m, NamedSharding(self.mesh, PartitionSpec(DP_AXIS)))
 
     def _masses_for_capacity(self) -> Optional[jax.Array]:
         """Masses padded/truncated to the CURRENT capacity (resize-safe)."""
@@ -184,10 +190,10 @@ class Engine:
         if cur == cap:
             return self._masses
         if cur > cap:
-            self._masses = self._masses[:cap]
+            self._masses = self._place_masses(self._masses[:cap])
         else:
-            self._masses = jnp.concatenate(
-                [self._masses, jnp.ones((cap - cur,), jnp.float32)])
+            self._masses = self._place_masses(jnp.concatenate(
+                [self._masses, jnp.ones((cap - cur,), jnp.float32)]))
         return self._masses
 
     # -- stepping -------------------------------------------------------------
@@ -212,10 +218,14 @@ class Engine:
                 from ..parallel import pm_dp
 
                 pstep = pm_dp.make_pm_step(
-                    self.mesh, cfg, use_pallas=use_fast, interpret=interpret)
+                    self.mesh, cfg, use_pallas=use_fast, interpret=interpret,
+                    with_masses=self._masses is not None)
 
                 def one(pos, vel, pv, pp, n):
-                    return pstep(pos, vel, pv, pp, n)
+                    if self._masses is None:
+                        return pstep(pos, vel, pv, pp, n)
+                    return pstep(pos, vel, pv, pp, n,
+                                 self._masses_for_capacity())
             elif use_fast:
                 def one(pos, vel, pv, pp, n):
                     return pm_pallas.step_pm_jit(
@@ -250,11 +260,16 @@ class Engine:
                     return sharded(pos, vel, pv)
             else:
                 rstep = ring.make_ring_pairwise_step(
-                    self.mesh, interpret=interpret, use_pallas=use_pallas)
+                    self.mesh, interpret=interpret, use_pallas=use_pallas,
+                    with_masses=self._masses is not None)
 
                 def fn(pos, vel, pv, pp, n):
                     for _ in range(substeps):
-                        pos, vel = rstep(pos, vel, pv, pp, n)
+                        if self._masses is None:
+                            pos, vel = rstep(pos, vel, pv, pp, n)
+                        else:
+                            pos, vel = rstep(pos, vel, pv, pp, n,
+                                             self._masses_for_capacity())
                     return pos, vel
 
             self._jit_cache[key] = fn

@@ -41,14 +41,17 @@ def _plane_spec() -> P:
 
 
 def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
-                 interpret: bool = False):
-    """Jitted (pos, vel, param_vec, pair_vec, n_active) -> (pos, vel).
+                 interpret: bool = False, with_masses: bool = False):
+    """Jitted (pos, vel, param_vec, pair_vec, n_active[, masses])
+    -> (pos, vel).
 
     pos/vel are (3, R, LANE) planes row-sharded over dp; n_active is the
     GLOBAL active count (replicated scalar). ``use_pallas`` selects the
     sorted-kernel CIC path (TPU) over the XLA scatter/gather reference.
+    With ``with_masses``, a row-sharded f32[capacity] source-mass array
+    scales the local deposits (the grid psum makes it global).
     """
-    def local_step(pos, vel, pv, pairv, n_active):
+    def local_step(pos, vel, pv, pairv, n_active, masses=None):
         shape = pos.shape
         local_n = shape[1] * shape[2]
         my_idx = jax.lax.axis_index(DP_AXIS)
@@ -77,9 +80,9 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
             cell_size = 1.0
 
         if use_pallas:
-            key_s, idx_s, frac_s, _ = pm_pallas.pm_sort(flat, local_active,
-                                                        cfg, coords=coords)
-            rho = pm_pallas.pm_deposit_sorted(key_s, frac_s,
+            key_s, idx_s, frac_s, mass_s = pm_pallas.pm_sort(
+                flat, local_active, cfg, coords=coords, masses=masses)
+            rho = pm_pallas.pm_deposit_sorted(key_s, frac_s, mass_s,
                                               interpret=interpret)
             rho = jax.lax.psum(rho, DP_AXIS)
             grids = pm.solve_accel(rho, cfg, cfg.softening,
@@ -87,7 +90,8 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
             acc = g_scale * pm_pallas.pm_gather_sorted(
                 grids, key_s, frac_s, idx_s, interpret=interpret)
         else:
-            rho = pm.cic_deposit_ref(flat, local_active, cfg, coords=coords)
+            rho = pm.cic_deposit_ref(flat, local_active, cfg, coords=coords,
+                                     masses=masses)
             rho = jax.lax.psum(rho, DP_AXIS)
             grids = pm.solve_accel(rho, cfg, cfg.softening,
                                    cell_size=cell_size)
@@ -99,19 +103,30 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
         # and zeroes clamp-gathered padding in one pass
         live = (jnp.arange(local_n, dtype=jnp.int32)
                 < local_active).astype(jnp.float32)
-        local_sum = (acc * live[None]).sum(axis=1, keepdims=True)
+        w = live if masses is None else live * masses
+        local_sum = (acc * w[None]).sum(axis=1, keepdims=True)
         global_sum = jax.lax.psum(local_sum, DP_AXIS)
-        count = jnp.maximum(n_active.astype(jnp.float32), 1.0)
+        count = jnp.maximum(jax.lax.psum(w.sum(), DP_AXIS), 1e-12)
         acc = (acc - global_sum / count) * live[None]
 
         return physics.kick_and_step_planes(pos, vel, acc.reshape(shape),
                                             pv)
 
-    sharded = shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(_plane_spec(), _plane_spec(), P(), P(), P()),
-        out_specs=(_plane_spec(), _plane_spec()),
-        check_vma=False,
-    )
+    if with_masses:
+        sharded = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(_plane_spec(), _plane_spec(), P(), P(), P(),
+                      P(DP_AXIS)),
+            out_specs=(_plane_spec(), _plane_spec()),
+            check_vma=False,
+        )
+    else:
+        sharded = shard_map(
+            lambda pos, vel, pv, pairv, n: local_step(pos, vel, pv, pairv, n),
+            mesh=mesh,
+            in_specs=(_plane_spec(), _plane_spec(), P(), P(), P()),
+            out_specs=(_plane_spec(), _plane_spec()),
+            check_vma=False,
+        )
     return jax.jit(sharded, donate_argnums=(0, 1))

@@ -41,15 +41,20 @@ def _plane_spec() -> P:
 
 
 def make_ring_pairwise_step(mesh: Mesh, *, interpret: bool = False,
-                            use_pallas: bool = True):
-    """Jitted (pos, vel, param_vec, pair_vec, n_active) -> (pos, vel).
+                            use_pallas: bool = True,
+                            with_masses: bool = False):
+    """Jitted (pos, vel, param_vec, pair_vec, n_active[, masses])
+    -> (pos, vel).
 
     pos/vel are (3, R, LANE) planes row-sharded over dp; n_active is the
-    GLOBAL active count (replicated scalar).
+    GLOBAL active count (replicated scalar). With ``with_masses``, a
+    row-sharded f32[capacity] source-mass array rotates around the ring
+    alongside the position shards (sources scale the force; receivers are
+    mass-free — gravity is an acceleration field).
     """
     n_dev = mesh.devices.size
 
-    def local_step(pos, vel, pv, pairv, n_active):
+    def local_step(pos, vel, pv, pairv, n_active, masses=None):
         # pos: local shard (3, R/n_dev, LANE)
         shape = pos.shape
         local_n = shape[1] * shape[2]
@@ -57,41 +62,57 @@ def make_ring_pairwise_step(mesh: Mesh, *, interpret: bool = False,
         flat = pos.reshape(3, -1)             # (3, local_n)
         xi = flat.T                           # (local_n, 3) — fixed i-shard
 
-        def accel_vs(j_buf, j_base):
+        def accel_vs(j_buf, j_base, m_buf):
             if use_pallas:
                 return pairwise_pallas.pairwise_accel(
                     xi, j_buf, n_active, pairv[0], pairv[1],
-                    j_base=j_base, interpret=interpret)
+                    j_base=j_base, masses=m_buf, interpret=interpret)
             diff = j_buf[:, None, :] - flat[:, :, None]   # (3, i, j)
             r2 = (diff ** 2).sum(0) + pairv[1] * pairv[1]
             inv = jax.lax.rsqrt(r2)
             w = pairv[0] * inv * inv * inv
             col = jnp.arange(local_n, dtype=jnp.float32)[None, :] + j_base
             w = w * (col < n_active.astype(jnp.float32)).astype(jnp.float32)
+            if m_buf is not None:
+                w = w * m_buf[None, :]
             return jnp.einsum("ij,cij->ic", w, diff)      # (i, 3)
 
         perm = [(d, (d - 1) % n_dev) for d in range(n_dev)]
 
         def body(k, carry):
-            acc, j_buf = carry
+            acc, j_buf, m_buf = carry
             src_shard = (my_idx + k) % n_dev
             j_base = (src_shard * local_n).astype(jnp.float32)
-            acc = acc + accel_vs(j_buf, j_base)
+            acc = acc + accel_vs(
+                j_buf, j_base, None if masses is None else m_buf)
             j_buf = jax.lax.ppermute(j_buf, DP_AXIS, perm)
-            return acc, j_buf
+            if masses is not None:
+                m_buf = jax.lax.ppermute(m_buf, DP_AXIS, perm)
+            return acc, j_buf, m_buf
 
         acc0 = jnp.zeros((local_n, 3), jnp.float32)
-        acc, _ = jax.lax.fori_loop(0, n_dev, body, (acc0, flat))
+        m0 = jnp.zeros((local_n,), jnp.float32) if masses is None else masses
+        acc, _, _ = jax.lax.fori_loop(0, n_dev, body, (acc0, flat, m0))
 
         # integrate with the reference's contract (forces -> pos -> damping)
         return physics.kick_and_step_planes(pos, vel, acc.T.reshape(shape),
                                             pv)
 
-    sharded = shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(_plane_spec(), _plane_spec(), P(), P(), P()),
-        out_specs=(_plane_spec(), _plane_spec()),
-        check_vma=False,
-    )
+    if with_masses:
+        sharded = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(_plane_spec(), _plane_spec(), P(), P(), P(),
+                      P(DP_AXIS)),
+            out_specs=(_plane_spec(), _plane_spec()),
+            check_vma=False,
+        )
+    else:
+        sharded = shard_map(
+            lambda pos, vel, pv, pairv, n: local_step(pos, vel, pv, pairv, n),
+            mesh=mesh,
+            in_specs=(_plane_spec(), _plane_spec(), P(), P(), P()),
+            out_specs=(_plane_spec(), _plane_spec()),
+            check_vma=False,
+        )
     return jax.jit(sharded, donate_argnums=(0, 1))

@@ -155,3 +155,62 @@ def test_checkpoint_after_grow_is_loadable(tmp_path):
     m = np.asarray(e2.masses[:5000])
     assert m[:700].max() == pytest.approx(3.0)
     assert m[700:].max() == pytest.approx(1.0)
+
+
+def test_mesh_masses_pm_and_ring_match_single_device():
+    """Row-sharded masses: psum-grid PM and the mass-rotating ring both
+    reproduce the single-device steps."""
+    import jax
+
+    from particle_sim_tpu.parallel import mesh as mesh_lib, pm_dp, ring
+    from particle_sim_tpu.ops import pairwise as pw
+
+    mesh = mesh_lib.make_mesh()
+    n_dev = mesh.devices.size
+    n = n_dev * 8 * 128
+    rng = np.random.default_rng(3)
+    pos = (rng.normal(size=(n, 3)) * 12.0).astype(np.float32)
+    masses_np = (0.2 + 3 * rng.random(n)).astype(np.float32)
+    st = psim.ParticleState.from_arrays(pos, np.zeros_like(pos),
+                                        np.zeros_like(pos),
+                                        row_multiple=8 * n_dev)
+    m_pad = np.ones((st.capacity,), np.float32)
+    m_pad[:n] = masses_np
+    m_dev = jnp.asarray(m_pad)
+    cfg = PMConfig(softening=5.0)
+    pv = jnp.asarray(psim.SimParams(delta_time=0.01).pack())
+    pp = jnp.asarray(PairwiseParams(1.0, cfg.softening).pack())
+    pos_sh, vel_sh = mesh_lib.shard_state_planes(mesh, st.pos, st.vel)
+
+    def active(x):
+        return np.asarray(x).reshape(3, -1)[:, :n]
+
+    # PM with masses
+    step = pm_dp.make_pm_step(mesh, cfg, use_pallas=False, with_masses=True)
+    p_m, v_m = step(pos_sh, vel_sh, pv, pp, st.n_active, m_dev)
+    p_r, v_r = pm.step_pm_ref(jnp.array(st.pos), jnp.array(st.vel), pv, pp,
+                              st.n_active, cfg, masses=m_dev)
+    np.testing.assert_allclose(active(p_m), active(p_r), atol=1e-2)
+    np.testing.assert_allclose(active(v_m), active(v_r), atol=1e-2)
+
+    # ring with rotating masses
+    pos_sh2, vel_sh2 = mesh_lib.shard_state_planes(mesh, st.pos, st.vel)
+    rstep = ring.make_ring_pairwise_step(mesh, use_pallas=False,
+                                         with_masses=True)
+    p_g, v_g = rstep(pos_sh2, vel_sh2, pv, pp, st.n_active, m_dev)
+    p_o, v_o = pw.step_pairwise(jnp.array(st.pos), jnp.array(st.vel), pv,
+                                pp, st.n_active, masses=m_dev)
+    np.testing.assert_allclose(active(p_g), active(p_o), atol=1e-3)
+    np.testing.assert_allclose(active(v_g), active(v_o), atol=1e-3)
+
+
+def test_engine_mesh_masses():
+    from particle_sim_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()
+    n = mesh.devices.size * 1024
+    e = Engine(particle_count=n, method=Method.JNP,
+               pairwise=PairwiseParams(1.0, 3.0), mesh=mesh,
+               masses=np.full(n, 1.5, np.float32))
+    e.step(psim.SimParams(delta_time=0.01))
+    assert np.isfinite(e.state.positions()).all()
