@@ -46,19 +46,31 @@ from . import physics
 
 
 def cell_coords_dyn(pos_flat: jax.Array, box_min, cell_size,
-                    grid: int) -> jax.Array:
-    """f32[3, N] continuous cell-space coords for a (possibly traced) box,
-    clamped so the CIC upper corner (floor+1) stays on the grid:
-    coords in [0, G-1-ulp]. ``box_min``: f32[3, 1] or tuple; ``cell_size``:
-    scalar (python float or traced)."""
+                    grid: int, periodic: bool = False) -> jax.Array:
+    """f32[3, N] continuous cell-space coords for a (possibly traced) box.
+
+    Isolated mode clamps so the CIC upper corner (floor+1) stays on the
+    grid: coords in [0, G-1-ulp]. Periodic mode WRAPS positions into the
+    box (coords in [0, G), out-of-box particles re-enter on the far side)
+    and the reference deposit/gather wrap the final cell's upper corner
+    to cell 0; the sorted fast path cannot express that corner wrap and
+    clamps to G-1-ulp itself (pm_pallas.pm_sort) — a half-cell seam at
+    the box edge, below mesh resolution. ``box_min``: f32[3, 1] or tuple;
+    ``cell_size``: scalar (python float or traced)."""
     box_min = jnp.asarray(box_min, jnp.float32).reshape(3, 1)
     c = (pos_flat - box_min) / cell_size
+    if periodic:
+        # mod can return exactly G for inputs just below a box multiple
+        # (f32 rounding); nudge back inside
+        return jnp.minimum(jnp.mod(c, np.float32(grid)),
+                           np.float32(grid) - 1e-3)
     return jnp.clip(c, 0.0, np.float32(grid - 1) - 1e-3)
 
 
 def cell_coords(pos_flat: jax.Array, cfg: "P.PMConfig") -> jax.Array:
     """cell_coords_dyn with the config's static box."""
-    return cell_coords_dyn(pos_flat, cfg.box_min, cfg.cell_size, cfg.grid)
+    return cell_coords_dyn(pos_flat, cfg.box_min, cfg.cell_size, cfg.grid,
+                           periodic=cfg.boundary == "periodic")
 
 
 def auto_box(pos_flat: jax.Array, n_active: jax.Array, grid: int,
@@ -102,13 +114,17 @@ def cic_deposit_ref(pos_flat: jax.Array, n_active: jax.Array,
     m = (jnp.arange(n, dtype=jnp.int32) < n_active).astype(jnp.float32)
     if masses is not None:
         m = m * masses
+    wrap = cfg.boundary == "periodic"
     rho = jnp.zeros((g, g, g), jnp.float32)
     for cz, cy, cx in _CORNERS:
         w = (m
              * jnp.where(cx, f[0], 1.0 - f[0])
              * jnp.where(cy, f[1], 1.0 - f[1])
              * jnp.where(cz, f[2], 1.0 - f[2]))
-        rho = rho.at[i0[2] + cz, i0[1] + cy, i0[0] + cx].add(w)
+        iz, iy, ix = i0[2] + cz, i0[1] + cy, i0[0] + cx
+        if wrap:  # the upper corner of the last cell wraps to cell 0
+            iz, iy, ix = iz % g, iy % g, ix % g
+        rho = rho.at[iz, iy, ix].add(w)
     return rho
 
 
@@ -117,12 +133,17 @@ def cic_gather_ref(grids: jax.Array, pos_flat: jax.Array,
     """f32[3, N] trilinear interpolation of grids f32[3, G, G, G]."""
     c = cell_coords(pos_flat, cfg) if coords is None else coords
     i0, f = cic_weights(c)
+    g = cfg.grid
+    wrap = cfg.boundary == "periodic"
     out = jnp.zeros_like(pos_flat)
     for cz, cy, cx in _CORNERS:
         w = (jnp.where(cx, f[0], 1.0 - f[0])
              * jnp.where(cy, f[1], 1.0 - f[1])
              * jnp.where(cz, f[2], 1.0 - f[2]))
-        out = out + w[None] * grids[:, i0[2] + cz, i0[1] + cy, i0[0] + cx]
+        iz, iy, ix = i0[2] + cz, i0[1] + cy, i0[0] + cx
+        if wrap:
+            iz, iy, ix = iz % g, iy % g, ix % g
+        out = out + w[None] * grids[:, iz, iy, ix]
     return out
 
 

@@ -355,6 +355,9 @@ def pm_sort(pos_flat: jax.Array, n_active: jax.Array,
     if n % 512:
         raise ValueError(f"particle capacity {n} not a multiple of 512")
     c = pm.cell_coords(pos_flat, cfg) if coords is None else coords
+    # the sorted kernels cannot wrap the last cell's upper CIC corner to
+    # cell 0 (periodic mode), so clamp into the last cell (half-cell seam)
+    c = jnp.minimum(c, jnp.float32(GRID - 1) - 1e-3)
     i0 = jnp.floor(c)
     f = c - i0
     i0 = i0.astype(jnp.int32)

@@ -182,3 +182,25 @@ def test_auto_box_fast_path_parity():
     np.testing.assert_allclose(a_fast[:, :nn], a_ref[:, :nn],
                                atol=0.03 * scale)
     assert np.all(a_fast[:, nn:] == 0.0)
+
+
+def test_periodic_wraps_out_of_box_particles():
+    """Periodic mode: out-of-box positions re-enter on the far side
+    (isolated mode clamps to the faces instead)."""
+    cfg = PMConfig(boundary="periodic", softening=3.0)
+    h = cfg.cell_size
+    # one particle 2 cells past the +x face -> wraps to 2 cells inside -x
+    pos = jnp.asarray([[64.0 + 2 * h + 0.5 * h], [0.0], [0.0]], jnp.float32)
+    rho = pm.cic_deposit_ref(pos, jnp.asarray(1, jnp.int32), cfg)
+    z, y, x = np.unravel_index(int(jnp.argmax(rho)), rho.shape)
+    assert x in (2, 3), (x, y, z)  # wrapped near the -x face, NOT x=127
+    assert float(rho.sum()) == pytest.approx(1.0, rel=1e-5)
+
+    # corner wrap: a particle in the LAST cell deposits its upper corner
+    # into cell 0 (total mass conserved, nothing clipped)
+    pos2 = jnp.asarray([[cfg.box_min[0] + 127.6 * h], [0.0], [0.0]],
+                       jnp.float32)
+    rho2 = pm.cic_deposit_ref(pos2, jnp.asarray(1, jnp.int32), cfg)
+    assert float(rho2.sum()) == pytest.approx(1.0, rel=1e-5)
+    flat_x = np.asarray(rho2.sum(axis=(0, 1)))
+    assert flat_x[127] > 0 and flat_x[0] > 0  # split across the seam
