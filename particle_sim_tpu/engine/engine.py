@@ -217,15 +217,18 @@ class Engine:
             if self.mesh is not None:
                 from ..parallel import pm_dp
 
+                with_masses = self._masses is not None
                 pstep = pm_dp.make_pm_step(
                     self.mesh, cfg, use_pallas=use_fast, interpret=interpret,
-                    with_masses=self._masses is not None)
+                    with_masses=with_masses)
 
-                def one(pos, vel, pv, pp, n):
-                    if self._masses is None:
+                if with_masses:
+                    def one(pos, vel, pv, pp, n):
+                        return pstep(pos, vel, pv, pp, n,
+                                     self._masses_for_capacity())
+                else:
+                    def one(pos, vel, pv, pp, n):
                         return pstep(pos, vel, pv, pp, n)
-                    return pstep(pos, vel, pv, pp, n,
-                                 self._masses_for_capacity())
             elif use_fast:
                 def one(pos, vel, pv, pp, n):
                     return pm_pallas.step_pm_jit(
@@ -259,18 +262,22 @@ class Engine:
                 def fn(pos, vel, pv, pp, n):
                     return sharded(pos, vel, pv)
             else:
+                with_masses = self._masses is not None
                 rstep = ring.make_ring_pairwise_step(
                     self.mesh, interpret=interpret, use_pallas=use_pallas,
-                    with_masses=self._masses is not None)
+                    with_masses=with_masses)
 
-                def fn(pos, vel, pv, pp, n):
-                    for _ in range(substeps):
-                        if self._masses is None:
-                            pos, vel = rstep(pos, vel, pv, pp, n)
-                        else:
+                if with_masses:
+                    def fn(pos, vel, pv, pp, n):
+                        for _ in range(substeps):
                             pos, vel = rstep(pos, vel, pv, pp, n,
                                              self._masses_for_capacity())
-                    return pos, vel
+                        return pos, vel
+                else:
+                    def fn(pos, vel, pv, pp, n):
+                        for _ in range(substeps):
+                            pos, vel = rstep(pos, vel, pv, pp, n)
+                        return pos, vel
 
             self._jit_cache[key] = fn
             return fn

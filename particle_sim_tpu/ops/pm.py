@@ -54,8 +54,9 @@ def cell_coords_dyn(pos_flat: jax.Array, box_min, cell_size,
     box (coords in [0, G), out-of-box particles re-enter on the far side)
     and the reference deposit/gather wrap the final cell's upper corner
     to cell 0; the sorted fast path cannot express that corner wrap and
-    clamps to G-1-ulp itself (pm_pallas.pm_sort) — a half-cell seam at
-    the box edge, below mesh resolution. ``box_min``: f32[3, 1] or tuple;
+    clamps to G-1-ulp itself (pm_pallas.pm_sort) — particles inside the
+    FINAL cell shift by up to one cell at the box edge (the seam band is
+    one cell wide; everything else is exact). ``box_min``: f32[3, 1] or tuple;
     ``cell_size``: scalar (python float or traced)."""
     box_min = jnp.asarray(box_min, jnp.float32).reshape(3, 1)
     c = (pos_flat - box_min) / cell_size

@@ -356,7 +356,8 @@ def pm_sort(pos_flat: jax.Array, n_active: jax.Array,
         raise ValueError(f"particle capacity {n} not a multiple of 512")
     c = pm.cell_coords(pos_flat, cfg) if coords is None else coords
     # the sorted kernels cannot wrap the last cell's upper CIC corner to
-    # cell 0 (periodic mode), so clamp into the last cell (half-cell seam)
+    # cell 0 (periodic mode), so clamp into the last cell (particles there
+    # shift by up to one cell — a one-cell-wide seam at the box edge)
     c = jnp.minimum(c, jnp.float32(GRID - 1) - 1e-3)
     i0 = jnp.floor(c)
     f = c - i0

@@ -106,27 +106,24 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
         w = live if masses is None else live * masses
         local_sum = (acc * w[None]).sum(axis=1, keepdims=True)
         global_sum = jax.lax.psum(local_sum, DP_AXIS)
-        count = jnp.maximum(jax.lax.psum(w.sum(), DP_AXIS), 1e-12)
+        if masses is None:
+            # sum(w) over all shards is just the (replicated) active count
+            count = jnp.maximum(n_active.astype(jnp.float32), 1.0)
+        else:
+            count = jnp.maximum(jax.lax.psum(w.sum(), DP_AXIS), 1e-12)
         acc = (acc - global_sum / count) * live[None]
 
         return physics.kick_and_step_planes(pos, vel, acc.reshape(shape),
                                             pv)
 
-    if with_masses:
-        sharded = shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(_plane_spec(), _plane_spec(), P(), P(), P(),
-                      P(DP_AXIS)),
-            out_specs=(_plane_spec(), _plane_spec()),
-            check_vma=False,
-        )
-    else:
-        sharded = shard_map(
-            lambda pos, vel, pv, pairv, n: local_step(pos, vel, pv, pairv, n),
-            mesh=mesh,
-            in_specs=(_plane_spec(), _plane_spec(), P(), P(), P()),
-            out_specs=(_plane_spec(), _plane_spec()),
-            check_vma=False,
-        )
+    sharded = shard_map(
+        local_step if with_masses
+        else (lambda pos, vel, pv, pairv, n:
+              local_step(pos, vel, pv, pairv, n)),
+        mesh=mesh,
+        in_specs=(_plane_spec(), _plane_spec(), P(), P(), P())
+        + ((P(DP_AXIS),) if with_masses else ()),
+        out_specs=(_plane_spec(), _plane_spec()),
+        check_vma=False,
+    )
     return jax.jit(sharded, donate_argnums=(0, 1))

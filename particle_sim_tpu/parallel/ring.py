@@ -98,21 +98,14 @@ def make_ring_pairwise_step(mesh: Mesh, *, interpret: bool = False,
         return physics.kick_and_step_planes(pos, vel, acc.T.reshape(shape),
                                             pv)
 
-    if with_masses:
-        sharded = shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(_plane_spec(), _plane_spec(), P(), P(), P(),
-                      P(DP_AXIS)),
-            out_specs=(_plane_spec(), _plane_spec()),
-            check_vma=False,
-        )
-    else:
-        sharded = shard_map(
-            lambda pos, vel, pv, pairv, n: local_step(pos, vel, pv, pairv, n),
-            mesh=mesh,
-            in_specs=(_plane_spec(), _plane_spec(), P(), P(), P()),
-            out_specs=(_plane_spec(), _plane_spec()),
-            check_vma=False,
-        )
+    sharded = shard_map(
+        local_step if with_masses
+        else (lambda pos, vel, pv, pairv, n:
+              local_step(pos, vel, pv, pairv, n)),
+        mesh=mesh,
+        in_specs=(_plane_spec(), _plane_spec(), P(), P(), P())
+        + ((P(DP_AXIS),) if with_masses else ()),
+        out_specs=(_plane_spec(), _plane_spec()),
+        check_vma=False,
+    )
     return jax.jit(sharded, donate_argnums=(0, 1))

@@ -216,3 +216,30 @@ def test_fast_path_momentum_isotropic():
     assert (net < 2e-3 * typical).all(), f"net force {net} vs {typical}"
     # no axis more than ~5x the others (isotropy of the residual noise)
     assert net.max() < 5.0 * max(net.min(), 1e-7 * typical)
+
+
+def test_parity_periodic_with_strays():
+    """Periodic fast path: out-of-box strays wrap; interior parity with
+    the reference holds (the fast path's only deviation is the one-cell
+    seam band at the box edge, excluded here)."""
+    cfg = PMConfig(softening=4.0, boundary="periodic")
+    pos_np = np.concatenate([
+        _cloud(1200, 13, radius=30.0),
+        _cloud(300, 14, radius=10.0, offset=(80.0, 0.0, -75.0)),  # strays
+    ])
+    st = psim.ParticleState.from_arrays(
+        pos_np, np.zeros_like(pos_np), np.zeros_like(pos_np))
+    flat = st.pos.reshape(3, -1)
+    a_fast = np.asarray(pm_pallas.pm_accel(flat, st.n_active, 1.0, cfg,
+                                           interpret=True))
+    a_ref = np.asarray(pm.pm_accel_ref(flat, st.n_active, 1.0,
+                                       cfg.softening, cfg))
+    n = int(st.n_active)
+    # exclude particles whose wrapped coords fall in the seam band
+    c = np.asarray(pm.cell_coords(jnp.asarray(flat), cfg))[:, :n]
+    interior = (c < cfg.grid - 1.0).all(axis=0)
+    assert interior.sum() > n * 0.9
+    scale = np.abs(a_ref[:, :n]).max() + 1e-12
+    np.testing.assert_allclose(a_fast[:, :n][:, interior],
+                               a_ref[:, :n][:, interior],
+                               atol=0.03 * scale)
