@@ -170,7 +170,9 @@ class StreamServer:
                 g = float(ev.get("g", 1.0))
                 eps = float(ev.get("softening", 2.0))
                 if name == "pm":
-                    self.engine.pm = PMConfig(softening=eps)
+                    self.engine.pm = PMConfig(
+                        softening=eps,
+                        auto_box=bool(ev.get("auto_box", False)))
                     self.engine.pairwise = PairwiseParams(g, eps)
                 elif name == "direct":
                     self.engine.pm = None

@@ -298,3 +298,16 @@ class TestSolverEvents:
         srv.handle_event({"type": "solver", "name": "off"})
         assert engine.pm is None and engine.pairwise is None
         engine.step(SimParams(delta_time=0.016))
+
+    def test_solver_event_auto_box(self):
+        from particle_sim_tpu.app.server import StreamServer
+        from particle_sim_tpu.core.params import Method
+
+        engine = Engine(particle_count=1200, method=Method.JNP)
+        srv = StreamServer(engine, port=0)
+        srv.handle_event({"type": "solver", "name": "pm", "g": 0.3,
+                          "softening": 5.0, "auto_box": True})
+        assert engine.pm is not None and engine.pm.auto_box
+        engine.step(SimParams(delta_time=0.01))
+        import numpy as np
+        assert np.isfinite(engine.state.positions()).all()
