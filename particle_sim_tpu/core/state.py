@@ -186,7 +186,8 @@ def grow_state(state: ParticleState, tail_pos, tail_vel, tail_col,
     # tail is padded to a LANE multiple; it may overwrite padding beyond
     # n_old+add, which is harmless (those slots stay inactive).
     n_old = int(state.n_active)
-    if n_old + tail_planes(tail_pos).shape[1] > new_rows * LANE:
+    tail_width = round_up(max(add, 1), LANE)
+    if n_old + tail_width > new_rows * LANE:
         # tail padding would run past capacity: bump capacity one row chunk
         new_rows = capacity_rows(n_old + round_up(max(add, 1), LANE))
     grow = (_grow_planes_inplace if new_rows == state.rows
@@ -200,9 +201,12 @@ def grow_state(state: ParticleState, tail_pos, tail_vel, tail_col,
 
 
 def zeros_state(capacity: int) -> ParticleState:
-    rows = capacity // LANE
-    plane = jnp.zeros((3, rows, LANE), dtype=jnp.float32)
+    rows = capacity_rows(capacity)  # never truncate; keep row alignment
+    # three INDEPENDENT buffers: sharing one would let a donating step
+    # delete the aliased init_color out from under later color/render use
     return ParticleState(
-        pos=plane, vel=plane, init_color=plane,
+        pos=jnp.zeros((3, rows, LANE), dtype=jnp.float32),
+        vel=jnp.zeros((3, rows, LANE), dtype=jnp.float32),
+        init_color=jnp.zeros((3, rows, LANE), dtype=jnp.float32),
         n_active=jnp.asarray(0, dtype=jnp.int32),
     )

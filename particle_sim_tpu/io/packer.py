@@ -62,11 +62,22 @@ def _n_out(n_src: int, stride: int) -> int:
     return (n_src + stride - 1) // stride
 
 
+def _check_shapes(pos_planes: np.ndarray, rgba: np.ndarray) -> None:
+    """The native paths hand raw pointers to C — a mismatched rgba would
+    be an out-of-bounds read there, not a Python exception."""
+    if pos_planes.ndim != 2 or pos_planes.shape[0] != 3:
+        raise ValueError(f"pos_planes must be [3, n], got {pos_planes.shape}")
+    if rgba.ndim != 2 or rgba.shape != (pos_planes.shape[1], 4):
+        raise ValueError(
+            f"rgba must be [{pos_planes.shape[1]}, 4], got {rgba.shape}")
+
+
 def pack_f16(pos_planes: np.ndarray, rgba: np.ndarray, stride: int = 1,
              n_threads: int = 0) -> np.ndarray:
     """pos_planes f32[3, n], rgba u8[n, 4] -> u8[n_out * 10] records."""
     pos_planes = np.ascontiguousarray(pos_planes, dtype=np.float32)
     rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
+    _check_shapes(pos_planes, rgba)
     n = pos_planes.shape[1]
     out_n = _n_out(n, stride)
     lib = _load_lib()
@@ -92,6 +103,7 @@ def pack_planar_f32(pos_planes: np.ndarray, rgba: np.ndarray,
     """-> (pos f32[3, n_out] contiguous, rgba u8[n_out, 4])."""
     pos_planes = np.ascontiguousarray(pos_planes, dtype=np.float32)
     rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
+    _check_shapes(pos_planes, rgba)
     n = pos_planes.shape[1]
     out_n = _n_out(n, stride)
     lib = _load_lib()

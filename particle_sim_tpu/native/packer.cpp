@@ -49,7 +49,12 @@ static inline uint16_t f32_to_f16(float f) {
         if (rem > halfway || (rem == halfway && (half & 1u))) half++;
         return (uint16_t)(sign | half);
     }
-    if (exp >= 31) return (uint16_t)(sign | 0x7C00u);  // inf/overflow
+    if (exp >= 31) {                       // inf/NaN/overflow
+        // preserve NaN (quiet) — matches the _Float16 and numpy paths
+        if (((x >> 23) & 0xFF) == 0xFF && mant != 0)
+            return (uint16_t)(sign | 0x7E00u);
+        return (uint16_t)(sign | 0x7C00u);
+    }
     uint32_t half = (uint32_t)(exp << 10) | (mant >> 13);
     uint32_t rem = mant & 0x1FFFu;
     if (rem > 0x1000u || (rem == 0x1000u && (half & 1u))) half++;
@@ -132,9 +137,10 @@ void psim_gather_f32(const float *pos_planes, const uint8_t *rgba,
             float *dst = pos_out + c * n_out;
             for (int64_t i = b; i < e; ++i) dst[i] = src[i * stride];
         }
-        const uint32_t *c_src = (const uint32_t *)rgba;
-        uint32_t *c_dst = (uint32_t *)rgba_out;
-        for (int64_t i = b; i < e; ++i) c_dst[i] = c_src[i * stride];
+        // memcpy per 4-byte record: uint32_t punning of the uint8 buffers
+        // is strict-aliasing UB under -O3 and assumes alignment
+        for (int64_t i = b; i < e; ++i)
+            std::memcpy(rgba_out + i * 4, rgba + (i * stride) * 4, 4);
     };
     if (n_threads <= 1 || n_out < 1 << 15) {
         run(0, n_out);

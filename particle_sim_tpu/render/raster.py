@@ -62,6 +62,22 @@ def project_to_pixels(
     return px, py, valid.astype(jnp.float32)
 
 
+def shaded_rgb(flat_pos, flat_vel, flat_col, param_vec):
+    """Shared coloring contract of every consumer: per-point RGB by color
+    mode plus the fragment brightness min(2|v|,1) (particle.wgsl:41-44).
+    One implementation so the rasterized frame and the streamed wire
+    colors can never drift apart. -> (r, g, b, bright), each f32[N]."""
+    r, g, b = physics.color_rgb(
+        flat_pos[0], flat_pos[1], flat_pos[2],
+        flat_vel[0], flat_vel[1], flat_vel[2],
+        flat_col[0], flat_col[1], flat_col[2],
+        color_mode=param_vec[P.P_COLOR_MODE],
+        max_dist_for_color=param_vec[P.P_MAX_DIST],
+    )
+    bright = physics.brightness(flat_vel[0], flat_vel[1], flat_vel[2])
+    return r, g, b, bright
+
+
 def render(
     pos: jax.Array,          # f32[3, R, LANE]
     vel: jax.Array,
@@ -80,14 +96,7 @@ def render(
     flat_col = init_color.reshape(3, -1)
     n = flat_pos.shape[1]
 
-    r, g, b = physics.color_rgb(
-        flat_pos[0], flat_pos[1], flat_pos[2],
-        flat_vel[0], flat_vel[1], flat_vel[2],
-        flat_col[0], flat_col[1], flat_col[2],
-        color_mode=param_vec[P.P_COLOR_MODE],
-        max_dist_for_color=param_vec[P.P_MAX_DIST],
-    )
-    bright = physics.brightness(flat_vel[0], flat_vel[1], flat_vel[2])
+    r, g, b, bright = shaded_rgb(flat_pos, flat_vel, flat_col, param_vec)
 
     px, py, valid = project_to_pixels(flat_pos, view_proj, width, height)
     active = (jnp.arange(n, dtype=jnp.int32) < n_active).astype(jnp.float32)
@@ -112,14 +121,7 @@ def _pack_points(pos, vel, init_color, param_vec, n_stop, stride: int = 1):
     flat_vel = vel.reshape(3, -1)[:, ::stride]
     flat_col = init_color.reshape(3, -1)[:, ::stride]
     n = flat_pos.shape[1]
-    r, g, b = physics.color_rgb(
-        flat_pos[0], flat_pos[1], flat_pos[2],
-        flat_vel[0], flat_vel[1], flat_vel[2],
-        flat_col[0], flat_col[1], flat_col[2],
-        color_mode=param_vec[P.P_COLOR_MODE],
-        max_dist_for_color=param_vec[P.P_MAX_DIST],
-    )
-    bright = physics.brightness(flat_vel[0], flat_vel[1], flat_vel[2])
+    r, g, b, bright = shaded_rgb(flat_pos, flat_vel, flat_col, param_vec)
     active = ((jnp.arange(n, dtype=jnp.int32) * stride) < n_stop)
     af = active.astype(jnp.float32)
     rgb = jnp.stack([r, g, b]) * (bright * af)

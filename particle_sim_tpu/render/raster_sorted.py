@@ -132,14 +132,8 @@ def render(
     if n % CHUNK:
         raise ValueError(f"point count {n} not a multiple of {CHUNK}")
 
-    r, g, b = physics.color_rgb(
-        flat_pos[0], flat_pos[1], flat_pos[2],
-        flat_vel[0], flat_vel[1], flat_vel[2],
-        flat_col[0], flat_col[1], flat_col[2],
-        color_mode=param_vec[P.P_COLOR_MODE],
-        max_dist_for_color=param_vec[P.P_MAX_DIST],
-    )
-    bright = physics.brightness(flat_vel[0], flat_vel[1], flat_vel[2])
+    r, g, b, bright = raster.shaded_rgb(flat_pos, flat_vel, flat_col,
+                                        param_vec)
     px, py, valid = raster.project_to_pixels(flat_pos, view_proj,
                                              width, height)
     active = (jnp.arange(n, dtype=jnp.int32) < n_active).astype(jnp.float32)

@@ -177,3 +177,20 @@ class TestOutput:
                              width=160, height=120)
         assert img.shape == (120, 160, 4) and img.dtype == np.uint8
         assert img[..., :3].sum() > 0
+
+
+def test_zeros_state_planes_are_independent():
+    """Regression: zeros_state once aliased ONE buffer as pos/vel/color;
+    a donating step then deleted init_color out from under later use."""
+    import jax.numpy as jnp
+
+    from particle_sim_tpu.core.state import zeros_state
+    from particle_sim_tpu.ops import step_jnp
+
+    st = zeros_state(1024)
+    assert st.capacity == 1024  # and never silently truncates
+    assert zeros_state(1000).capacity >= 1000
+    pv = jnp.asarray(psim.SimParams().pack())
+    p, v = step_jnp.step_n_jit(st.pos, st.vel, pv, 1)  # donates pos/vel
+    colors = np.asarray(st.init_color)  # must still be alive
+    assert colors.shape[0] == 3
