@@ -190,7 +190,8 @@ def test_zeros_state_planes_are_independent():
     st = zeros_state(1024)
     assert st.capacity == 1024  # and never silently truncates
     assert zeros_state(1000).capacity >= 1000
-    pv = jnp.asarray(psim.SimParams().pack())
+    from particle_sim_tpu.core.params import SimParams
+    pv = jnp.asarray(SimParams().pack())
     p, v = step_jnp.step_n_jit(st.pos, st.vel, pv, 1)  # donates pos/vel
     colors = np.asarray(st.init_color)  # must still be alive
     assert colors.shape[0] == 3
