@@ -119,6 +119,15 @@ def main(argv=None) -> int:
         engine, start_step = ckpt.load(args.resume, method=method)
         print(f"resumed from {args.resume} at step {start_step} "
               f"({engine.particle_count} particles)", file=sys.stderr)
+        ignored = [name for name, given in (
+            ("--mesh", args.mesh != "none"), ("--count", args.count),
+            ("--pm", args.pm), ("--pairwise", args.pairwise),
+            ("--substeps", args.substeps != 1),
+            ("--generation", args.generation != "hollow"),
+        ) if given]
+        if ignored:
+            print(f"note: {', '.join(ignored)} ignored on --resume "
+                  "(the checkpoint's configuration wins)", file=sys.stderr)
     else:
         mesh = None
         if args.mesh == "auto":
@@ -208,7 +217,7 @@ def main(argv=None) -> int:
     # final sync so the last step's cost is visible
     np.asarray(engine.state.pos.ravel()[0:1])
     wall = time.perf_counter() - t_start
-    total = args.steps * args.substeps * engine.particle_count
+    total = args.steps * engine.substeps * engine.particle_count
     print(json.dumps({
         "done": True, "steps": args.steps, "wall_s": round(wall, 3),
         "particle_steps_per_sec": round(total / wall, 1),

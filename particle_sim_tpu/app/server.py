@@ -127,19 +127,36 @@ class StreamServer:
         self._sock: Optional[socket.socket] = None
 
     # -- input events (client JSON -> engine mutations) ----------------------
+    @staticmethod
+    def _coerce_params(fields: dict) -> dict:
+        """Validate client-supplied SimParams fields NOW: a bad value
+        stored here would otherwise crash the sim/pack threads later (in
+        SimParams.pack), silently freezing the stream for every client."""
+        out = {}
+        for k, v in fields.items():
+            if k not in SimParams.__dataclass_fields__:
+                continue
+            if k == "mouse_position":
+                x, y, z = v  # raises for wrong arity/non-iterables
+                out[k] = (float(x), float(y), float(z))
+            elif k == "is_mouse_dragging":
+                out[k] = bool(v)
+            elif k == "color_mode":
+                out[k] = int(v)
+            else:
+                out[k] = float(v)
+        return out
+
     def handle_event(self, ev: dict) -> None:
         t = ev.get("type")
         with self.lock:
             p = self.params
             if t == "params":
-                fields = {k: v for k, v in ev.items()
-                          if k in SimParams.__dataclass_fields__}
-                if "mouse_position" in fields:
-                    fields["mouse_position"] = tuple(fields["mouse_position"])
-                self.params = p.replace(**fields)
+                self.params = p.replace(**self._coerce_params(ev))
             elif t == "mouse":
+                x, y, z = ev["pos"]
                 self.params = p.replace(
-                    mouse_position=tuple(ev["pos"]),
+                    mouse_position=(float(x), float(y), float(z)),
                     is_mouse_dragging=bool(ev.get("dragging", False)))
             elif t == "pause":
                 self.engine.set_paused(not self.engine.is_paused())
@@ -193,14 +210,15 @@ class StreamServer:
             stats = self.engine.stats
         pos = np.asarray(pos_dev)
         rgba = np.asarray(rgba_dev)
-        if self.wire_mode == 1:
+        mode = self.wire_mode  # read once: header must match the payload
+        if mode == 1:
             payload = packer.pack_f16(pos, rgba).tobytes()
             count = len(payload) // packer.RECORD_BYTES
         else:
             count = pos.shape[1]
             payload = pos.tobytes() + rgba.tobytes()
         head = struct.pack(
-            "<IIIIIff", MAGIC, self.wire_mode, count, self.frame_id,
+            "<IIIIIff", MAGIC, mode, count, self.frame_id,
             total, float(stats.fps), float(stats.update_ms))
         return head + payload
 
@@ -208,8 +226,11 @@ class StreamServer:
         while self.running:
             t0 = time.perf_counter()
             with self.lock:
+                stepped = not self.engine.is_paused()
                 self.engine.step(self.params)
-            self._state_version += 1
+            if stepped:
+                # paused frames are identical: don't re-pack/re-stream them
+                self._state_version += 1
             elapsed = time.perf_counter() - t0
             if elapsed < self.target_dt:
                 time.sleep(self.target_dt - elapsed)
@@ -255,8 +276,12 @@ class StreamServer:
                     sock.sendall(ws_encode(payload, opcode=0xA))
                 elif opcode == 0x1:
                     try:
-                        self.handle_event(json.loads(payload.decode()))
-                    except (ValueError, KeyError):
+                        ev = json.loads(payload.decode())
+                        if isinstance(ev, dict):
+                            self.handle_event(ev)
+                    except Exception:
+                        # a malformed client event must never kill the
+                        # reader thread (or worse, a shared loop)
                         pass
         except OSError:
             pass

@@ -362,7 +362,8 @@ class Engine:
             self.generation_mode = generation_mode
             # generation-mode change regenerates (app.rs:479-491 passes the
             # new mode into resize_buffer; state distributions must match it)
-            cap = max(self.capacity, capacity_rows(new_count) * LANE)
+            cap = max(self.capacity,
+                      capacity_rows(new_count, self._row_multiple) * LANE)
             self.state = self._generate_state(new_count, capacity=cap)
             return
         old_count = self.particle_count
@@ -376,7 +377,13 @@ class Engine:
                 n_active=jnp.asarray(new_count, jnp.int32))
             return
         # grow: append newly generated particles device-side — only the new
-        # tail crosses to the device (cpu.rs:136-147 semantics)
+        # tail crosses to the device (cpu.rs:136-147 semantics).
+        # Grown particles get mass 1, even where a past shrink left stale
+        # custom masses in the (kept-capacity) buffer.
+        if self._masses is not None:
+            m = self._masses_for_capacity()
+            self._masses = self._place_masses(
+                m.at[old_count:new_count].set(1.0))
         add = new_count - old_count
         pos_a, vel_a, col_a = gen.generate(add, self.generation_mode)
         if self.mesh is not None:
@@ -455,9 +462,13 @@ class Engine:
         stride = 1
         if max_points and n > max_points:
             stride = -(-n // max_points)
-        return raster.pack_points_jit(
+        pos_dev, rgba_dev = raster.pack_points_jit(
             self.state.pos, self.state.vel, self.state.init_color, pv,
             n_stop=n, stride=stride)
+        # the pack strides the PADDED capacity; slice to the live range so
+        # the payload honors max_points even when capacity >> n_active
+        out_n = -(-max(n, 1) // stride)
+        return pos_dev[:, :out_n], rgba_dev[:out_n]
 
     def render_frame(
         self, camera: Camera, params: Union[SimParams, np.ndarray],

@@ -12,6 +12,7 @@ slice.
 from __future__ import annotations
 
 import json
+import os
 from typing import Optional
 
 import numpy as np
@@ -51,7 +52,12 @@ def save(path: str, engine: Engine, step_index: int = 0) -> None:
         # stale (shorter than the current count) right after a grow
         arrays["masses"] = np.asarray(
             engine._masses_for_capacity()[: engine.particle_count])
-    np.savez_compressed(path, **arrays)
+    # atomic: a preemption mid-save (the very event checkpoints exist
+    # for) must not truncate the previous good checkpoint
+    tmp = f"{path}.tmp"
+    np.savez_compressed(tmp, **arrays)
+    actual = tmp if os.path.exists(tmp) else tmp + ".npz"  # np may append
+    os.replace(actual, path)
 
 
 def load(path: str, method: Optional[Method] = None,

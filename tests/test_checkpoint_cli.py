@@ -91,3 +91,21 @@ class TestCli:
         assert rc == 0
         final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert final["done"]
+
+
+def test_checkpoint_save_is_atomic(tmp_path):
+    """Re-saving over an existing checkpoint goes through a temp file +
+    os.replace — no .tmp litter, and the final file always loads."""
+    import os
+
+    from particle_sim_tpu.core.params import Method
+    from particle_sim_tpu.engine import Engine
+    from particle_sim_tpu.io import checkpoint as ckpt
+
+    e = Engine(particle_count=500, method=Method.JNP)
+    path = str(tmp_path / "c.npz")
+    ckpt.save(path, e, step_index=1)
+    ckpt.save(path, e, step_index=2)
+    assert not [f for f in os.listdir(tmp_path) if ".tmp" in f]
+    _, step = ckpt.load(path)
+    assert step == 2

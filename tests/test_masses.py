@@ -214,3 +214,16 @@ def test_engine_mesh_masses():
                masses=np.full(n, 1.5, np.float32))
     e.step(psim.SimParams(delta_time=0.01))
     assert np.isfinite(e.state.positions()).all()
+
+
+def test_shrink_then_grow_resets_new_masses():
+    """Regression: growth after a shrink must not resurrect the stale
+    custom masses of dead particles — grown particles get mass 1."""
+    e = Engine(particle_count=100, method=Method.JNP,
+               pairwise=PairwiseParams(1.0, 2.0),
+               masses=np.full(100, 7.0, np.float32))
+    e.resize(50)
+    e.resize(80)
+    m = np.asarray(e._masses_for_capacity())
+    assert m[:50].max() == pytest.approx(7.0)
+    np.testing.assert_allclose(m[50:80], 1.0)

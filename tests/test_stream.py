@@ -311,3 +311,32 @@ class TestSolverEvents:
         engine.step(SimParams(delta_time=0.01))
         import numpy as np
         assert np.isfinite(engine.state.positions()).all()
+
+    def test_bad_params_event_fails_fast_not_later(self):
+        """Malformed client params must raise AT EVENT TIME (where the
+        reader thread catches it), never poison stored params and crash
+        the sim/pack threads later in SimParams.pack()."""
+        from particle_sim_tpu.app.server import StreamServer
+        from particle_sim_tpu.core.params import Method
+
+        engine = Engine(particle_count=1000, method=Method.JNP)
+        srv = StreamServer(engine, port=0)
+        before = srv.params
+        for ev in ({"type": "params", "delta_time": "fast"},
+                   {"type": "params", "mouse_position": [1, 2]},
+                   {"type": "mouse", "pos": 5}):
+            with pytest.raises((ValueError, TypeError)):
+                srv.handle_event(ev)
+        assert srv.params == before
+        srv.params.pack()  # still packable
+
+    def test_frame_payload_bounded_after_shrink(self):
+        """Packed frames honor max_points even when capacity >> n_active
+        (shrink keeps capacity; the stride must not span the padding)."""
+        from particle_sim_tpu.core.params import Method
+
+        engine = Engine(particle_count=5000, method=Method.JNP)
+        engine.resize(100)
+        pos, rgba = engine.frame_arrays(SimParams(), max_points=50)
+        assert pos.shape[1] <= 50
+        assert rgba.shape[0] == pos.shape[1]
