@@ -128,26 +128,33 @@ def _unpack_fracs(fq):
 
 def _deposit_body(word, key, frac, out_ref, mass=None):
     t = (word >> _S_BITS) & _T_MASK
-    row = key >> 7
-    x = key & (LANE - 1)
-    fx, fy, fz = _unpack_fracs(frac)
-    # bf16 one-hots, f32 accumulation: 4x MXU rate; the CIC weights round
-    # identically here and in the gather (same f32 fracs, same cast), so
-    # deposit/gather stay symmetric (momentum conservation holds)
-    R, liota = _corner_onehots(row - t * T_ROWS, fy, fz, jnp.bfloat16)
-    if mass is not None:
-        # per-particle mass scales the row factor (bf16 columns)
-        R = R * mass.astype(jnp.bfloat16)
-    L = _lane_onehot(liota, x, fx, jnp.bfloat16)
-    dep = jax.lax.dot_general(
-        R, L, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)   # (T_ROWS, LANE)
 
-    @pl.when(word < 0)
+    # trash pairs (grid-padding entries past the real pair table) target
+    # the extra trash tile; skip their one-hot/MXU work entirely — the
+    # trash tile's contents are discarded by the caller. Their input
+    # index maps all land on block 0, so no extra DMA traffic either.
+    @pl.when(t < N_TILES)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        row = key >> 7
+        x = key & (LANE - 1)
+        fx, fy, fz = _unpack_fracs(frac)
+        # bf16 one-hots, f32 accumulation: 4x MXU rate; the CIC weights
+        # round identically here and in the gather (same f32 fracs, same
+        # cast), so deposit/gather stay symmetric (momentum conservation)
+        R, liota = _corner_onehots(row - t * T_ROWS, fy, fz, jnp.bfloat16)
+        if mass is not None:
+            # per-particle mass scales the row factor (bf16 columns)
+            R = R * mass.astype(jnp.bfloat16)
+        L = _lane_onehot(liota, x, fx, jnp.bfloat16)
+        dep = jax.lax.dot_general(
+            R, L, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (T_ROWS, LANE)
 
-    out_ref[...] += dep[None]
+        @pl.when(word < 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        out_ref[...] += dep[None]
 
 
 def _deposit_kernel(p_ref, key_ref, frac_ref, out_ref):
@@ -161,31 +168,38 @@ def _deposit_kernel_mass(p_ref, key_ref, frac_ref, mass_ref, out_ref):
                   mass=mass_ref[...])
 
 
-def _gather_kernel(p_ref, key_ref, frac_ref, a_ref, out_ref):
+def _gather_kernel(n_chunks, p_ref, key_ref, frac_ref, a_ref, out_ref):
     i = pl.program_id(0)
     word = p_ref[i]
-    t = (word >> _S_BITS) & _T_MASK
-    key = key_ref[...]
-    row = key >> 7
-    x = key & (LANE - 1)
-    fx, fy, fz = _unpack_fracs(frac_ref[...])
-    R, liota = _corner_onehots(row - t * T_ROWS, fy, fz, jnp.bfloat16)
-    # C[c, l, p] = sum_r A[c, r, l] R[r, p]
-    C = jax.lax.dot_general(
-        a_ref[...], R, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)   # (3, LANE, chunk)
-    # L must carry the SAME bf16-rounded weight VALUES as the deposit's
-    # lane one-hot or the x-axis kick loses deposit/gather antisymmetry
-    # (a 0.4% weight mismatch compounds into a systematic x-momentum
-    # drift); cast back up for the f32 elementwise apply
-    L = _lane_onehot(liota, x, fx, jnp.bfloat16).astype(jnp.float32)
-    g = (C * L[None]).sum(axis=1)             # (3, chunk)
+    s = word & _S_MASK
 
-    @pl.when(word < 0)
+    # trash pairs (s == n_chunks) write the discarded trash output block;
+    # skip their one-hot/MXU work (inputs are clamped to one block, so
+    # consecutive trash pairs cost no DMA either)
+    @pl.when(s < n_chunks)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        t = (word >> _S_BITS) & _T_MASK
+        key = key_ref[...]
+        row = key >> 7
+        x = key & (LANE - 1)
+        fx, fy, fz = _unpack_fracs(frac_ref[...])
+        R, liota = _corner_onehots(row - t * T_ROWS, fy, fz, jnp.bfloat16)
+        # C[c, l, p] = sum_r A[c, r, l] R[r, p]
+        C = jax.lax.dot_general(
+            a_ref[...], R, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (3, LANE, chunk)
+        # L must carry the SAME bf16-rounded weight VALUES as the deposit's
+        # lane one-hot or the x-axis kick loses deposit/gather antisymmetry
+        # (a 0.4% weight mismatch compounds into a systematic x-momentum
+        # drift); cast back up for the f32 elementwise apply
+        L = _lane_onehot(liota, x, fx, jnp.bfloat16).astype(jnp.float32)
+        g = (C * L[None]).sum(axis=1)             # (3, chunk)
 
-    out_ref[...] += g
+        @pl.when(word < 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        out_ref[...] += g
 
 
 @functools.lru_cache(maxsize=None)
@@ -249,7 +263,7 @@ def _build_gather(n_pad: int, chunk: int, c_max: int, interpret: bool):
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _gather_kernel,
+        functools.partial(_gather_kernel, n_pad // chunk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, n_pad + chunk), jnp.float32),
         interpret=interpret,
