@@ -9,18 +9,28 @@ steps with the sorted one-hot-matmul machinery proven by the rasterizer
      TPU-native (row = z*128 + y, lane = x) tiles; one ``lax.sort`` groups
      particles by cell (payloads: fractional offsets + original index).
   2. CIC is separable: the 8-corner deposit factorizes into a row one-hot
-     R[r,p] (4 corner terms: y/z weights) and a lane one-hot L[l,p]
-     (2 terms: x weights), so a chunk's full 8-corner deposit is ONE MXU
-     matmul  D = R @ L^T  into a (T_ROWS, 128) grid tile. Corner spill
-     across tile boundaries is handled raster-style: a chunk-table pairs
-     each grid tile with every CHUNK-aligned slice whose corner rows can
-     touch it; non-matching rows simply miss the one-hot.
+     R[r,p] (y/z weights) and a lane one-hot L[l,p] (2 terms: x weights),
+     so a chunk's deposit is ONE MXU matmul  D = R @ L^T  into a
+     (T_ROWS, 128) grid tile. The z-offset between a particle's lower and
+     upper corner rows is exactly GRID = 2 tiles, so the row one-hot is
+     split into two FAMILIES — lower-z corners (rows r, r+1, weight 1-fz)
+     and upper-z corners (rows r+128, r+129, weight fz) — each a 2-term
+     one-hot. Pairing tiles with chunk slices per family (two 65-row
+     windows instead of one contiguous 193-row window spanning both)
+     skips the ~1-tile dead zone between the corner pairs (~25-30% fewer
+     MXU matmuls at realistic densities) and halves the one-hot
+     construction cost. Corner spill across tile boundaries is handled
+     raster-style: non-matching rows simply miss the one-hot.
   3. The gather is the transpose: per chunk, C = A . R contracts the tile's
      acceleration block with the same row one-hot, then a lane-weighted
      reduction applies L — trilinear interpolation of all 8 corners in one
      matmul (bf16 inputs, f32 accumulation).
   4. Un-sort is a second ``lax.sort`` keyed on the carried original index
-     (cheaper than a random-access take).
+     (cheaper than a random-access take). The sort is bandwidth-bound in
+     payload words, so the three f32 accelerations ride as TWO i32 words
+     of packed bf16 pairs — in-family precision, since the gather already
+     reads bf16 grids (bf16 range also survives pathological mass
+     concentrations that would overflow f16).
 
 The spectral solve between the two kernels is shared with ops/pm.py.
 Requires grid == 128 (the lane decomposition); any-grid falls back to the
@@ -56,23 +66,27 @@ SENTINEL = GRID * GRID * GRID                # id past the last cell
 # ---------------------------------------------------------------------------
 #
 # Pair tables are packed into ONE i32 scalar-prefetch word per grid step —
-# bits [0,22) slice block, [22,31) grid tile, bit 31 first-visit — because
-# scalar prefetch arrays live in SMEM (~1 MB): three separate i32[c_max]
-# arrays blow it at 16M particles. CHUNK adapts to N for the same reason
-# (pick_chunk), keeping c_max*4B comfortably inside SMEM.
+# bits [0,21) slice block, bit 21 corner family, [22,31) grid tile, bit 31
+# first-visit — because scalar prefetch arrays live in SMEM (~1 MB): three
+# separate i32[c_max] arrays blow it at 16M particles. CHUNK adapts to N
+# for the same reason (pick_chunk), keeping c_max*4B comfortably inside
+# SMEM. (Family+tile are one 10-bit window id w = 2*tile + fam at bit 21,
+# so the tile is still a single shift+mask: (word >> 22) & 0x1FF.)
 
 _FQ_BITS = 10
 _FQ_MAX = 1023
 _FQ_MASK = (1 << _FQ_BITS) - 1
 
-_S_BITS = 22
+_S_BITS = 21
 _S_MASK = (1 << _S_BITS) - 1
+_T_SHIFT = 22
 _T_MASK = 0x1FF
 
 
-def _pack_pairs(t, s, first):
+def _pack_pairs(t, fam, s, first):
     return (s.astype(jnp.int32)
-            | (t.astype(jnp.int32) << _S_BITS)
+            | (fam.astype(jnp.int32) << _S_BITS)
+            | (t.astype(jnp.int32) << _T_SHIFT)
             | (first.astype(jnp.int32) << 31))
 
 
@@ -80,7 +94,7 @@ def pick_chunk(n_pad: int) -> int:
     """Particles per kernel block: smallest supported chunk whose pair
     table fits the SMEM budget (c_max <= 64Ki words)."""
     for c in (512, 1024, 2048, 4096, 8192):
-        if n_pad % c == 0 and 4 * (n_pad // c) + 2 * N_TILES + 2 <= 65536:
+        if n_pad % c == 0 and 4 * (n_pad // c) + 4 * N_TILES + 2 <= 65536:
             return c
     for c in (8192, 4096, 2048, 1024, 512):
         if n_pad % c == 0:
@@ -88,23 +102,23 @@ def pick_chunk(n_pad: int) -> int:
     raise ValueError(f"capacity {n_pad} not a multiple of 512")
 
 
-def _corner_onehots(lrow, fy, fz, dtype):
-    """(R (T_ROWS, chunk), liota (LANE, chunk)) separable CIC one-hots.
+def _family_onehot(lrow, fy, wz, dtype):
+    """(R (T_ROWS, chunk), liota (LANE, chunk)) one CIC corner family.
 
-    ``lrow`` is the tile-local row (may be negative / out of range —
-    non-matching rows contribute nothing, which IS the spill masking).
-    Built in f32 (i1 masks relayout from the i32 compares' (8,128) tiling;
-    Mosaic can't relayout them straight to bf16's (16,128)) and cast after.
+    A particle's 8 CIC corners split into two row families exactly GRID
+    rows apart (rows r,r+1 weight 1-fz; rows r+GRID,r+GRID+1 weight fz);
+    the caller passes the family's tile-local base row ``lrow`` and its
+    z-weight ``wz``, so each pair builds only the 2-term one-hot whose
+    rows can hit its tile. Out-of-range rows contribute nothing, which
+    IS the spill masking. Built in f32 (i1 masks relayout from the i32
+    compares' (8,128) tiling; Mosaic can't relayout them straight to
+    bf16's (16,128)) and cast after.
     """
     chunk = lrow.shape[1]
     riota = jax.lax.broadcasted_iota(jnp.int32, (T_ROWS, chunk), 0)
-    wy0, wy1 = 1.0 - fy, fy
-    wz0, wz1 = 1.0 - fz, fz
     zero = jnp.zeros((T_ROWS, chunk), jnp.float32)
-    R = (jnp.where(riota == lrow, wy0 * wz0, zero)
-         + jnp.where(riota == lrow + 1, wy1 * wz0, zero)
-         + jnp.where(riota == lrow + GRID, wy0 * wz1, zero)
-         + jnp.where(riota == lrow + GRID + 1, wy1 * wz1, zero))
+    R = (jnp.where(riota == lrow, (1.0 - fy) * wz, zero)
+         + jnp.where(riota == lrow + 1, fy * wz, zero))
     liota = jax.lax.broadcasted_iota(jnp.int32, (LANE, chunk), 0)
     return R.astype(dtype), liota
 
@@ -127,7 +141,7 @@ def _unpack_fracs(fq):
 
 
 def _deposit_body(word, key, frac, out_ref, mass=None):
-    t = (word >> _S_BITS) & _T_MASK
+    t = (word >> _T_SHIFT) & _T_MASK
 
     # trash pairs (grid-padding entries past the real pair table) target
     # the extra trash tile; skip their one-hot/MXU work entirely — the
@@ -135,13 +149,16 @@ def _deposit_body(word, key, frac, out_ref, mass=None):
     # index maps all land on block 0, so no extra DMA traffic either.
     @pl.when(t < N_TILES)
     def _():
+        fam = (word >> _S_BITS) & 1
         row = key >> 7
         x = key & (LANE - 1)
         fx, fy, fz = _unpack_fracs(frac)
+        wz = jnp.where(fam == 1, fz, 1.0 - fz)
         # bf16 one-hots, f32 accumulation: 4x MXU rate; the CIC weights
         # round identically here and in the gather (same f32 fracs, same
         # cast), so deposit/gather stay symmetric (momentum conservation)
-        R, liota = _corner_onehots(row - t * T_ROWS, fy, fz, jnp.bfloat16)
+        R, liota = _family_onehot(row + fam * GRID - t * T_ROWS, fy, wz,
+                                  jnp.bfloat16)
         if mass is not None:
             # per-particle mass scales the row factor (bf16 columns)
             R = R * mass.astype(jnp.bfloat16)
@@ -178,12 +195,15 @@ def _gather_kernel(n_chunks, p_ref, key_ref, frac_ref, a_ref, out_ref):
     # consecutive trash pairs cost no DMA either)
     @pl.when(s < n_chunks)
     def _():
-        t = (word >> _S_BITS) & _T_MASK
+        t = (word >> _T_SHIFT) & _T_MASK
+        fam = (word >> _S_BITS) & 1
         key = key_ref[...]
         row = key >> 7
         x = key & (LANE - 1)
         fx, fy, fz = _unpack_fracs(frac_ref[...])
-        R, liota = _corner_onehots(row - t * T_ROWS, fy, fz, jnp.bfloat16)
+        wz = jnp.where(fam == 1, fz, 1.0 - fz)
+        R, liota = _family_onehot(row + fam * GRID - t * T_ROWS, fy, wz,
+                                  jnp.bfloat16)
         # C[c, l, p] = sum_r A[c, r, l] R[r, p]
         C = jax.lax.dot_general(
             a_ref[...], R, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -221,7 +241,7 @@ def _build_deposit(chunk: int, c_max: int, interpret: bool,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, T_ROWS, LANE),
-            lambda i, p: ((p[i] >> _S_BITS) & _T_MASK, 0, 0),
+            lambda i, p: ((p[i] >> _T_SHIFT) & _T_MASK, 0, 0),
             memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -256,7 +276,7 @@ def _build_gather(n_pad: int, chunk: int, c_max: int, interpret: bool):
             pl.BlockSpec((1, chunk), in_s, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk), in_s, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, T_ROWS, LANE),
-                         lambda i, p: (0, (p[i] >> _S_BITS) & _T_MASK, 0),
+                         lambda i, p: (0, (p[i] >> _T_SHIFT) & _T_MASK, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, chunk), lambda i, p: (0, p[i] & _S_MASK),
@@ -283,57 +303,74 @@ def _build_gather(n_pad: int, chunk: int, c_max: int, interpret: bool):
 def _deposit_table(key_s: jax.Array, n_pad: int, chunk: int):
     """Tile-major packed pair table: (pairs i32[c_max], c_max).
 
-    Tile t's output rows [t*T_ROWS, (t+1)*T_ROWS) receive corners from
-    particles with base row in [t*T_ROWS - SPREAD, (t+1)*T_ROWS), i.e. base
-    cell id in [lo*LANE, hi*LANE).
+    Per tile t, TWO windows (one per corner family), window id w = 2t+fam:
+    fam 0 (rows r, r+1) receives particles with base row in
+    [t*T_ROWS - 1, (t+1)*T_ROWS); fam 1 (rows r+GRID, r+GRID+1) receives
+    base rows in [t*T_ROWS - SPREAD, (t-1)*T_ROWS) — i.e. the fam-0 window
+    shifted down GRID rows. Splitting skips the dead zone between the two
+    corner-row pairs that a single contiguous window would cover. Base
+    cell id range = [lo*LANE, hi*LANE). Each window keeps >= 1 entry so
+    the fam-0 first-visit always exists to zero the tile.
     """
     n_chunks = n_pad // chunk
     n_iters = max(n_pad, 2).bit_length() + 1
-    t_idx = jnp.arange(N_TILES + 1, dtype=jnp.int32)
-    lo = jnp.maximum(t_idx * T_ROWS - SPREAD, 0) * LANE
-    hi = jnp.minimum((t_idx + 1) * T_ROWS, ROWS_TOTAL) * LANE
-    o = _bin_search(key_s, lo, side_right=False, n_iters=n_iters)[:-1]
-    end = _bin_search(key_s, hi, side_right=False, n_iters=n_iters)[:-1]
+    w_idx = jnp.arange(2 * N_TILES, dtype=jnp.int32)
+    t_w = w_idx >> 1
+    fam_w = w_idx & 1
+    lo_r = t_w * T_ROWS - jnp.where(fam_w == 1, SPREAD, 1)
+    hi_r = jnp.where(fam_w == 1, t_w - 1, t_w + 1) * T_ROWS
+    lo = jnp.clip(lo_r, 0, ROWS_TOTAL) * LANE
+    hi = jnp.maximum(jnp.clip(hi_r, 0, ROWS_TOTAL) * LANE, lo)
+    o = _bin_search(key_s, lo, side_right=False, n_iters=n_iters)
+    end = _bin_search(key_s, hi, side_right=False, n_iters=n_iters)
     a_blk = (o // chunk).astype(jnp.int32)
-    c_t = jnp.maximum(-(-(end - a_blk * chunk) // chunk), 1).astype(jnp.int32)
+    c_w = jnp.maximum(-(-(end - a_blk * chunk) // chunk), 1).astype(jnp.int32)
     base = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(c_t).astype(jnp.int32)])
-    # static bound: each particle's lookback window spans <= 3 extra tiles
-    c_max = 4 * n_chunks + 2 * N_TILES + 2
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(c_w).astype(jnp.int32)])
+    # static bound: a particle lands in <= 2 windows per family (65-row
+    # windows overlap 1 row), + ceil/alignment slack of 2 per window
+    c_max = 4 * n_chunks + 4 * N_TILES + 2
     kk = jnp.arange(c_max, dtype=jnp.int32)
-    t_k = (_bin_search(base, kk, side_right=True,
-                       n_iters=(N_TILES + 2).bit_length() + 1)
+    w_k = (_bin_search(base, kk, side_right=True,
+                       n_iters=(2 * N_TILES + 2).bit_length() + 1)
            .astype(jnp.int32) - 1)
-    t_k = jnp.clip(t_k, 0, N_TILES)           # N_TILES == trash tile
-    real = t_k < N_TILES
-    t_safe = jnp.minimum(t_k, N_TILES - 1)
-    s_k = jnp.where(real, a_blk[t_safe] + (kk - base[t_safe]), 0)
+    w_k = jnp.clip(w_k, 0, 2 * N_TILES)       # 2*N_TILES == trash
+    real = w_k < 2 * N_TILES
+    w_safe = jnp.minimum(w_k, 2 * N_TILES - 1)
+    s_k = jnp.where(real, a_blk[w_safe] + (kk - base[w_safe]), 0)
     s_k = jnp.clip(s_k, 0, n_chunks - 1)
-    first_k = jnp.where(real, kk == base[t_safe], True)
-    return _pack_pairs(t_k, s_k, first_k), c_max
+    t_k = jnp.where(real, w_k >> 1, N_TILES)  # N_TILES == trash tile
+    fam_k = w_k & 1
+    # zero the tile on its first entry = first entry of its fam-0 window
+    first_k = jnp.where(real, (kk == base[w_safe]) & (fam_k == 0), True)
+    return _pack_pairs(t_k, fam_k, s_k, first_k), c_max
 
 
 def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
     """Chunk-major packed pair table: (pairs i32[c_max], c_max).
 
-    For each chunk-aligned slice, the contiguous range of grid tiles its
-    particles' corner rows touch. Slice-major order keeps the output block
-    index non-decreasing (required for revisit accumulation)."""
+    For each chunk-aligned slice: the range of grid tiles its fam-0
+    corner rows (r, r+1) touch, then the fam-1 range (r+GRID, r+GRID+1 —
+    the same range shifted +GRID/T_ROWS = 2 tiles). Splitting skips the
+    dead tiles between the two corner-row pairs of row-compact (dense)
+    slices. Slice-major order keeps the output block index non-decreasing
+    (required for revisit accumulation)."""
     n_chunks = n_pad // chunk
     row_first = key_s[0::chunk] >> 7                       # (n_chunks,)
     row_last = key_s[chunk - 1::chunk] >> 7
     t_lo = jnp.clip(row_first // T_ROWS, 0, N_TILES - 1).astype(jnp.int32)
-    t_hi = jnp.clip((row_last + SPREAD) // T_ROWS, 0,
+    t_hi = jnp.clip((row_last + 1) // T_ROWS, 0,
                     N_TILES - 1).astype(jnp.int32)
     t_hi = jnp.maximum(t_hi, t_lo)
-    counts = (t_hi - t_lo + 1).astype(jnp.int32)
+    c_fam = (t_hi - t_lo + 1).astype(jnp.int32)            # per family
     base = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(2 * c_fam).astype(jnp.int32)])
     total = base[-1]
-    # counts_s <= [tile(row_last) - tile(row_first)] + 1 + ceil(SPREAD/T_ROWS)
-    # and the spans telescope (keys sorted: first(s+1) >= last(s)), so
-    # sum <= N_TILES + n_chunks + 3*n_chunks
-    c_max = 4 * n_chunks + N_TILES + 2
+    # per family: spans telescope (keys sorted: first(s+1) >= last(s), so
+    # consecutive spans overlap <= 1 tile) => sum c_fam <= 2*n_chunks +
+    # N_TILES; two families double it
+    c_max = 4 * n_chunks + 2 * N_TILES + 2
     kk = jnp.arange(c_max, dtype=jnp.int32)
     s_k = (_bin_search(base, kk, side_right=True,
                        n_iters=max(n_chunks + 2, 2).bit_length() + 1)
@@ -341,11 +378,21 @@ def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
     s_k = jnp.clip(s_k, 0, n_chunks)          # n_chunks == trash block
     real = kk < total
     s_safe = jnp.minimum(s_k, n_chunks - 1)
-    t_k = jnp.where(real, t_lo[s_safe] + (kk - base[s_safe]), 0)
-    t_k = jnp.clip(t_k, 0, N_TILES - 1)
+    off = kk - base[s_safe]
+    fam_k = jnp.where(real & (off >= c_fam[s_safe]), 1, 0)
+    t_raw = t_lo[s_safe] + off - fam_k * (c_fam[s_safe] - 2)
+    # fam-1 tiles t_lo+2..t_hi+2 overflow past the last tile for slices
+    # whose clipped fam-0 span already ends at N_TILES-1 (sentinel rows).
+    # Clipping would duplicate tile N_TILES-1 and double-count its
+    # corners; redirect overflow to (tile 0, fam 1) instead — that window
+    # wants base rows in [-GRID, T_ROWS-GRID), which no particle has, so
+    # the pair contributes exactly nothing.
+    overflow = t_raw > N_TILES - 1
+    t_k = jnp.where(real & ~overflow, t_raw, 0)
+    fam_k = jnp.where(overflow, 1, fam_k)
     s_k = jnp.where(real, s_k, n_chunks)
     first_k = jnp.where(real, kk == base[s_safe], kk == total)
-    return _pack_pairs(t_k, s_k, first_k), c_max
+    return _pack_pairs(t_k, fam_k, s_k, first_k), c_max
 
 
 # ---------------------------------------------------------------------------
@@ -422,10 +469,22 @@ def pm_gather_sorted(grids: jax.Array, key_s: jax.Array, frac_s: jax.Array,
     gat = _build_gather(n, chunk, c_max_g, interpret)
     acc_sorted = gat(pairs, key_s.reshape(1, -1), frac_s.reshape(1, -1),
                      a_tiles)[:, :n]
-    # un-sort via a second key sort on the carried original index
-    _, ax, ay, az = jax.lax.sort(
-        (idx_s, acc_sorted[0], acc_sorted[1], acc_sorted[2]), num_keys=1)
-    return jnp.stack([ax, ay, az])
+    # un-sort via a second key sort on the carried original index; pack
+    # the three accelerations into two words of bf16 pairs so the sort
+    # moves 3 words/particle instead of 4 (see module docstring, item 4)
+    u = jax.lax.bitcast_convert_type(
+        acc_sorted.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    w0 = ((u[0] << 16) | u[1]).astype(jnp.int32)
+    w1 = (u[2] << 16).astype(jnp.int32)
+    _, w0s, w1s = jax.lax.sort((idx_s, w0, w1), num_keys=1)
+
+    def _unpack(bits16):
+        return jax.lax.bitcast_convert_type(
+            bits16.astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+
+    w0s = w0s.astype(jnp.uint32)
+    return jnp.stack([_unpack(w0s >> 16), _unpack(w0s & 0xFFFF),
+                      _unpack(w1s.astype(jnp.uint32) >> 16)])
 
 
 def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
