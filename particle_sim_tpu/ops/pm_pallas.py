@@ -26,11 +26,18 @@ steps with the sorted one-hot-matmul machinery proven by the rasterizer
      reduction applies L — trilinear interpolation of all 8 corners in one
      matmul (bf16 inputs, f32 accumulation).
   4. Un-sort is a second ``lax.sort`` keyed on the carried original index
-     (cheaper than a random-access take). The sort is bandwidth-bound in
-     payload words, so the three f32 accelerations ride as TWO i32 words
-     of packed bf16 pairs — in-family precision, since the gather already
-     reads bf16 grids (bf16 range also survives pathological mass
-     concentrations that would overflow f16).
+     (cheaper than a random-access take). Sort cost is ~41 ms for the
+     16M comparator network + ~13.5 ms per 32-bit operand (measured), so
+     the three f32 accelerations ride in TWO words instead of four: a
+     shared-exponent pack (exponent of the largest |component| + three
+     11-bit signed mantissas = 40 bits) split between the sort key's low
+     8 bits — the key is idx << 8, so low bits never disturb the order —
+     and one i32 payload. Dominant-component precision is 2^-10 (finer
+     than the bf16 grids the gather reads); smaller components quantize
+     to the same absolute step, which is exactly the error scale bf16
+     already set; magnitudes outside [2^-63, 2^64] flush to zero /
+     saturate. Caveat: a non-finite acceleration would decode as a large
+     finite value — the jnp reference path is the debugging surface.
 
 The spectral solve between the two kernels is shared with ops/pm.py.
 Requires grid == 128 (the lane decomposition); any-grid falls back to the
@@ -469,22 +476,38 @@ def pm_gather_sorted(grids: jax.Array, key_s: jax.Array, frac_s: jax.Array,
     gat = _build_gather(n, chunk, c_max_g, interpret)
     acc_sorted = gat(pairs, key_s.reshape(1, -1), frac_s.reshape(1, -1),
                      a_tiles)[:, :n]
-    # un-sort via a second key sort on the carried original index; pack
-    # the three accelerations into two words of bf16 pairs so the sort
-    # moves 3 words/particle instead of 4 (see module docstring, item 4)
-    u = jax.lax.bitcast_convert_type(
-        acc_sorted.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-    w0 = ((u[0] << 16) | u[1]).astype(jnp.int32)
-    w1 = (u[2] << 16).astype(jnp.int32)
-    _, w0s, w1s = jax.lax.sort((idx_s, w0, w1), num_keys=1)
-
-    def _unpack(bits16):
-        return jax.lax.bitcast_convert_type(
-            bits16.astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
-
-    w0s = w0s.astype(jnp.uint32)
-    return jnp.stack([_unpack(w0s >> 16), _unpack(w0s & 0xFFFF),
-                      _unpack(w1s.astype(jnp.uint32) >> 16)])
+    # un-sort via a second key sort on the carried original index; the
+    # three accelerations ride as a 40-bit shared-exponent pack split
+    # between the key's low 8 bits and ONE i32 payload (docstring item 4):
+    #   key  = idx<<8 | e7<<1 | mx bit 10      (uint32; order = idx order)
+    #   pay  = mx low 10 | my 11 | mz 11
+    # with e7 = clip(max biased exponent - 64, 0, 127) and mantissas
+    # m = round(a * 2^(72 - e7)) + 1024 in [1, 2047] (11-bit biased).
+    if n > (1 << 24):
+        # idx<<8 needs a 24-bit index; beyond that, plain f32 payloads
+        _, ax, ay, az = jax.lax.sort(
+            (idx_s, acc_sorted[0], acc_sorted[1], acc_sorted[2]),
+            num_keys=1)
+        return jnp.stack([ax, ay, az])
+    bits = jax.lax.bitcast_convert_type(acc_sorted, jnp.uint32)
+    e7 = jnp.clip(((bits >> 23) & 0xFF).max(axis=0).astype(jnp.int32) - 64,
+                  0, 127)
+    inv = jax.lax.bitcast_convert_type(
+        ((199 - e7) << 23).astype(jnp.uint32), jnp.float32)   # 2^(72-e7)
+    m = (jnp.clip(jnp.round(acc_sorted * inv), -1023, 1023)
+         .astype(jnp.int32) + 1024).astype(jnp.uint32)        # (3, n)
+    key = ((idx_s.astype(jnp.uint32) << 8)
+           | (e7.astype(jnp.uint32) << 1) | (m[0] >> 10))
+    pay = ((m[0] & 0x3FF) << 22) | (m[1] << 11) | m[2]
+    k_s, p_s = jax.lax.sort((key, pay), num_keys=1)
+    e7_s = ((k_s >> 1) & 127).astype(jnp.int32)
+    scale = jax.lax.bitcast_convert_type(
+        ((e7_s + 55) << 23).astype(jnp.uint32), jnp.float32)  # 2^(e7-72)
+    mx = ((k_s & 1) << 10) | (p_s >> 22)
+    my = (p_s >> 11) & 0x7FF
+    mz = p_s & 0x7FF
+    q = jnp.stack([mx, my, mz]).astype(jnp.int32) - 1024
+    return q.astype(jnp.float32) * scale
 
 
 def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
