@@ -1,0 +1,336 @@
+"""TPU merge-path sort: blocked ``lax.sort`` base + Pallas merge rounds.
+
+XLA's global variadic sort at 16M elements costs ~41 ms for the comparator
+network alone plus ~13.5 ms per 32-bit operand (measured, v5e) — it streams
+HBM on every long-distance compare-exchange stage. But the SAME lax.sort
+over independent 8K blocks (``dimension=-1`` on a (n_blocks, 8192) view)
+runs 3.7x faster, because each block sorts VMEM-resident. This module keeps
+that fast blocked sort as the base and replaces the expensive global stages
+with log2(N/8192) Pallas merge rounds that each stream HBM exactly once:
+
+  1. Base: ``lax.sort`` over (N/8192, 8192) blocks — 8K-element sorted runs.
+  2. Round r merges run pairs of length L = 8192*2^r with the classic
+     merge-path decomposition: the output is cut into SEG=8192-element
+     segments, and a vectorized XLA bisection finds every segment's exact
+     half-open consumption windows [a_lo, a_hi) in the A run and
+     [b_lo, b_hi) in the B run ((a_hi-a_lo) + (b_hi-b_lo) = SEG). Each
+     Pallas grid step DMAs one row-aligned SEG-window from each side,
+     rotates to the exact element offset (seven static power-of-two
+     shifts selected by the offset's bits — no dynamic lane slicing),
+     masks everything at or past the window end to the key maximum, and
+     bitonic-merges ascending-A against reversed-B entirely in VMEM
+     (seven sublane-distance stages + seven lane-distance stages, all
+     static rolls; comparisons are lexicographic on (key, padding-flag)
+     so real key-max elements keep their payloads ahead of the padding).
+     Because the windows hold EXACTLY the segment's elements (plus
+     padding), the first SEG merged values ARE the output segment — a
+     static slice, robust to duplicate keys.
+
+  Per round that is one read + one write of the data plus a compute-bound
+  VMEM merge — O(N log(N/8192)) HBM traffic instead of the comparator
+  network's O(N log^2 N). All rounds share ONE compiled kernel: the
+  window bounds arrive as scalar-prefetch arrays, not constants.
+
+Requirements: 1-D operands, N a power-of-2 multiple of 8192, key dtype
+u32/i32, 32-bit payloads; ``sort`` falls back to ``jax.lax.sort``
+otherwise. NOT stable across equal keys (the PM pipeline never relies on
+within-cell order; the un-sort keys are unique).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+SEG = 8192                       # merge segment / base block (elements)
+SEG_ROWS = SEG // LANE           # 64
+WIN_ROWS = SEG_ROWS + 1          # one slack row for the rotation
+
+
+def _maxval(dtype) -> int:
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.uint32:
+        return 0xFFFFFFFF
+    if dtype == jnp.int32:
+        return 0x7FFFFFFF
+    raise ValueError(f"unsupported key dtype {dtype}")
+
+
+# ---------------------------------------------------------------------------
+# XLA-side merge-path partition search
+# ---------------------------------------------------------------------------
+
+def _partitions(key: jax.Array, run_len: int):
+    """(a_lo, b_lo, a_hi, b_hi): i32[n_seg] ABSOLUTE element windows.
+
+    Segment j (merged output [j*SEG, (j+1)*SEG)) of run pair
+    p = j*SEG // (2L) consumes A = key[base, base+L) on [a_lo, a_hi) and
+    B = key[base+L, base+2L) on [b_lo, b_hi). The split ia at offset
+    o = j*SEG - p*2L is the LAST value in [max(0,o-L), min(o,L)] with
+    A[ia-1] <= B[o-ia] (ties consume A first), found by fixed-iteration
+    bisection on that monotone predicate; the j+1 split (or the run ends,
+    at a pair boundary) closes the windows.
+    """
+    n = key.shape[0]
+    L = run_len
+    n_seg = n // SEG
+    j = jnp.arange(n_seg, dtype=jnp.int32)
+    base = (j * SEG // (2 * L)) * (2 * L)
+    o = j * SEG - base
+
+    def split(o_, base_):
+        lo = jnp.maximum(o_ - L, 0)
+        hi = jnp.minimum(o_, L)
+
+        def pred(ia):
+            a = key[jnp.clip(base_ + ia - 1, 0, n - 1)]
+            b = key[jnp.clip(base_ + L + o_ - ia, 0, n - 1)]
+            return (ia <= jnp.maximum(o_ - L, 0)) | (a <= b)
+
+        for _ in range(max(L, 2).bit_length() + 1):
+            mid = (lo + hi + 1) // 2
+            ok = pred(mid)
+            lo = jnp.where(ok, mid, lo)
+            hi = jnp.where(ok, hi, mid - 1)
+        return lo
+
+    ia = split(o, base)
+    # closing split: the same pair's next segment, or the run ends
+    last_in_pair = o + SEG >= 2 * L
+    ia_next = jnp.where(last_in_pair, L, split(o + SEG, base))
+    a_lo = base + ia
+    b_lo = base + L + (o - ia)
+    a_hi = base + ia_next
+    b_hi = base + L + jnp.where(last_in_pair, L, o + SEG - ia_next)
+    return a_lo, b_lo, a_hi, b_hi
+
+
+# ---------------------------------------------------------------------------
+# kernel helpers (static-shape, static-shift vector ops only)
+# ---------------------------------------------------------------------------
+
+def _roll(x, shift, axis):
+    return pltpu.roll(x, shift % x.shape[axis], axis)
+
+
+def _shift_left(x, amt):
+    """Row-major 1-D left shift by static amt in [1, LANE) of (R, LANE)."""
+    xl = _roll(x, -amt, 1)
+    carry = _roll(xl, -1, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < LANE - amt, xl, carry)
+
+
+def _rotate_words(words, delta):
+    """1-D left-rotate each (WIN_ROWS, LANE) word by traced delta < LANE."""
+    out = []
+    for x in words:
+        for b in range(7):
+            bit = (delta >> b) & 1
+            x = jnp.where(bit == 1, _shift_left(x, 1 << b), x)
+        out.append(x)
+    return out
+
+
+def _flip(x):
+    """Full reverse of a (SEG_ROWS, LANE) block (rows then lanes)."""
+    return jnp.flip(jnp.flip(x, axis=0), axis=1)
+
+
+def _merge_stage(k, inval, ps, dist, axis, iota):
+    """One bitonic compare-exchange stage at power-of-two ``dist``.
+
+    Comparisons are lexicographic on (key, inval): window padding rides
+    with inval=1 so it sorts strictly AFTER real elements whose key
+    happens to equal the key maximum (their payloads must survive).
+    """
+    kl = _roll(k, dist, axis)
+    kr = _roll(k, -dist, axis)
+    il = _roll(inval, dist, axis)
+    ir = _roll(inval, -dist, axis)
+    hi_slot = (iota & dist) != 0
+    swap = jnp.where(hi_slot,
+                     (kl > k) | ((kl == k) & (il > inval)),
+                     (k > kr) | ((k == kr) & (inval > ir)))
+    k = jnp.where(swap, jnp.where(hi_slot, kl, kr), k)
+    inval = jnp.where(swap, jnp.where(hi_slot, il, ir), inval)
+    nps = []
+    for p in ps:
+        pl_ = _roll(p, dist, axis)
+        pr_ = _roll(p, -dist, axis)
+        nps.append(jnp.where(swap, jnp.where(hi_slot, pl_, pr_), p))
+    return k, inval, nps
+
+
+def _merge_window(ka, ia_flag, pa, kb, ib_flag, pb):
+    """Bitonic-merge two ascending (SEG_ROWS, LANE) windows; return the
+    ascending first-SEG half (key + payloads)."""
+    k = jnp.concatenate([ka, _flip(kb)], axis=0)     # (2*SEG_ROWS, LANE)
+    inval = jnp.concatenate([ia_flag, _flip(ib_flag)], axis=0)
+    ps = [jnp.concatenate([a, _flip(b)], axis=0) for a, b in zip(pa, pb)]
+    rows = 2 * SEG_ROWS
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0)
+    dr = rows // 2
+    while dr >= 1:                                   # element dist SEG..LANE
+        k, inval, ps = _merge_stage(k, inval, ps, dr, 0, riota)
+        dr //= 2
+    liota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+    d = LANE // 2
+    while d >= 1:                                    # element dist 64..1
+        k, inval, ps = _merge_stage(k, inval, ps, d, 1, liota)
+        d //= 2
+    return k[:SEG_ROWS], [p[:SEG_ROWS] for p in ps]
+
+
+# ---------------------------------------------------------------------------
+# merge-round kernel (shared by every round: bounds are prefetched)
+# ---------------------------------------------------------------------------
+
+def _round_kernel(n_real: int, n_words: int, maxval,
+                  alo_ref, blo_ref, ahi_ref, bhi_ref, *refs):
+    ins = refs[:n_words]
+    outs = refs[n_words:2 * n_words]
+    sa = refs[2 * n_words:3 * n_words]
+    sb = refs[3 * n_words:4 * n_words]
+    sem = refs[4 * n_words]
+
+    j = pl.program_id(0)
+    n_seg = n_real // SEG
+
+    @pl.when(j == n_seg)
+    def _():
+        # rewrite the key-max pad segment of the (padded) output buffers
+        outs[0][...] = jnp.full((SEG_ROWS, LANE), maxval, outs[0].dtype)
+        for w in range(1, n_words):
+            outs[w][...] = jnp.zeros((SEG_ROWS, LANE), outs[w].dtype)
+
+    @pl.when(j < n_seg)
+    def _():
+        a_lo = alo_ref[j]
+        b_lo = blo_ref[j]
+        a_row = a_lo // LANE
+        b_row = b_lo // LANE
+
+        for w in range(n_words):
+            pltpu.make_async_copy(
+                ins[w].at[pl.ds(a_row, WIN_ROWS), :], sa[w],
+                sem.at[2 * w]).start()
+            pltpu.make_async_copy(
+                ins[w].at[pl.ds(b_row, WIN_ROWS), :], sb[w],
+                sem.at[2 * w + 1]).start()
+        for w in range(n_words):
+            pltpu.make_async_copy(
+                ins[w].at[pl.ds(a_row, WIN_ROWS), :], sa[w],
+                sem.at[2 * w]).wait()
+            pltpu.make_async_copy(
+                ins[w].at[pl.ds(b_row, WIN_ROWS), :], sb[w],
+                sem.at[2 * w + 1]).wait()
+
+        a_words = _rotate_words([sa[w][...] for w in range(n_words)],
+                                a_lo - a_row * LANE)
+        b_words = _rotate_words([sb[w][...] for w in range(n_words)],
+                                b_lo - b_row * LANE)
+        a_words = [x[:SEG_ROWS] for x in a_words]
+        b_words = [x[:SEG_ROWS] for x in b_words]
+
+        # mask to the EXACT half-open windows: the two windows then hold
+        # precisely the segment's elements + key-max padding, so the
+        # merged first SEG is the segment regardless of duplicate keys
+        flat = (jax.lax.broadcasted_iota(jnp.int32, (SEG_ROWS, LANE), 0)
+                * LANE
+                + jax.lax.broadcasted_iota(jnp.int32, (SEG_ROWS, LANE), 1))
+        mv = jnp.asarray(maxval, a_words[0].dtype)
+        inval_a = a_lo + flat >= ahi_ref[j]
+        inval_b = b_lo + flat >= bhi_ref[j]
+        ka = jnp.where(inval_a, mv, a_words[0])
+        kb = jnp.where(inval_b, mv, b_words[0])
+
+        k, ps = _merge_window(ka, inval_a.astype(jnp.int32), a_words[1:],
+                              kb, inval_b.astype(jnp.int32), b_words[1:])
+        outs[0][...] = k
+        for w in range(1, n_words):
+            outs[w][...] = ps[w - 1]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_round(n_real: int, n_words: int, key_dtype_name: str,
+                 dtypes: tuple, interpret: bool):
+    maxval = _maxval(key_dtype_name)
+    n_seg = n_real // SEG
+    grid = n_seg + 1                     # +1 rewrites the pad segment
+
+    kernel = functools.partial(_round_kernel, n_real, n_words, maxval)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,           # a_lo, b_lo, a_hi, b_hi
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_words,
+        out_specs=[
+            pl.BlockSpec((SEG_ROWS, LANE), lambda j, *_: (j, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_words)],
+        scratch_shapes=(
+            [pltpu.VMEM((WIN_ROWS, LANE), jnp.dtype(d)) for d in dtypes]
+            + [pltpu.VMEM((WIN_ROWS, LANE), jnp.dtype(d)) for d in dtypes]
+            + [pltpu.SemaphoreType.DMA((2 * n_words,))]),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid * SEG_ROWS, LANE), jnp.dtype(d))
+            for d in dtypes],
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+def can_fast_sort(n: int) -> bool:
+    blocks = n // SEG
+    return n >= 2 * SEG and n % SEG == 0 and blocks & (blocks - 1) == 0
+
+
+def sort(operands, num_keys: int = 1, *, interpret: bool = False):
+    """Drop-in for ``jax.lax.sort(operands, num_keys=1)`` on 1-D u32/i32
+    keys with 32-bit payloads; falls back to ``lax.sort`` when the shape
+    or dtypes don't fit the fast path. NOT stable."""
+    operands = tuple(operands)
+    key = operands[0]
+    n = key.shape[0]
+    if (num_keys != 1 or key.ndim != 1
+            or key.dtype not in (jnp.uint32, jnp.int32)
+            or not can_fast_sort(n)
+            or any(o.ndim != 1 or o.dtype.itemsize != 4 for o in operands)):
+        return jax.lax.sort(operands, num_keys=num_keys)
+
+    maxval = _maxval(key.dtype)
+    n_words = len(operands)
+    dtypes = tuple(str(o.dtype) for o in operands)
+
+    # base: independent SEG-block sorts (VMEM-resident inside XLA)
+    blocked = tuple(o.reshape(n // SEG, SEG) for o in operands)
+    ops = [o.reshape(-1)
+           for o in jax.lax.sort(blocked, num_keys=1, dimension=-1)]
+
+    # one key-max pad segment so window reads past n stay monotone; the
+    # kernel's extra grid step rewrites it in every round's output
+    ops = [jnp.concatenate(
+        [o, jnp.full((SEG,), maxval if w == 0 else 0, o.dtype)])
+        for w, o in enumerate(ops)]
+
+    call = _build_round(n, n_words, str(key.dtype), dtypes, interpret)
+    L = SEG
+    while L < n:
+        bounds = _partitions(ops[0][:n], L)
+        outs = call(*bounds, *[o.reshape(-1, LANE) for o in ops])
+        ops = [o.reshape(-1) for o in outs]
+        L *= 2
+    return tuple(o[:n] for o in ops)
