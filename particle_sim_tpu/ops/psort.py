@@ -4,11 +4,14 @@ XLA's global variadic sort at 16M elements costs ~41 ms for the comparator
 network alone plus ~13.5 ms per 32-bit operand (measured, v5e) — it streams
 HBM on every long-distance compare-exchange stage. But the SAME lax.sort
 over independent 8K blocks (``dimension=-1`` on a (n_blocks, 8192) view)
-runs 3.7x faster, because each block sorts VMEM-resident. This module keeps
-that fast blocked sort as the base and replaces the expensive global stages
+runs 3.7x faster, because each block sorts VMEM-resident — and a Pallas
+bitonic block sort goes further still by keeping the block in VMEM across
+ALL of its 91 stages instead of re-streaming per stage. This module sorts
+8K blocks in one Pallas kernel, then replaces the expensive global stages
 with log2(N/8192) Pallas merge rounds that each stream HBM exactly once:
 
-  1. Base: ``lax.sort`` over (N/8192, 8192) blocks — 8K-element sorted runs.
+  1. Base: a full bitonic sort of every 8K block (13 phases, 91
+     compare-exchange stages, one kernel launch, one HBM read + write).
   2. Round r merges run pairs of length L = 8192*2^r with the classic
      merge-path decomposition: the output is cut into SEG=8192-element
      segments, and a vectorized XLA bisection finds every segment's exact
@@ -142,23 +145,38 @@ def _flip(x):
     return jnp.flip(jnp.flip(x, axis=0), axis=1)
 
 
-def _merge_stage(k, inval, ps, dist, axis, iota):
+def _merge_stage(k, inval, ps, dist, axis, iota, desc=None):
     """One bitonic compare-exchange stage at power-of-two ``dist``.
 
-    Comparisons are lexicographic on (key, inval): window padding rides
-    with inval=1 so it sorts strictly AFTER real elements whose key
-    happens to equal the key maximum (their payloads must survive).
+    Positions pair up as (i, i XOR dist): on a power-of-two lattice the
+    circular roll value is only USED where it equals the XOR partner
+    (bit-d clear => i+d doesn't wrap; bit-d set => i-d doesn't borrow),
+    so plain rolls implement the network exactly. Comparisons are
+    lexicographic on (key, inval): window padding rides with inval=1 so
+    it sorts strictly AFTER real elements whose key happens to equal the
+    key maximum (their payloads must survive). ``desc`` flips the
+    exchange direction where True (full bitonic sort phases); None means
+    all-ascending (merge).
     """
     kl = _roll(k, dist, axis)
     kr = _roll(k, -dist, axis)
-    il = _roll(inval, dist, axis)
-    ir = _roll(inval, -dist, axis)
     hi_slot = (iota & dist) != 0
-    swap = jnp.where(hi_slot,
-                     (kl > k) | ((kl == k) & (il > inval)),
-                     (k > kr) | ((k == kr) & (inval > ir)))
+    if inval is None:
+        gt_l, gt_r = kl > k, k > kr
+        lt_l, lt_r = kl < k, k < kr
+    else:
+        il = _roll(inval, dist, axis)
+        ir = _roll(inval, -dist, axis)
+        gt_l = (kl > k) | ((kl == k) & (il > inval))
+        gt_r = (k > kr) | ((k == kr) & (inval > ir))
+        lt_l = (kl < k) | ((kl == k) & (il < inval))
+        lt_r = (k < kr) | ((k == kr) & (inval < ir))
+    swap = jnp.where(hi_slot, gt_l, gt_r)
+    if desc is not None:
+        swap = jnp.where(desc, jnp.where(hi_slot, lt_l, lt_r), swap)
     k = jnp.where(swap, jnp.where(hi_slot, kl, kr), k)
-    inval = jnp.where(swap, jnp.where(hi_slot, il, ir), inval)
+    if inval is not None:
+        inval = jnp.where(swap, jnp.where(hi_slot, il, ir), inval)
     nps = []
     for p in ps:
         pl_ = _roll(p, dist, axis)
@@ -186,6 +204,62 @@ def _merge_window(ka, ia_flag, pa, kb, ib_flag, pb):
         k, inval, ps = _merge_stage(k, inval, ps, d, 1, liota)
         d //= 2
     return k[:SEG_ROWS], [p[:SEG_ROWS] for p in ps]
+
+
+# ---------------------------------------------------------------------------
+# base: full bitonic sort of one SEG block, VMEM-resident
+# ---------------------------------------------------------------------------
+
+def _block_sort_kernel(n_words, *refs):
+    """Bitonic sort of an 8K block laid out (SEG_ROWS, LANE) row-major.
+
+    91 compare-exchange stages (13 phases), all VMEM-resident — replaces
+    the XLA batched base sort, which re-streams the block per stage.
+    Phase directions come from bit log2(size) of the flat element index.
+    """
+    ins = refs[:n_words]
+    outs = refs[n_words:]
+    k = ins[0][...]
+    ps = [ins[w][...] for w in range(1, n_words)]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (SEG_ROWS, LANE), 0)
+    liota = jax.lax.broadcasted_iota(jnp.int32, (SEG_ROWS, LANE), 1)
+    flat = riota * LANE + liota
+
+    size = 2
+    while size <= SEG:
+        desc = (flat & size) != 0          # all-False on the final phase
+        d = size // 2
+        while d >= 1:
+            if d >= LANE:
+                k, _, ps = _merge_stage(k, None, ps, d // LANE, 0, riota,
+                                        desc=desc)
+            else:
+                k, _, ps = _merge_stage(k, None, ps, d, 1, liota,
+                                        desc=desc)
+            d //= 2
+        size *= 2
+
+    outs[0][...] = k
+    for w in range(1, n_words):
+        outs[w][...] = ps[w - 1]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_block_sort(n_blocks: int, n_words: int, dtypes: tuple,
+                      interpret: bool):
+    kernel = functools.partial(_block_sort_kernel, n_words)
+    spec = [pl.BlockSpec((SEG_ROWS, LANE), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM) for _ in range(n_words)]
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=spec,
+        out_specs=spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * SEG_ROWS, LANE), jnp.dtype(d))
+            for d in dtypes],
+        interpret=interpret,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -315,10 +389,10 @@ def sort(operands, num_keys: int = 1, *, interpret: bool = False):
     n_words = len(operands)
     dtypes = tuple(str(o.dtype) for o in operands)
 
-    # base: independent SEG-block sorts (VMEM-resident inside XLA)
-    blocked = tuple(o.reshape(n // SEG, SEG) for o in operands)
+    # base: independent SEG-block bitonic sorts, fully VMEM-resident
+    base = _build_block_sort(n // SEG, n_words, dtypes, interpret)
     ops = [o.reshape(-1)
-           for o in jax.lax.sort(blocked, num_keys=1, dimension=-1)]
+           for o in base(*[o.reshape(-1, LANE) for o in operands])]
 
     # one key-max pad segment so window reads past n stay monotone; the
     # kernel's extra grid step rewrites it in every round's output
