@@ -1,43 +1,35 @@
-"""TPU merge-path sort: blocked ``lax.sort`` base + Pallas merge rounds.
+"""EXPERIMENT: merge-path sort — measured SLOWER than lax.sort; not wired.
 
-XLA's global variadic sort at 16M elements costs ~41 ms for the comparator
-network alone plus ~13.5 ms per 32-bit operand (measured, v5e) — it streams
-HBM on every long-distance compare-exchange stage. But the SAME lax.sort
-over independent 8K blocks (``dimension=-1`` on a (n_blocks, 8192) view)
-runs 3.7x faster, because each block sorts VMEM-resident — and a Pallas
-bitonic block sort goes further still by keeping the block in VMEM across
-ALL of its 91 stages instead of re-streaming per stage. This module sorts
-8K blocks in one Pallas kernel, then replaces the expensive global stages
-with log2(N/8192) Pallas merge rounds that each stream HBM exactly once:
+Hypothesis: XLA's global variadic sort at 16M elements (~41 ms comparator
+network + ~13.5 ms per 32-bit operand, v5e) is HBM-traffic-bound on its
+long-distance compare-exchange stages, so a two-layer Pallas design that
+streams HBM once per merge round should win:
 
-  1. Base: a full bitonic sort of every 8K block (13 phases, 91
-     compare-exchange stages, one kernel launch, one HBM read + write).
-  2. Round r merges run pairs of length L = 8192*2^r with the classic
-     merge-path decomposition: the output is cut into SEG=8192-element
-     segments, and a vectorized XLA bisection finds every segment's exact
-     half-open consumption windows [a_lo, a_hi) in the A run and
-     [b_lo, b_hi) in the B run ((a_hi-a_lo) + (b_hi-b_lo) = SEG). Each
-     Pallas grid step DMAs one row-aligned SEG-window from each side,
-     rotates to the exact element offset (seven static power-of-two
-     shifts selected by the offset's bits — no dynamic lane slicing),
-     masks everything at or past the window end to the key maximum, and
-     bitonic-merges ascending-A against reversed-B entirely in VMEM
-     (seven sublane-distance stages + seven lane-distance stages, all
-     static rolls; comparisons are lexicographic on (key, padding-flag)
-     so real key-max elements keep their payloads ahead of the padding).
-     Because the windows hold EXACTLY the segment's elements (plus
-     padding), the first SEG merged values ARE the output segment — a
-     static slice, robust to duplicate keys.
+  1. Base: a full bitonic sort of every SEG=32K block (15 phases, 120
+     compare-exchange stages, VMEM-resident, one HBM read + write).
+  2. log2(N/SEG) merge rounds: merge-path windows (exact per-segment
+     consumption ranges found by a vectorized XLA bisection, delivered
+     as scalar-prefetch bounds), 8-row-aligned window DMAs, a 10-bit
+     static-shift rotation ladder to the exact element offset, and a
+     VMEM bitonic merge with (key, padding-flag) lexicographic
+     comparators so duplicate key-max elements keep their payloads.
 
-  Per round that is one read + one write of the data plus a compute-bound
-  VMEM merge — O(N log(N/8192)) HBM traffic instead of the comparator
-  network's O(N log^2 N). All rounds share ONE compiled kernel: the
-  window bounds arrive as scalar-prefetch arrays, not constants.
+Measured on v5e at 16M (3-word forward-sort shape / 2-word un-sort
+shape): psort 95.2 / 74.1 ms vs lax.sort 68.0 / 55.0 ms. Breakdown:
+base 28.1 ms, merge round 13.4 ms x 9 (4.8 ms of that is the partition
+bisection's ~34 dependent micro-launches). The hypothesis is WRONG:
+TPU sorts are shuffle-COMPUTE-bound, not traffic-bound — every
+compare-exchange costs cross-lane/sublane rolls, and Mosaic rolls are
+no faster than the shuffles XLA's own sort network emits, so the HBM
+savings never materialize. The PM pipeline therefore keeps lax.sort
+(ops/pm_pallas.pm_sort); this module stays as a correct, tested record
+of the experiment and its cost model.
 
-Requirements: 1-D operands, N a power-of-2 multiple of 8192, key dtype
-u32/i32, 32-bit payloads; ``sort`` falls back to ``jax.lax.sort``
-otherwise. NOT stable across equal keys (the PM pipeline never relies on
-within-cell order; the un-sort keys are unique).
+Correct and parity-tested (tests/test_psort.py, interpret + real TPU):
+1-D operands >= 2*SEG elements, u32/i32 keys, 32-bit payloads; other
+lengths are padded with key-max dummies and sliced back (callers must
+keep real keys below key-max at such lengths); falls back to
+``jax.lax.sort`` otherwise, and off-TPU. NOT stable.
 """
 
 from __future__ import annotations
@@ -50,9 +42,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-SEG = 8192                       # merge segment / base block (elements)
-SEG_ROWS = SEG // LANE           # 64
-WIN_ROWS = SEG_ROWS + 1          # one slack row for the rotation
+SEG = 32768                      # merge segment / base block (elements):
+                                 # big enough to amortize per-grid-step
+                                 # DMA/scalar overhead over ~2K segments
+                                 # at 16M, small enough that two windows
+                                 # + merge temporaries sit in VMEM
+SEG_ROWS = SEG // LANE           # 256
+WIN_ROWS = SEG_ROWS + 8          # slack for the 8-row-aligned DMA start
+                                 # + in-window rotation (max 1023 elems)
 
 
 def _maxval(dtype) -> int:
@@ -130,19 +127,38 @@ def _shift_left(x, amt):
 
 
 def _rotate_words(words, delta):
-    """1-D left-rotate each (WIN_ROWS, LANE) word by traced delta < LANE."""
+    """1-D left-rotate each (WIN_ROWS, LANE) word by traced delta < 1024.
+
+    Bits 0-6 shift within lanes (with the +1-row carry); bits 7-9 are
+    whole-row shifts. Used rows stay clear of the circular wraparound:
+    1023 + SEG <= WIN_ROWS * LANE."""
     out = []
     for x in words:
         for b in range(7):
             bit = (delta >> b) & 1
             x = jnp.where(bit == 1, _shift_left(x, 1 << b), x)
+        for b in range(7, 10):
+            bit = (delta >> b) & 1
+            x = jnp.where(bit == 1, _roll(x, -(1 << (b - 7)), 0), x)
         out.append(x)
     return out
 
 
 def _flip(x):
-    """Full reverse of a (SEG_ROWS, LANE) block (rows then lanes)."""
-    return jnp.flip(jnp.flip(x, axis=0), axis=1)
+    """Full reverse of a (SEG_ROWS, LANE) block.
+
+    Reversal = XOR of the flat index with all-ones, i.e. an
+    UNCONDITIONAL exchange at every power-of-two distance on each axis —
+    rolls + selects only (``rev`` has no Mosaic lowering).
+    """
+    for axis in (0, 1):
+        iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+        d = 1
+        while d < x.shape[axis]:
+            x = jnp.where((iota & d) == 0, _roll(x, -d, axis),
+                          _roll(x, d, axis))
+            d *= 2
+    return x
 
 
 def _merge_stage(k, inval, ps, dist, axis, iota, desc=None):
@@ -171,9 +187,12 @@ def _merge_stage(k, inval, ps, dist, axis, iota, desc=None):
         gt_r = (k > kr) | ((k == kr) & (inval > ir))
         lt_l = (kl < k) | ((kl == k) & (il < inval))
         lt_r = (k < kr) | ((k == kr) & (inval < ir))
-    swap = jnp.where(hi_slot, gt_l, gt_r)
+    # boolean algebra, not where(bool, bool, bool): Mosaic can't lower
+    # the i1 select (i8->i1 truncation)
+    swap = (hi_slot & gt_l) | (~hi_slot & gt_r)
     if desc is not None:
-        swap = jnp.where(desc, jnp.where(hi_slot, lt_l, lt_r), swap)
+        swap_d = (hi_slot & lt_l) | (~hi_slot & lt_r)
+        swap = (desc & swap_d) | (~desc & swap)
     k = jnp.where(swap, jnp.where(hi_slot, kl, kr), k)
     if inval is not None:
         inval = jnp.where(swap, jnp.where(hi_slot, il, ir), inval)
@@ -277,9 +296,9 @@ def _round_kernel(n_real: int, n_words: int, maxval,
     j = pl.program_id(0)
     n_seg = n_real // SEG
 
-    @pl.when(j == n_seg)
+    @pl.when(j >= n_seg)
     def _():
-        # rewrite the key-max pad segment of the (padded) output buffers
+        # rewrite the key-max pad segments of the (padded) output buffers
         outs[0][...] = jnp.full((SEG_ROWS, LANE), maxval, outs[0].dtype)
         for w in range(1, n_words):
             outs[w][...] = jnp.zeros((SEG_ROWS, LANE), outs[w].dtype)
@@ -288,8 +307,10 @@ def _round_kernel(n_real: int, n_words: int, maxval,
     def _():
         a_lo = alo_ref[j]
         b_lo = blo_ref[j]
-        a_row = a_lo // LANE
-        b_row = b_lo // LANE
+        # 8-row-aligned DMA starts (aligned (8,128) tiles); the rotation
+        # ladder absorbs the full in-window offset (< 1024 elements)
+        a_row = (a_lo // (8 * LANE)) * 8
+        b_row = (b_lo // (8 * LANE)) * 8
 
         for w in range(n_words):
             pltpu.make_async_copy(
@@ -337,7 +358,7 @@ def _build_round(n_real: int, n_words: int, key_dtype_name: str,
                  dtypes: tuple, interpret: bool):
     maxval = _maxval(key_dtype_name)
     n_seg = n_real // SEG
-    grid = n_seg + 1                     # +1 rewrites the pad segment
+    grid = n_seg + 2                     # +2 rewrites the pad segments
 
     kernel = functools.partial(_round_kernel, n_real, n_words, maxval)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -372,32 +393,60 @@ def can_fast_sort(n: int) -> bool:
     return n >= 2 * SEG and n % SEG == 0 and blocks & (blocks - 1) == 0
 
 
+def _pad_target(n: int) -> int:
+    """Smallest power-of-2 multiple of SEG that holds n (>= 2*SEG)."""
+    m = 2 * SEG
+    while m < n:
+        m *= 2
+    return m
+
+
 def sort(operands, num_keys: int = 1, *, interpret: bool = False):
     """Drop-in for ``jax.lax.sort(operands, num_keys=1)`` on 1-D u32/i32
-    keys with 32-bit payloads; falls back to ``lax.sort`` when the shape
-    or dtypes don't fit the fast path. NOT stable."""
+    keys with 32-bit payloads; falls back to ``lax.sort`` when the
+    dtypes don't fit the fast path or off-TPU. NOT stable.
+
+    Lengths that aren't a power-of-2 multiple of SEG are padded with
+    key-max dummies and sliced back — correct as long as no REAL key
+    equals the key maximum at such lengths (dummy payloads could swap
+    with theirs). The PM callers satisfy this: cell keys top out at the
+    G^3 sentinel << i32 max, and the un-sort key idx<<8 only reaches
+    u32 max at capacity 2^24 exactly, which needs no padding.
+    """
     operands = tuple(operands)
     key = operands[0]
     n = key.shape[0]
     if (num_keys != 1 or key.ndim != 1
             or key.dtype not in (jnp.uint32, jnp.int32)
-            or not can_fast_sort(n)
-            or any(o.ndim != 1 or o.dtype.itemsize != 4 for o in operands)):
+            or n < 2 * SEG
+            or any(o.ndim != 1 or o.dtype.itemsize != 4 for o in operands)
+            or not (interpret or jax.default_backend() == "tpu")):
         return jax.lax.sort(operands, num_keys=num_keys)
 
     maxval = _maxval(key.dtype)
     n_words = len(operands)
     dtypes = tuple(str(o.dtype) for o in operands)
 
+    n_orig = n
+    if not can_fast_sort(n):
+        n = _pad_target(n)
+        operands = tuple(
+            jnp.concatenate(
+                [o, jnp.full((n - n_orig,), maxval if w == 0 else 0,
+                             o.dtype)])
+            for w, o in enumerate(operands))
+
     # base: independent SEG-block bitonic sorts, fully VMEM-resident
     base = _build_block_sort(n // SEG, n_words, dtypes, interpret)
     ops = [o.reshape(-1)
            for o in base(*[o.reshape(-1, LANE) for o in operands])]
 
-    # one key-max pad segment so window reads past n stay monotone; the
-    # kernel's extra grid step rewrites it in every round's output
+    # TWO key-max pad segments: window reads past n stay monotone, and a
+    # B-side window whose start reaches n exactly (empty window at a pair
+    # boundary) still DMAs WIN_ROWS rows in bounds. The kernel's extra
+    # grid steps rewrite the padding in every round's output.
     ops = [jnp.concatenate(
-        [o, jnp.full((SEG,), maxval if w == 0 else 0, o.dtype)])
+        [o, jnp.full((2 * SEG,), maxval if w == 0 else 0, o.dtype)])
         for w, o in enumerate(ops)]
 
     call = _build_round(n, n_words, str(key.dtype), dtypes, interpret)
@@ -407,4 +456,4 @@ def sort(operands, num_keys: int = 1, *, interpret: bool = False):
         outs = call(*bounds, *[o.reshape(-1, LANE) for o in ops])
         ops = [o.reshape(-1) for o in outs]
         L *= 2
-    return tuple(o[:n] for o in ops)
+    return tuple(o[:n_orig] for o in ops)

@@ -35,7 +35,7 @@ def _check(ops, n_unique_keys=None):
         np.testing.assert_array_equal(g_rows[:, order_g], w_rows[:, order_w])
 
 
-@pytest.mark.parametrize("n", [16384, 65536])
+@pytest.mark.parametrize("n", [65536, 262144])
 def test_unique_keys_with_payloads(n):
     rng = np.random.default_rng(0)
     key = rng.permutation(n).astype(np.uint32)
@@ -46,7 +46,7 @@ def test_unique_keys_with_payloads(n):
 
 def test_i32_keys():
     rng = np.random.default_rng(1)
-    n = 16384
+    n = 65536
     key = rng.integers(-(2**31), 2**31 - 1, n, dtype=np.int64)
     key = key.astype(np.int32)
     p = np.arange(n, dtype=np.int32)
@@ -57,7 +57,7 @@ def test_i32_keys():
                                   "reversed", "clustered", "sentinel_tail"])
 def test_adversarial_distributions(case):
     rng = np.random.default_rng(2)
-    n = 32768
+    n = 131072
     if case == "duplicates":
         key = rng.integers(0, 50, n).astype(np.uint32)
     elif case == "all_equal":
@@ -79,13 +79,14 @@ def test_adversarial_distributions(case):
 
 def test_key_only():
     rng = np.random.default_rng(3)
-    key = rng.integers(0, 1 << 31, 16384).astype(np.uint32)
+    key = rng.integers(0, 1 << 31, 65536).astype(np.uint32)
     _check([key])
 
 
-def test_fallback_shapes():
-    # not a power-of-two block count / not a SEG multiple -> lax.sort path
-    for n in (8192, 24576, 1000):
+def test_padded_and_fallback_shapes():
+    # 32768/1000: below the fast-path floor -> lax.sort; 98304/80000:
+    # padded with key-max dummies to 131072 then sliced back
+    for n in (32768, 98304, 80000, 1000):
         key = np.random.default_rng(4).permutation(n).astype(np.uint32)
         p = np.arange(n, dtype=np.int32)
         got = psort.sort((jnp.asarray(key), jnp.asarray(p)), interpret=True)
@@ -95,8 +96,8 @@ def test_fallback_shapes():
 
 
 def test_can_fast_sort():
-    assert psort.can_fast_sort(16384)
+    assert psort.can_fast_sort(2 * psort.SEG)
     assert psort.can_fast_sort(1 << 24)
-    assert not psort.can_fast_sort(8192)      # single block: nothing to merge
-    assert not psort.can_fast_sort(24576)     # 3 blocks
-    assert not psort.can_fast_sort(16000)     # not a SEG multiple
+    assert not psort.can_fast_sort(psort.SEG)   # single block: no merge
+    assert not psort.can_fast_sort(3 * psort.SEG)
+    assert not psort.can_fast_sort(psort.SEG + 512)  # not a SEG multiple
