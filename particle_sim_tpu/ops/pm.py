@@ -213,6 +213,15 @@ def _irfftn_octant(spec: jax.Array, g: int) -> jax.Array:
     return jnp.fft.irfft(x, n=2 * g, axis=2)[:, :, :g]    # x spatial (c2r)
 
 
+def _irfftn_octant_batch(specs: jax.Array, g: int) -> jax.Array:
+    """_irfftn_octant over a leading batch axis in ONE set of transforms
+    (the three gradient components batch into each axis pass instead of
+    launching nine separate FFTs)."""
+    x = jnp.fft.ifft(specs, axis=1)[:, :g]
+    x = jnp.fft.ifft(x, axis=2)[:, :, :g]
+    return jnp.fft.irfft(x, n=2 * g, axis=3)[..., :g]
+
+
 def _fd_gradient(phi: jax.Array, h: float) -> jax.Array:
     """-grad(phi) via 4th-order central differences; f32[3, G, G, G].
 
@@ -248,11 +257,8 @@ def solve_accel(rho: jax.Array, cfg: "P.PMConfig",
         if cfg.gradient == "fd":
             phi = _irfftn_octant(rho_hat * jnp.asarray(kernels[0]), g)
             return _fd_gradient(phi.astype(jnp.float32), h)
-        return jnp.stack([
-            _irfftn_octant(rho_hat * jnp.asarray(k_hat), g)
-            .astype(jnp.float32)
-            for k_hat in kernels
-        ])
+        specs = rho_hat[None] * jnp.stack([jnp.asarray(k) for k in kernels])
+        return _irfftn_octant_batch(specs, g).astype(jnp.float32)
     elif cfg.boundary == "periodic":
         kernels = _periodic_kernels_host(g, h, eps, cfg.gradient)
         rho_hat = jnp.fft.rfftn(rho)
@@ -260,11 +266,9 @@ def solve_accel(rho: jax.Array, cfg: "P.PMConfig",
             phi = jnp.fft.irfftn(rho_hat * jnp.asarray(kernels[0]),
                                  s=rho.shape)
             return _fd_gradient(phi.astype(jnp.float32), h)
-        return jnp.stack([
-            jnp.fft.irfftn(rho_hat * jnp.asarray(k_hat),
-                           s=rho.shape).astype(jnp.float32)
-            for k_hat in kernels
-        ])
+        specs = rho_hat[None] * jnp.stack([jnp.asarray(k) for k in kernels])
+        return jnp.fft.irfftn(specs, s=rho.shape,
+                              axes=(1, 2, 3)).astype(jnp.float32)
     raise ValueError(f"unknown boundary mode {cfg.boundary!r}")
 
 
