@@ -211,16 +211,18 @@ def _gather_kernel(n_chunks, p_ref, key_ref, frac_ref, a_ref, out_ref):
         wz = jnp.where(fam == 1, fz, 1.0 - fz)
         R, liota = _family_onehot(row + fam * GRID - t * T_ROWS, fy, wz,
                                   jnp.bfloat16)
-        # C[c, l, p] = sum_r A[c, r, l] R[r, p]
+        # contract the LANE axis on the MXU first (K = 128, twice the
+        # utilization of K = T_ROWS) and apply the row factor as a
+        # half-size VPU reduction: C[c, r, p] = sum_l A[c, r, l] L[l, p]
+        L = _lane_onehot(liota, x, fx, jnp.bfloat16)
         C = jax.lax.dot_general(
-            a_ref[...], R, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)   # (3, LANE, chunk)
-        # L must carry the SAME bf16-rounded weight VALUES as the deposit's
-        # lane one-hot or the x-axis kick loses deposit/gather antisymmetry
-        # (a 0.4% weight mismatch compounds into a systematic x-momentum
+            a_ref[...], L, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (3, T_ROWS, chunk)
+        # R and L carry the SAME bf16-rounded weight VALUES as the
+        # deposit's one-hots or the kick loses deposit/gather antisymmetry
+        # (a 0.4% weight mismatch compounds into a systematic momentum
         # drift); cast back up for the f32 elementwise apply
-        L = _lane_onehot(liota, x, fx, jnp.bfloat16).astype(jnp.float32)
-        g = (C * L[None]).sum(axis=1)             # (3, chunk)
+        g = (C * R.astype(jnp.float32)[None]).sum(axis=1)   # (3, chunk)
 
         @pl.when(word < 0)
         def _():
