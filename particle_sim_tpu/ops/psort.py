@@ -230,11 +230,12 @@ def _merge_window(ka, ia_flag, pa, kb, ib_flag, pb):
 # ---------------------------------------------------------------------------
 
 def _block_sort_kernel(n_words, *refs):
-    """Bitonic sort of an 8K block laid out (SEG_ROWS, LANE) row-major.
+    """Bitonic sort of one SEG block laid out (SEG_ROWS, LANE) row-major.
 
-    91 compare-exchange stages (13 phases), all VMEM-resident — replaces
-    the XLA batched base sort, which re-streams the block per stage.
-    Phase directions come from bit log2(size) of the flat element index.
+    log2(SEG) phases / 120 compare-exchange stages at SEG=32K, all
+    VMEM-resident — replaces the XLA batched base sort, which re-streams
+    the block per stage. Phase directions come from bit log2(size) of
+    the flat element index.
     """
     ins = refs[:n_words]
     outs = refs[n_words:]
@@ -401,17 +402,18 @@ def _pad_target(n: int) -> int:
     return m
 
 
-def sort(operands, num_keys: int = 1, *, interpret: bool = False):
+def sort(operands, num_keys: int = 1, *, interpret: bool = False,
+         pad_to_pow2: bool = False):
     """Drop-in for ``jax.lax.sort(operands, num_keys=1)`` on 1-D u32/i32
     keys with 32-bit payloads; falls back to ``lax.sort`` when the
     dtypes don't fit the fast path or off-TPU. NOT stable.
 
-    Lengths that aren't a power-of-2 multiple of SEG are padded with
-    key-max dummies and sliced back — correct as long as no REAL key
-    equals the key maximum at such lengths (dummy payloads could swap
-    with theirs). The PM callers satisfy this: cell keys top out at the
-    G^3 sentinel << i32 max, and the un-sort key idx<<8 only reaches
-    u32 max at capacity 2^24 exactly, which needs no padding.
+    ``pad_to_pow2`` extends the fast path to lengths that aren't a
+    power-of-2 multiple of SEG by padding with key-max dummies and
+    slicing back. It is OPT-IN because it is only correct when no REAL
+    key equals the key maximum at such lengths (an unstable sort can
+    swap a real key-max element's payload with a dummy's zeros); with
+    the default False, those lengths fall back to ``lax.sort``.
     """
     operands = tuple(operands)
     key = operands[0]
@@ -429,6 +431,8 @@ def sort(operands, num_keys: int = 1, *, interpret: bool = False):
 
     n_orig = n
     if not can_fast_sort(n):
+        if not pad_to_pow2:
+            return jax.lax.sort(operands, num_keys=num_keys)
         n = _pad_target(n)
         operands = tuple(
             jnp.concatenate(

@@ -56,7 +56,7 @@ def _kernel(t_ref, s_ref, f_ref, key_ref, rgb_ref, out_ref):
     l_loc = local & (TILE_W - 1)
     riota = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, CHUNK), 0)
     # f32 build then cast: Mosaic can't relayout the i32-compare masks
-    # straight to bf16 tiling (see ops/pm_pallas._corner_onehots)
+    # straight to bf16 tiling (see ops/pm_pallas._family_onehot)
     rmask = jnp.where(riota == r_loc, 1.0,
                       jnp.zeros((TILE_H, CHUNK), jnp.float32))
     # spilled/sentinel particles: r_loc out of [0,8) -> rmask row zero,

@@ -85,11 +85,12 @@ def test_key_only():
 
 def test_padded_and_fallback_shapes():
     # 32768/1000: below the fast-path floor -> lax.sort; 98304/80000:
-    # padded with key-max dummies to 131072 then sliced back
+    # padded (opt-in) with key-max dummies to 131072 then sliced back
     for n in (32768, 98304, 80000, 1000):
         key = np.random.default_rng(4).permutation(n).astype(np.uint32)
         p = np.arange(n, dtype=np.int32)
-        got = psort.sort((jnp.asarray(key), jnp.asarray(p)), interpret=True)
+        got = psort.sort((jnp.asarray(key), jnp.asarray(p)), interpret=True,
+                         pad_to_pow2=True)
         want = jax.lax.sort((jnp.asarray(key), jnp.asarray(p)), num_keys=1)
         np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
         np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
