@@ -173,6 +173,33 @@ def main() -> None:
             best = min(best, (time.perf_counter() - t0 - t2) / 10)
         pm_ms = best * 1e3
 
+    # Particle-mesh self-gravity frame at 16M (BASELINE names 1M and 16M;
+    # the number this repo's PM optimization passes track — see
+    # docs/DESIGN.md). Guarded: a failure here must not cost the
+    # headline line.
+    pm16_ms = None
+    if on_tpu:
+        try:
+            from particle_sim_tpu.ops import pm_pallas as _pmp
+            from particle_sim_tpu.core.params import PMConfig as _PMC
+            import jax.numpy as _jnp
+
+            n16 = 16 * 1024 * 1024
+            cfg16 = _PMC(softening=2.0)
+            pos16m = jax.random.uniform(
+                jax.random.PRNGKey(0), (3, n16), _jnp.float32, -45.0, 45.0)
+            acc_fn = jax.jit(lambda q: _pmp.pm_accel(
+                q, _jnp.int32(n16), _jnp.float32(1.0), cfg16))
+            _sync(acc_fn(pos16m))
+            t0 = time.perf_counter()
+            for _ in range(4):
+                out16 = acc_fn(pos16m)
+            _sync(out16)
+            pm16_ms = (time.perf_counter() - t0) / 4 * 1e3
+            del pos16m, out16
+        except Exception:
+            pm16_ms = None
+
     # All-pairs O(N^2) frame at 65k (BASELINE config 3).
     pairwise_ms = None
     if on_tpu:
@@ -222,6 +249,8 @@ def main() -> None:
                 round(pairwise_ms, 3) if pairwise_ms else None),
             "pm_self_gravity_1m_frame_ms": (
                 round(pm_ms, 3) if pm_ms else None),
+            "pm_self_gravity_16m_frame_ms": (
+                round(pm16_ms, 3) if pm16_ms else None),
             "p50_frame_time_ms_16m": (
                 round(p50_16m_ms, 3) if p50_16m_ms else None),
         },
