@@ -44,12 +44,16 @@ def make_sharded_step(mesh: Mesh, *, use_pallas: bool, substeps: int = 1,
             return step_jnp.step(c[0], c[1], pv)
         return jax.lax.fori_loop(0, substeps, body, (pos, vel))
 
+    # check_vma must stay off for Pallas bodies: pallas_call kernels fail
+    # vma propagation on literal operands ("Primitive mul requires varying
+    # manual axes to match"; JAX 0.9 suggests check_vma=False as the
+    # workaround). The jnp path keeps the full varying-manual-axes check.
     sharded = shard_map(
         local_step,
         mesh=mesh,
         in_specs=(_plane_spec(), _plane_spec(), P()),
         out_specs=(_plane_spec(), _plane_spec()),
-        check_vma=False,
+        check_vma=not use_pallas,
     )
     return jax.jit(sharded, donate_argnums=(0, 1))
 
@@ -65,5 +69,4 @@ def make_global_mean_speed(mesh: Mesh):
 
     return jax.jit(shard_map(
         local, mesh=mesh, in_specs=(_plane_spec(),), out_specs=P(),
-        check_vma=False,
     ))

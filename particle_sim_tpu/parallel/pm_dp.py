@@ -116,6 +116,8 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
         return physics.kick_and_step_planes(pos, vel, acc.reshape(shape),
                                             pv)
 
+    # check_vma off only for Pallas bodies (kernel vma propagation fails on
+    # literal operands in JAX 0.9 — see parallel/dp.py for the citation)
     sharded = shard_map(
         local_step if with_masses
         else (lambda pos, vel, pv, pairv, n:
@@ -124,6 +126,6 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
         in_specs=(_plane_spec(), _plane_spec(), P(), P(), P())
         + ((P(DP_AXIS),) if with_masses else ()),
         out_specs=(_plane_spec(), _plane_spec()),
-        check_vma=False,
+        check_vma=not use_pallas,
     )
     return jax.jit(sharded, donate_argnums=(0, 1))

@@ -90,14 +90,20 @@ def make_ring_pairwise_step(mesh: Mesh, *, interpret: bool = False,
                 m_buf = jax.lax.ppermute(m_buf, DP_AXIS, perm)
             return acc, j_buf, m_buf
 
-        acc0 = jnp.zeros((local_n, 3), jnp.float32)
-        m0 = jnp.zeros((local_n,), jnp.float32) if masses is None else masses
+        # literal zeros are unvarying; the loop carry becomes varying after
+        # one hop, so mark them device-varying up front (check_vma=True
+        # rejects the mismatched carry otherwise)
+        acc0 = jax.lax.pvary(jnp.zeros((local_n, 3), jnp.float32), DP_AXIS)
+        m0 = (jax.lax.pvary(jnp.zeros((local_n,), jnp.float32), DP_AXIS)
+              if masses is None else masses)
         acc, _, _ = jax.lax.fori_loop(0, n_dev, body, (acc0, flat, m0))
 
         # integrate with the reference's contract (forces -> pos -> damping)
         return physics.kick_and_step_planes(pos, vel, acc.T.reshape(shape),
                                             pv)
 
+    # check_vma off only for Pallas bodies (kernel vma propagation fails on
+    # literal operands in JAX 0.9 — see parallel/dp.py for the citation)
     sharded = shard_map(
         local_step if with_masses
         else (lambda pos, vel, pv, pairv, n:
@@ -106,6 +112,6 @@ def make_ring_pairwise_step(mesh: Mesh, *, interpret: bool = False,
         in_specs=(_plane_spec(), _plane_spec(), P(), P(), P())
         + ((P(DP_AXIS),) if with_masses else ()),
         out_specs=(_plane_spec(), _plane_spec()),
-        check_vma=False,
+        check_vma=not use_pallas,
     )
     return jax.jit(sharded, donate_argnums=(0, 1))
