@@ -408,6 +408,33 @@ def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
 # pipeline
 # ---------------------------------------------------------------------------
 
+def cell_key_frac(pos_flat: jax.Array, live: jax.Array,
+                  cfg: "P.PMConfig", coords=None) -> tuple:
+    """(key i32[N], frac i32[N]) for the sorted kernels, UNsorted.
+
+    key: flattened cell id (z*G + y)*G + x; entries where ``live`` (bool[N])
+    is False become SENTINEL (they miss every one-hot). frac: CIC fractions
+    quantized to 10 bits/axis packed in ONE i32 (the grouping sort is
+    bandwidth-bound, so 3 payload arrays instead of 5 cut its cost ~40%;
+    1/1023 weight quantization sits below the bf16 rounding the kernels
+    already carry, and deposit/gather stay exactly symmetric).
+    ``coords`` overrides the cell coords (auto-box path)."""
+    if cfg.grid != GRID:
+        raise ValueError(f"fast path requires grid={GRID}, got {cfg.grid}")
+    c = pm.cell_coords(pos_flat, cfg) if coords is None else coords
+    # the sorted kernels cannot wrap the last cell's upper CIC corner to
+    # cell 0 (periodic mode), so clamp into the last cell (particles there
+    # shift by up to one cell — a one-cell-wide seam at the box edge)
+    c = jnp.minimum(c, jnp.float32(GRID - 1) - 1e-3)
+    i0 = jnp.floor(c)
+    f = c - i0
+    i0 = i0.astype(jnp.int32)
+    key = (i0[2] * GRID + i0[1]) * GRID + i0[0]
+    fq = jnp.round(f * _FQ_MAX).astype(jnp.int32)
+    packed = fq[0] | (fq[1] << _FQ_BITS) | (fq[2] << (2 * _FQ_BITS))
+    return jnp.where(live, key, SENTINEL), packed
+
+
 def pm_sort(pos_flat: jax.Array, n_active: jax.Array,
             cfg: "P.PMConfig", coords=None, masses=None) -> tuple:
     """(key_s, idx_s, frac_s, mass_s): particles grouped by cell id.
@@ -420,28 +447,12 @@ def pm_sort(pos_flat: jax.Array, n_active: jax.Array,
     than the hand-built Pallas merge-path sort (see ops/psort.py for the
     experiment and the cost model).
     """
-    if cfg.grid != GRID:
-        raise ValueError(f"fast path requires grid={GRID}, got {cfg.grid}")
     n = pos_flat.shape[1]
     if n % 512:
         raise ValueError(f"particle capacity {n} not a multiple of 512")
-    c = pm.cell_coords(pos_flat, cfg) if coords is None else coords
-    # the sorted kernels cannot wrap the last cell's upper CIC corner to
-    # cell 0 (periodic mode), so clamp into the last cell (particles there
-    # shift by up to one cell — a one-cell-wide seam at the box edge)
-    c = jnp.minimum(c, jnp.float32(GRID - 1) - 1e-3)
-    i0 = jnp.floor(c)
-    f = c - i0
-    i0 = i0.astype(jnp.int32)
-    key = (i0[2] * GRID + i0[1]) * GRID + i0[0]
-    # quantize fractions to 10 bits/axis packed in ONE i32 payload: the
-    # sort is bandwidth-bound, so 3 payload arrays instead of 5 cuts its
-    # cost ~40%; 1/1023 weight quantization sits below the bf16 rounding
-    # the kernels already carry, and deposit/gather stay exactly symmetric
-    fq = jnp.round(f * _FQ_MAX).astype(jnp.int32)
-    packed = fq[0] | (fq[1] << _FQ_BITS) | (fq[2] << (2 * _FQ_BITS))
     idx = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(idx < n_active, key, SENTINEL)
+    key, packed = cell_key_frac(pos_flat, idx < n_active, cfg,
+                                coords=coords)
     if masses is not None:
         key_s, idx_s, fq_s, m_s = jax.lax.sort(
             (key, idx, packed, masses), num_keys=1)
@@ -522,7 +533,13 @@ def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
     ``cfg.auto_box`` solves in cell units inside a traced cloud-tracking
     box and rescales by 1/h^2 (see pm.pm_accel_ref). ``masses`` f32[N]
     scales the deposit (sources); receivers are mass-free (acceleration
-    field)."""
+    field).
+
+    Caveat: the un-sort's shared-exponent pack decodes NON-FINITE
+    accelerations as large finite values (docstring item 4), so a solver
+    blowup does not propagate NaN through this path — run the jnp
+    reference (pm.pm_accel_ref) or ``utils.debug`` checks when
+    diagnosing one."""
     if cfg.auto_box:
         box_min, cell = pm.auto_box(pos_flat, n_active, cfg.grid)
         c = pm.cell_coords_dyn(pos_flat, box_min, cell, cfg.grid)

@@ -1,0 +1,330 @@
+"""Persistent cell-sorted PM state — the no-sort particle-mesh frame.
+
+The sorted fast path (ops/pm_pallas.py) pays two global ``lax.sort``s per
+frame — the cell-id grouping sort and the identity un-sort — together
+~100 ms of the 146 ms 16M single-chip frame (docs/DESIGN.md "Measured").
+This module removes BOTH from the steady-state frame by making the sorted
+order part of the simulation state:
+
+  * Particles live permanently in (approximately) cell-sorted order;
+    identity rides along as an ``ids`` payload (colors / streaming /
+    on-demand un-sort are a gather by ``ids`` at the consumer's expense,
+    not the frame's).
+  * The deposit/gather kernels never required sorted input — their
+    one-hots mask by each particle's ACTUAL row, and sortedness only made
+    the pair tables cheap to bound. So between repairs the tables are
+    built from per-chunk row SPANS (a reshape min/max over the keys, ~1 ms
+    of bandwidth at 16M) instead of bin-searches over sorted keys: a
+    window takes every chunk whose [row_min, row_max] intersects it.
+    Disorder just widens spans, adding masked-out pairs — results stay
+    EXACT, only the pair count grows.
+  * When accumulated drift would overflow the static pair budget (the
+    traced total is checked against it every frame), a ``lax.cond``
+    repairs the order with one full grouping sort carrying the whole
+    particle (pos, vel, ids[, masses] — ~7 payload operands). Between
+    repairs the frame runs sort-free: keys + spans + tables + deposit +
+    FFT solve + gather + integrate, with the gather's output already in
+    state order (no un-sort, ever).
+
+Static-box modes only (periodic / isolated): ``auto_box`` re-keys every
+particle every frame (the box tracks the cloud), which defeats span
+locality — use the per-frame-sorted path (pm_pallas.pm_accel) there.
+
+Span-table mechanics (vs pm_pallas._deposit_table/_gather_table):
+  * chunk row spans [rmin_s, rmax_s] replace sorted first/last keys;
+  * deposit window w keeps the contiguous chunk range
+    [min{s: rmax_s >= lo_w}, max{s: rmin_s <= hi_w}] — computed exactly
+    by binary searches over the running prefix-max of rmax / suffix-min
+    of rmin (both monotone). The range may include non-intersecting
+    chunks between ragged spans; their one-hots are all-zero (correct,
+    just wasted MXU work that repair reclaims);
+  * an all-SENTINEL PAD chunk appended to the deposit inputs serves as
+    the target of dummy pairs for EMPTY windows, so the fam-0 first-visit
+    that zeroes each output tile always exists (pm_pallas kernels are
+    reused unmodified).
+
+Reference parity: same physics contract as ops/pm.step_pm_ref /
+reference compute.wgsl integration (see ops/physics.py citations); the
+reference app has no self-gravity at all — this path is a capability
+extension benchmarked against our own pm_pallas numbers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import params as P
+from ..utils.search import bin_search as _bin_search
+from . import physics, pm, pm_pallas
+from .pm_pallas import (GRID, LANE, N_TILES, ROWS_TOTAL, SENTINEL, SPREAD,
+                        T_ROWS, _build_deposit, _build_gather, _pack_pairs)
+
+# Pair budgets, in window-memberships (deposit) / tile-visits x2 (gather)
+# per chunk. Freshly repaired order needs <= 4 + o(1) of either (the
+# telescoping bounds in pm_pallas); the headroom between 4 and SLACK is
+# how much drift a state absorbs before the next forced repair.
+SLACK_DEP = 8
+SLACK_GAT = 8
+_SMEM_WORDS = 65536          # known-good scalar-prefetch budget (pick_chunk)
+
+
+def pick_chunk(n_pad: int) -> int:
+    """Particles per kernel block: smallest supported chunk whose
+    SLACK-scaled pair tables still fit the SMEM budget."""
+    for c in (512, 1024, 2048, 4096, 8192, 16384):
+        if n_pad % c:
+            continue
+        nc = n_pad // c
+        worst = max(SLACK_DEP * nc + 4 * N_TILES,
+                    SLACK_GAT * nc + 2 * N_TILES) + 2
+        if worst <= _SMEM_WORDS:
+            return c
+    raise ValueError(f"capacity {n_pad} not a multiple of 512, or too "
+                     "large for the persistent-mode SMEM budget")
+
+
+class SortedPMState(NamedTuple):
+    """Particle state in (approximately) cell-sorted storage order."""
+    pos: jax.Array              # f32 (3, N)
+    vel: jax.Array              # f32 (3, N)
+    ids: jax.Array              # i32 (N,) original identity of each slot
+    masses: Optional[jax.Array]  # f32 (N,) source masses in slot order
+    resorts: jax.Array          # i32 scalar: cumulative repair count
+
+
+def _sort_state(key, pos, vel, ids, masses, resorts) -> SortedPMState:
+    ops = (key, pos[0], pos[1], pos[2], vel[0], vel[1], vel[2], ids)
+    if masses is not None:
+        ops += (masses,)
+    s = jax.lax.sort(ops, num_keys=1)
+    return SortedPMState(jnp.stack(s[1:4]), jnp.stack(s[4:7]), s[7],
+                         s[8] if masses is not None else None, resorts)
+
+
+def init_sorted(pos_flat: jax.Array, n_active, cfg: "P.PMConfig",
+                vel_flat=None, masses=None) -> SortedPMState:
+    """Full grouping sort of (pos, vel, identity[, masses]) into a fresh
+    SortedPMState. ``n_active`` masks trailing padding slots (their keys
+    become SENTINEL, so they sort to the tail with ids >= n_active)."""
+    n = pos_flat.shape[1]
+    if n % 512:
+        raise ValueError(f"particle capacity {n} not a multiple of 512")
+    if cfg.auto_box:
+        raise ValueError("persistent sorted mode needs a static box; "
+                         "use pm_pallas.pm_accel for auto_box")
+    ids = jnp.arange(n, dtype=jnp.int32)
+    key, _ = pm_pallas.cell_key_frac(pos_flat, ids < n_active, cfg)
+    vel_flat = (jnp.zeros_like(pos_flat) if vel_flat is None
+                else jnp.asarray(vel_flat))
+    return _sort_state(key, pos_flat, vel_flat, ids, masses, jnp.int32(0))
+
+
+def _chunk_spans(key: jax.Array, chunk: int):
+    """(rmin i32[n_chunks], rmax i32[n_chunks]) grid-row span per chunk.
+    SENTINEL keys map to row ROWS_TOTAL (past the last tile)."""
+    r = (key >> 7).reshape(-1, chunk)
+    return r.min(axis=1), r.max(axis=1)
+
+
+def _window_ranges(rmin, rmax, n_chunks: int):
+    """Per deposit window w = 2t + fam: (start chunk, count, empty mask).
+
+    Window w accepts base rows [lo_w, hi_w] (pm_pallas._deposit_table's
+    ranges, here inclusive). min{s: rmax_s >= lo} equals the first index
+    where the running prefix-max of rmax reaches lo, and
+    max{s: rmin_s <= hi} the last index where the suffix-min of rmin
+    stays <= hi — both monotone, so two binary searches give the EXACT
+    contiguous hull of intersecting chunks."""
+    n_iters = max(n_chunks, 2).bit_length() + 1
+    m_pre = jax.lax.cummax(rmax)                          # nondecreasing
+    m_suf = jax.lax.cummin(rmin, reverse=True)            # nondecreasing
+    w_idx = jnp.arange(2 * N_TILES, dtype=jnp.int32)
+    t_w = w_idx >> 1
+    fam_w = w_idx & 1
+    lo_r = t_w * T_ROWS - jnp.where(fam_w == 1, SPREAD, 1)
+    hi_r = jnp.where(fam_w == 1, t_w - 1, t_w + 1) * T_ROWS - 1
+    s_lo = _bin_search(m_pre, lo_r, side_right=False, n_iters=n_iters)
+    s_hi = _bin_search(m_suf, hi_r, side_right=True, n_iters=n_iters) - 1
+    empty = s_hi < s_lo
+    c_w = jnp.where(empty, 1, s_hi - s_lo + 1).astype(jnp.int32)
+    start = jnp.where(empty, n_chunks, s_lo).astype(jnp.int32)
+    return start, c_w, empty
+
+
+def _gather_tiles(rmin, rmax):
+    """(t_lo, t_hi) inclusive fam-0 tile range per chunk (corner rows are
+    r and r+1, so the top tile comes from rmax + 1)."""
+    t_lo = jnp.clip(rmin // T_ROWS, 0, N_TILES - 1).astype(jnp.int32)
+    t_hi = jnp.clip((rmax + 1) // T_ROWS, 0, N_TILES - 1).astype(jnp.int32)
+    return t_lo, jnp.maximum(t_hi, t_lo)
+
+
+def _pair_totals(key: jax.Array, chunk: int):
+    """(dep_total, gat_total) the span tables would need — the traced
+    numbers checked against the static budgets to trigger a repair."""
+    n_chunks = key.shape[0] // chunk
+    rmin, rmax = _chunk_spans(key, chunk)
+    _, c_w, _ = _window_ranges(rmin, rmax, n_chunks)
+    t_lo, t_hi = _gather_tiles(rmin, rmax)
+    return c_w.sum(), (2 * (t_hi - t_lo + 1)).sum()
+
+
+def _deposit_table_spans(rmin, rmax, n_chunks: int, c_max: int):
+    """Tile-major packed deposit pair table from chunk row spans.
+
+    Empty windows and trash entries (kk >= total) point at the PAD chunk
+    s == n_chunks — all-SENTINEL keys the caller appends to the kernel
+    inputs, whose one-hots miss every row — so the fam-0 first-visit that
+    zeroes each tile always exists and contributes nothing."""
+    start, c_w, _ = _window_ranges(rmin, rmax, n_chunks)
+    base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(c_w).astype(jnp.int32)])
+    kk = jnp.arange(c_max, dtype=jnp.int32)
+    w_k = (_bin_search(base, kk, side_right=True,
+                       n_iters=(2 * N_TILES + 2).bit_length() + 1)
+           .astype(jnp.int32) - 1)
+    w_k = jnp.clip(w_k, 0, 2 * N_TILES)       # 2*N_TILES == trash
+    real = w_k < 2 * N_TILES
+    w_safe = jnp.minimum(w_k, 2 * N_TILES - 1)
+    s_k = jnp.where(real, start[w_safe] + (kk - base[w_safe]), n_chunks)
+    s_k = jnp.clip(s_k, 0, n_chunks)
+    t_k = jnp.where(real, w_k >> 1, N_TILES)  # N_TILES == trash tile
+    fam_k = jnp.where(real, w_k & 1, 0)
+    first_k = jnp.where(real, (kk == base[w_safe]) & (fam_k == 0), True)
+    return _pack_pairs(t_k, fam_k, s_k, first_k)
+
+
+def _gather_table_spans(rmin, rmax, n_chunks: int, c_max: int):
+    """Chunk-major packed gather pair table from chunk row spans — the
+    span generalization of pm_pallas._gather_table (same expansion, same
+    fam-1 overflow redirect to the provably-empty (tile 0, fam 1))."""
+    t_lo, t_hi = _gather_tiles(rmin, rmax)
+    c_fam = (t_hi - t_lo + 1).astype(jnp.int32)
+    base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(2 * c_fam).astype(jnp.int32)])
+    total = base[-1]
+    kk = jnp.arange(c_max, dtype=jnp.int32)
+    s_k = (_bin_search(base, kk, side_right=True,
+                       n_iters=max(n_chunks + 2, 2).bit_length() + 1)
+           .astype(jnp.int32) - 1)
+    s_k = jnp.clip(s_k, 0, n_chunks)          # n_chunks == trash block
+    real = kk < total
+    s_safe = jnp.minimum(s_k, n_chunks - 1)
+    off = kk - base[s_safe]
+    fam_k = jnp.where(real & (off >= c_fam[s_safe]), 1, 0)
+    t_raw = t_lo[s_safe] + off - fam_k * (c_fam[s_safe] - 2)
+    overflow = t_raw > N_TILES - 1
+    t_k = jnp.where(real & ~overflow, t_raw, 0)
+    fam_k = jnp.where(overflow, 1, fam_k)
+    s_k = jnp.where(real, s_k, n_chunks)
+    first_k = jnp.where(real, kk == base[s_safe], kk == total)
+    return _pack_pairs(t_k, fam_k, s_k, first_k)
+
+
+def _momentum_clean_live(acc, live_f, masses):
+    """pm.momentum_clean with an explicit live mask (slot order is not
+    identity order here, so ``arange < n_active`` would mask the wrong
+    slots)."""
+    w = live_f if masses is None else live_f * masses
+    count = jnp.maximum(w.sum(), 1e-12)
+    mean = (acc * w[None]).sum(axis=1, keepdims=True) / count
+    return (acc - mean) * live_f[None]
+
+
+def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
+                 n_active=None, interpret: bool = False,
+                 chunk: int = 0) -> Tuple[SortedPMState, jax.Array]:
+    """(state', acc f32[3, N]) — PM acceleration in the state's slot
+    order, repairing the sort first iff drift would overflow the pair
+    budgets. Traceable; the returned state is the one ``acc`` aligns
+    with (reordered when a repair fired, ``resorts`` incremented)."""
+    if cfg.auto_box:
+        raise ValueError("persistent sorted mode needs a static box; "
+                         "use pm_pallas.pm_accel for auto_box")
+    n = st.pos.shape[1]
+    n_active = jnp.int32(n) if n_active is None else n_active
+    chunk = chunk or pick_chunk(n)
+    n_chunks = n // chunk
+    c_max_dep = SLACK_DEP * n_chunks + 4 * N_TILES + 2
+    c_max_gat = SLACK_GAT * n_chunks + 2 * N_TILES + 2
+
+    key, _ = pm_pallas.cell_key_frac(st.pos, st.ids < n_active, cfg)
+    dep_total, gat_total = _pair_totals(key, chunk)
+    need = (dep_total > c_max_dep) | (gat_total > c_max_gat)
+    st = jax.lax.cond(
+        need,
+        lambda s: _sort_state(key, s.pos, s.vel, s.ids, s.masses,
+                              s.resorts + 1),
+        lambda s: s,
+        st)
+
+    # keys/fracs/spans of the (possibly re-ordered) state; a repaired
+    # order satisfies the telescoping bounds, so the tables below always
+    # fit their static budgets
+    live = st.ids < n_active
+    key, frac = pm_pallas.cell_key_frac(st.pos, live, cfg)
+    rmin, rmax = _chunk_spans(key, chunk)
+
+    dep_pairs = _deposit_table_spans(rmin, rmax, n_chunks, c_max_dep)
+    key_p = jnp.concatenate(
+        [key, jnp.full((chunk,), SENTINEL, jnp.int32)]).reshape(1, -1)
+    frac_p = jnp.concatenate(
+        [frac, jnp.zeros((chunk,), jnp.int32)]).reshape(1, -1)
+    dep = _build_deposit(chunk, c_max_dep, interpret,
+                         has_mass=st.masses is not None)
+    if st.masses is not None:
+        m_p = jnp.concatenate(
+            [st.masses, jnp.zeros((chunk,), jnp.float32)]).reshape(1, -1)
+        tiles = dep(dep_pairs, key_p, frac_p, m_p)
+    else:
+        tiles = dep(dep_pairs, key_p, frac_p)
+    rho = tiles[:N_TILES].reshape(GRID, GRID, GRID)
+
+    grids = pm.solve_accel(rho, cfg, cfg.softening)     # (3, G, G, G)
+
+    gat_pairs = _gather_table_spans(rmin, rmax, n_chunks, c_max_gat)
+    gat = _build_gather(n, chunk, c_max_gat, interpret)
+    acc = gat(gat_pairs, key.reshape(1, -1), frac.reshape(1, -1),
+              grids.reshape(3, ROWS_TOTAL, LANE).astype(jnp.bfloat16))[:, :n]
+    acc = _momentum_clean_live(acc, live.astype(jnp.float32), st.masses)
+    return st, g_const * acc
+
+
+def step_sorted(st: SortedPMState, param_vec: jax.Array,
+                pair_vec: jax.Array, n_active, cfg: "P.PMConfig", *,
+                interpret: bool = False,
+                chunk: int = 0) -> SortedPMState:
+    """One frame on the persistent state: PM self-gravity (repairing the
+    order when needed) + the reference kick/step contract
+    (physics.kick_and_step_planes), all in slot order."""
+    st, acc = accel_sorted(st, pair_vec[0], cfg, n_active=n_active,
+                           interpret=interpret, chunk=chunk)
+    shape = (3, st.pos.shape[1] // LANE, LANE)
+    pos, vel = physics.kick_and_step_planes(
+        st.pos.reshape(shape), st.vel.reshape(shape),
+        acc.reshape(shape), param_vec)
+    return st._replace(pos=pos.reshape(3, -1), vel=vel.reshape(3, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "chunk"))
+def step_sorted_jit(st, param_vec, pair_vec, n_active, cfg,
+                    interpret: bool = False, chunk: int = 0):
+    return step_sorted(st, param_vec, pair_vec, n_active, cfg,
+                       interpret=interpret, chunk=chunk)
+
+
+def unsort(st: SortedPMState, arrays) -> tuple:
+    """Return ``arrays`` (each (..., N) in slot order) re-ordered to
+    identity order — the consumer-side bridge for colors / streaming /
+    checkpoints. A scatter by ids, paid only when identity order is
+    actually needed (never inside the frame)."""
+    out = []
+    for a in arrays:
+        o = jnp.zeros_like(a)
+        out.append(o.at[..., st.ids].set(a))
+    return tuple(out)

@@ -1,0 +1,218 @@
+"""Persistent cell-sorted PM: parity, disorder tolerance, repair triggers.
+
+Oracle chain (SURVEY.md §4): accel_sorted must reproduce
+pm_pallas.pm_accel (itself parity-tested against pm.pm_accel_ref and the
+direct O(N^2) sum) with the acceleration permuted by the state's ids —
+in EVERY ordering regime: freshly sorted, drifted-but-within-budget
+(span tables absorb the disorder with zero repair), and scrambled past
+the budget (the lax.cond repair fires and must restore exactness).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import particle_sim_tpu as psim
+from particle_sim_tpu.core.params import PMConfig
+from particle_sim_tpu.ops import physics, pm, pm_pallas, pm_persist
+
+CFG = PMConfig(softening=4.0, gradient="exact", boundary="isolated")
+
+
+def _cloud(n, seed, radius=45.0, offset=(0, 0, 0)):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    r = radius * rng.random(n).astype(np.float32) ** (1 / 3)
+    return (x * r[:, None] + np.asarray(offset, np.float32)).astype(
+        np.float32)
+
+
+def _flat(pos_nx3, capacity=None):
+    st = psim.ParticleState.from_arrays(
+        pos_nx3, np.zeros_like(pos_nx3), np.zeros_like(pos_nx3),
+        capacity=capacity)
+    return jnp.asarray(st.pos.reshape(3, -1)), st.n_active
+
+
+def _ref_accel(pos_flat, n_active):
+    return np.asarray(pm_pallas.pm_accel(
+        pos_flat, n_active, 1.0, CFG, interpret=True))
+
+
+def _assert_matches_ref(st, n_active, atol_rel=3e-3):
+    """accel_sorted == pm_accel up to slot permutation. Tolerance: the
+    reference path's un-sort quantizes accelerations through the 40-bit
+    shared-exponent pack (~2^-10 of each particle's dominant component);
+    accel_sorted never un-sorts, so it returns the UNquantized gather."""
+    st2, acc = pm_persist.accel_sorted(st, 1.0, CFG, n_active=n_active,
+                                       interpret=True)
+    a_ref = _ref_accel(_ids_order(st2), n_active)
+    ids = np.asarray(st2.ids)
+    scale = np.abs(a_ref).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(acc), a_ref[:, ids],
+                               atol=atol_rel * scale)
+    return st2, acc
+
+
+def _ids_order(st):
+    """Positions in identity order (the reference path's input)."""
+    inv = jnp.zeros_like(st.ids).at[st.ids].set(
+        jnp.arange(st.ids.shape[0], dtype=jnp.int32))
+    return st.pos[:, inv]
+
+
+def test_parity_fresh_sort():
+    pos, n_act = _flat(_cloud(1500, 0))
+    st = pm_persist.init_sorted(pos, n_act, CFG)
+    # freshly sorted: keys are globally ordered, no repair can fire
+    st2, _ = _assert_matches_ref(st, n_act)
+    assert int(st2.resorts) == 0
+    assert np.all(np.diff(np.asarray(
+        pm_pallas.cell_key_frac(st2.pos, st2.ids < n_act, CFG)[0])) >= 0)
+
+
+def test_parity_drifted_no_repair():
+    """Small random drift: span tables must absorb the disorder without
+    a repair, and the result must stay exact."""
+    pos, n_act = _flat(_cloud(2000, 1))
+    st = pm_persist.init_sorted(pos, n_act, CFG)
+    rng = np.random.default_rng(2)
+    drift = jnp.asarray(rng.normal(scale=0.3, size=st.pos.shape)
+                        .astype(np.float32))
+    st = st._replace(pos=st.pos + drift)
+    st2, _ = _assert_matches_ref(st, n_act)
+    assert int(st2.resorts) == 0
+
+
+def test_repair_fires_on_scramble():
+    """A global permutation destroys span locality: the pair budgets
+    overflow, the cond repair fires, and the result is still exact."""
+    pos, n_act = _flat(_cloud(2000, 3))
+    st = pm_persist.init_sorted(pos, n_act, CFG)
+    perm = jnp.asarray(np.random.default_rng(4).permutation(
+        st.pos.shape[1]).astype(np.int32))
+    st = st._replace(pos=st.pos[:, perm], vel=st.vel[:, perm],
+                     ids=st.ids[perm])
+    st2, _ = _assert_matches_ref(st, n_act)
+    assert int(st2.resorts) == 1
+
+
+def test_partial_active_padding_inert():
+    """Padding slots (ids >= n_active) must not deposit, gather zero, and
+    stay inert even when poisoned with in-box garbage positions."""
+    pos_np = _cloud(900, 5)
+    st0 = psim.ParticleState.from_arrays(
+        pos_np, np.zeros_like(pos_np), np.zeros_like(pos_np), capacity=2048)
+    flat = jnp.asarray(st0.pos.reshape(3, -1))
+    st = pm_persist.init_sorted(flat, st0.n_active, CFG)
+    poison = jnp.where(st.ids[None] < st0.n_active, st.pos,
+                       jnp.float32(1.5))
+    st = st._replace(pos=poison)
+    st2, acc = pm_persist.accel_sorted(st, 1.0, CFG, n_active=st0.n_active,
+                                       interpret=True)
+    dead = np.asarray(st2.ids) >= 900
+    assert np.all(np.asarray(acc)[:, dead] == 0.0)
+    a_ref = _ref_accel(_ids_order(st2), st0.n_active)
+    ids = np.asarray(st2.ids)
+    scale = np.abs(a_ref).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(acc), a_ref[:, ids],
+                               atol=3e-3 * scale)
+
+
+def test_step_sorted_matches_step_pm():
+    """One integrated frame must equal pm_pallas.step_pm modulo the slot
+    permutation (identical accel + identical kick/step contract)."""
+    n = 1024
+    pos_np = _cloud(n, 6, radius=30.0)
+    vel_np = np.random.default_rng(7).normal(
+        scale=0.5, size=pos_np.shape).astype(np.float32)
+    stp = psim.ParticleState.from_arrays(pos_np, vel_np,
+                                         np.zeros_like(pos_np))
+    pv = jnp.asarray(psim.SimParams(delta_time=0.016, gravity=0.0).pack())
+    pairv = jnp.asarray(psim.PairwiseParams(1.0, CFG.softening).pack())
+    planes_p = jnp.asarray(stp.pos)
+    planes_v = jnp.asarray(stp.vel)
+
+    p_ref, v_ref = pm_pallas.step_pm(planes_p, planes_v, pv, pairv,
+                                     stp.n_active, CFG, interpret=True)
+
+    st = pm_persist.init_sorted(planes_p.reshape(3, -1), stp.n_active, CFG,
+                                vel_flat=planes_v.reshape(3, -1))
+    st2 = pm_persist.step_sorted(st, pv, pairv, stp.n_active, CFG,
+                                 interpret=True)
+    ids = np.asarray(st2.ids)
+    p_ref = np.asarray(p_ref).reshape(3, -1)
+    v_ref = np.asarray(v_ref).reshape(3, -1)
+    # the ref frame's accel rode the 40-bit un-sort pack; one kick at
+    # dt=0.016 turns that ~2^-10-relative quantization into these bounds
+    np.testing.assert_allclose(np.asarray(st2.pos), p_ref[:, ids],
+                               rtol=0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st2.vel), v_ref[:, ids],
+                               rtol=0, atol=5e-2)
+
+
+def test_masses_ride_repairs():
+    """Sorted source masses follow their particles through a repair."""
+    pos, n_act = _flat(_cloud(1024, 8))
+    masses = jnp.asarray(
+        np.random.default_rng(9).uniform(0.5, 2.0, 1024).astype(np.float32))
+    st = pm_persist.init_sorted(pos, n_act, CFG, masses=masses)
+    perm = jnp.asarray(np.random.default_rng(10).permutation(
+        1024).astype(np.int32))
+    st = st._replace(pos=st.pos[:, perm], vel=st.vel[:, perm],
+                     ids=st.ids[perm], masses=st.masses[perm])
+    st2, acc = pm_persist.accel_sorted(st, 1.0, CFG, n_active=n_act,
+                                       interpret=True)
+    assert int(st2.resorts) == 1
+    # masses still paired with their particles: sorted-by-ids masses
+    # equal the originals
+    ids = np.asarray(st2.ids)
+    np.testing.assert_array_equal(
+        np.asarray(st2.masses)[np.argsort(ids)], np.asarray(masses))
+    a_ref = np.asarray(pm_pallas.pm_accel(
+        _ids_order(st2), n_act, 1.0, CFG,
+        masses=jnp.asarray(np.asarray(st2.masses)[np.argsort(ids)]),
+        interpret=True))
+    scale = np.abs(a_ref).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(acc), a_ref[:, ids],
+                               atol=3e-3 * scale)
+
+
+def test_unsort_roundtrip():
+    pos, n_act = _flat(_cloud(600, 11))
+    st = pm_persist.init_sorted(pos, n_act, CFG)
+    (back,) = pm_persist.unsort(st, (st.pos,))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(pos))
+
+
+def test_periodic_boundary_parity():
+    cfg = PMConfig(softening=4.0, gradient="exact", boundary="periodic")
+    pos, n_act = _flat(_cloud(1200, 12))
+    st = pm_persist.init_sorted(pos, n_act, cfg)
+    st2, acc = pm_persist.accel_sorted(st, 1.0, cfg, n_active=n_act,
+                                       interpret=True)
+    a_ref = np.asarray(pm_pallas.pm_accel(_ids_order(st2), n_act, 1.0,
+                                          cfg, interpret=True))
+    ids = np.asarray(st2.ids)
+    scale = np.abs(a_ref).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(acc), a_ref[:, ids],
+                               atol=3e-3 * scale)
+
+
+def test_rejects_auto_box():
+    cfg = PMConfig(softening=4.0, auto_box=True)
+    pos, n_act = _flat(_cloud(512, 13))
+    with pytest.raises(ValueError, match="static box"):
+        pm_persist.init_sorted(pos, n_act, cfg)
+
+
+def test_pick_chunk_budget():
+    for n in (512 * 4, 1000448, 16 * 1024 * 1024):
+        c = pm_persist.pick_chunk(n)
+        assert n % c == 0
+        nc = n // c
+        assert (max(pm_persist.SLACK_DEP * nc + 4 * pm_pallas.N_TILES,
+                    pm_persist.SLACK_GAT * nc + 2 * pm_pallas.N_TILES)
+                + 2 <= 65536)
