@@ -226,23 +226,34 @@ def _gather_table_spans(rmin, rmax, n_chunks: int, c_max: int):
     return _pack_pairs(t_k, fam_k, s_k, first_k)
 
 
-def _momentum_clean_live(acc, live_f, masses):
+def _momentum_clean_live(acc, live_f, masses, psum_axis=None):
     """pm.momentum_clean with an explicit live mask (slot order is not
     identity order here, so ``arange < n_active`` would mask the wrong
-    slots)."""
+    slots). With ``psum_axis`` the mean is global over the mesh axis
+    (multi-chip momentum conservation, parallel/pm_dp.py:101-114)."""
     w = live_f if masses is None else live_f * masses
-    count = jnp.maximum(w.sum(), 1e-12)
-    mean = (acc * w[None]).sum(axis=1, keepdims=True) / count
-    return (acc - mean) * live_f[None]
+    s = (acc * w[None]).sum(axis=1, keepdims=True)
+    c = w.sum()
+    if psum_axis is not None:
+        s = jax.lax.psum(s, psum_axis)
+        c = jax.lax.psum(c, psum_axis)
+    return (acc - s / jnp.maximum(c, 1e-12)) * live_f[None]
 
 
 def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
-                 n_active=None, interpret: bool = False,
-                 chunk: int = 0) -> Tuple[SortedPMState, jax.Array]:
+                 n_active=None, interpret: bool = False, chunk: int = 0,
+                 psum_axis=None) -> Tuple[SortedPMState, jax.Array]:
     """(state', acc f32[3, N]) — PM acceleration in the state's slot
     order, repairing the sort first iff drift would overflow the pair
     budgets. Traceable; the returned state is the one ``acc`` aligns
-    with (reordered when a repair fired, ``resorts`` incremented)."""
+    with (reordered when a repair fired, ``resorts`` incremented).
+
+    Inside a shard_map, pass ``psum_axis`` (the dp mesh axis): the state
+    is then the SHARD's locally-sorted particles (global ids), the local
+    mass grid is psum'd before the replicated solve — the only collective,
+    O(G^3) like parallel/pm_dp.py — the gather stays local, and repairs
+    fire per shard independently (particles never migrate between
+    shards)."""
     if cfg.auto_box:
         raise ValueError("persistent sorted mode needs a static box; "
                          "use pm_pallas.pm_accel for auto_box")
@@ -284,6 +295,8 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     else:
         tiles = dep(dep_pairs, key_p, frac_p)
     rho = tiles[:N_TILES].reshape(GRID, GRID, GRID)
+    if psum_axis is not None:
+        rho = jax.lax.psum(rho, psum_axis)
 
     grids = pm.solve_accel(rho, cfg, cfg.softening)     # (3, G, G, G)
 
@@ -291,19 +304,21 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     gat = _build_gather(n, chunk, c_max_gat, interpret)
     acc = gat(gat_pairs, key.reshape(1, -1), frac.reshape(1, -1),
               grids.reshape(3, ROWS_TOTAL, LANE).astype(jnp.bfloat16))[:, :n]
-    acc = _momentum_clean_live(acc, live.astype(jnp.float32), st.masses)
+    acc = _momentum_clean_live(acc, live.astype(jnp.float32), st.masses,
+                               psum_axis=psum_axis)
     return st, g_const * acc
 
 
 def step_sorted(st: SortedPMState, param_vec: jax.Array,
                 pair_vec: jax.Array, n_active, cfg: "P.PMConfig", *,
-                interpret: bool = False,
-                chunk: int = 0) -> SortedPMState:
+                interpret: bool = False, chunk: int = 0,
+                psum_axis=None) -> SortedPMState:
     """One frame on the persistent state: PM self-gravity (repairing the
     order when needed) + the reference kick/step contract
     (physics.kick_and_step_planes), all in slot order."""
     st, acc = accel_sorted(st, pair_vec[0], cfg, n_active=n_active,
-                           interpret=interpret, chunk=chunk)
+                           interpret=interpret, chunk=chunk,
+                           psum_axis=psum_axis)
     shape = (3, st.pos.shape[1] // LANE, LANE)
     pos, vel = physics.kick_and_step_planes(
         st.pos.reshape(shape), st.vel.reshape(shape),

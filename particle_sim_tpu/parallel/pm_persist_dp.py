@@ -1,0 +1,87 @@
+"""Multi-chip persistent-sorted particle-mesh stepping.
+
+The composition of parallel/pm_dp.py's communication pattern (shards
+couple ONLY through one psum of the mass grid; the FFT solve is computed
+redundantly per chip; gathers are local) with ops/pm_persist.py's
+sort-free steady-state frames: each shard keeps ITS OWN locally
+cell-sorted slice of the particles, with GLOBAL identity riding in
+``ids``. Particles never migrate between shards — locality of the
+storage order is a per-shard property — so repairs (the lax.cond full
+sort in pm_persist.accel_sorted) fire per shard independently and touch
+no collective. Communication per step stays exactly one O(G^3) grid
+psum + two scalar psums (momentum clean), independent of N.
+
+State layout across the mesh: pos/vel f32[3, N] sharded over axis 1,
+ids i32[N] sharded (values are global identities), resorts i32[n_dev]
+(one per-shard repair counter; sharded so each shard owns its own).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core import params as Pm
+from ..ops import pm_pallas, pm_persist
+from .mesh import DP_AXIS
+
+
+def _flat_spec() -> P:
+    return P(None, DP_AXIS)
+
+
+def make_persist_init(mesh: Mesh, cfg: "Pm.PMConfig", *,
+                      with_masses: bool = False):
+    """Jitted (pos f32[3,N], vel f32[3,N], n_active[, masses]) ->
+    (pos, vel, ids, resorts[, masses]) — per-shard local grouping sorts
+    into the persistent layout. N/n_dev must be a multiple of 512."""
+    n_dev = mesh.devices.size
+
+    def local(pos, vel, n_active, masses=None):
+        local_n = pos.shape[1]
+        base = jax.lax.axis_index(DP_AXIS) * local_n
+        ids = base + jnp.arange(local_n, dtype=jnp.int32)
+        key, _ = pm_pallas.cell_key_frac(pos, ids < n_active, cfg)
+        st = pm_persist._sort_state(key, pos, vel, ids, masses,
+                                    jnp.zeros((1,), jnp.int32))
+        out = (st.pos, st.vel, st.ids, st.resorts)
+        return out + ((st.masses,) if masses is not None else ())
+
+    mass_in = (P(DP_AXIS),) if with_masses else ()
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(_flat_spec(), _flat_spec(), P()) + mass_in,
+        out_specs=(_flat_spec(), _flat_spec(), P(DP_AXIS), P(DP_AXIS))
+        + ((P(DP_AXIS),) if with_masses else ()),
+        check_vma=False,  # cell_key_frac mixes literal iotas into varying
+    ))                    # data (see parallel/dp.py for the JAX 0.9 note)
+
+
+def make_persist_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *,
+                         interpret: bool = False, chunk: int = 0,
+                         with_masses: bool = False):
+    """Jitted (pos, vel, ids, resorts, param_vec, pair_vec, n_active
+    [, masses]) -> (pos, vel, ids, resorts[, masses]): one persistent-PM
+    frame over the dp mesh. Arrays as in make_persist_init; n_active is
+    the GLOBAL active count (ids are global, so ``ids < n_active`` masks
+    correctly on every shard with no local-count bookkeeping)."""
+    def local(pos, vel, ids, resorts, pv, pairv, n_active, masses=None):
+        st = pm_persist.SortedPMState(pos, vel, ids, masses, resorts[0])
+        st = pm_persist.step_sorted(st, pv, pairv, n_active, cfg,
+                                    interpret=interpret, chunk=chunk,
+                                    psum_axis=DP_AXIS)
+        out = (st.pos, st.vel, st.ids, st.resorts[None])
+        return out + ((st.masses,) if masses is not None else ())
+
+    mass_in = (P(DP_AXIS),) if with_masses else ()
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(_flat_spec(), _flat_spec(), P(DP_AXIS), P(DP_AXIS),
+                  P(), P(), P()) + mass_in,
+        out_specs=(_flat_spec(), _flat_spec(), P(DP_AXIS), P(DP_AXIS))
+        + ((P(DP_AXIS),) if with_masses else ()),
+        check_vma=False,  # Pallas kernel bodies (see parallel/dp.py)
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
