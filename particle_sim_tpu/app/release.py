@@ -50,6 +50,8 @@ import time
 _VIEWER_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "viewer")
 _WEB_ASSETS = ("index.html", "sw.js", "manifest.json")
+_WEB_ICONS = ("icon-1024.png", "icon-256.png", "icon_ios_touch_192.png",
+              "maskable_icon_x512.png", "favicon.png")
 
 
 def _sha256(path: str) -> str:
@@ -101,6 +103,14 @@ def build_web(out_dir: str, public_url: str = "/") -> list[str]:
         path = os.path.join(web, name)
         with open(path, "w", encoding="utf-8") as f:
             f.write(texts[name])
+        written.append(path)
+    # install icons (reference index.html:26-50): copied verbatim
+    assets_dir = os.path.join(web, "assets")
+    os.makedirs(assets_dir, exist_ok=True)
+    for name in _WEB_ICONS:
+        src = os.path.join(_VIEWER_DIR, "assets", name)
+        path = os.path.join(assets_dir, name)
+        shutil.copyfile(src, path)
         written.append(path)
     return written
 

@@ -16,10 +16,18 @@ AutoVsync analog).
 Wire protocol (binary server->client):
     u32 magic 'PSIM' | u32 mode (0 planar-f32, 1 compact-f16) | u32 count
     | u32 frame_id | u32 total_particles | f32 fps | f32 update_ms
+    | u32 reflected_seq | f32 input_to_frame_ms
     | payload (mode 0: pos f32[3*count] then rgba u8[4*count];
                mode 1: 10-byte records — see io/packer.py)
 Client->server JSON events: params / mouse / pause / reset / resize /
 method / generation / view — mirroring the egui panel (app.rs:320-518).
+Events may carry a client ``seq``; ``reflected_seq`` is the newest event
+sequence whose effect the frame's sim state includes, and
+``input_to_frame_ms`` the server-side event-arrival -> frame-built time
+for it. The client matches reflected_seq against its own send times for
+the true input -> frame round trip — the split-architecture analog of
+the reference's host-side update timer (app.rs:303-315), which a
+one-process app gets for free.
 """
 
 from __future__ import annotations
@@ -123,6 +131,13 @@ class StreamServer:
         self.wire_mode = 0                 # 0 planar f32, 1 compact f16
         self.running = False
         self._state_version = 0
+        # input->frame latency bookkeeping (all under self.lock):
+        self._event_seq = 0        # newest client event seq + arrival time
+        self._event_t = 0.0
+        self._reflected_seq = 0    # newest seq the sim state includes
+        self._reflected_t = 0.0
+        self._latency_seq = 0      # last seq a latency was computed for
+        self._latency_ms = 0.0
         self._threads: list = []
         self._sock: Optional[socket.socket] = None
 
@@ -150,6 +165,12 @@ class StreamServer:
     def handle_event(self, ev: dict) -> None:
         t = ev.get("type")
         with self.lock:
+            if "seq" in ev:
+                try:
+                    self._event_seq = int(ev["seq"])
+                    self._event_t = time.perf_counter()
+                except (TypeError, ValueError):
+                    pass
             p = self.params
             if t == "params":
                 self.params = p.replace(**self._coerce_params(ev))
@@ -208,8 +229,15 @@ class StreamServer:
                 self.params, self.max_points)
             total = self.engine.particle_count
             stats = self.engine.stats
+            rseq, rt = self._reflected_seq, self._reflected_t
         pos = np.asarray(pos_dev)
         rgba = np.asarray(rgba_dev)
+        if rseq > self._latency_seq:
+            # first frame reflecting event rseq: freeze its end-to-end
+            # server latency (arrival -> payload fetched); later frames
+            # re-report the same number instead of a growing stale one
+            self._latency_seq = rseq
+            self._latency_ms = (time.perf_counter() - rt) * 1e3
         mode = self.wire_mode  # read once: header must match the payload
         if mode == 1:
             payload = packer.pack_f16(pos, rgba).tobytes()
@@ -218,8 +246,9 @@ class StreamServer:
             count = pos.shape[1]
             payload = pos.tobytes() + rgba.tobytes()
         head = struct.pack(
-            "<IIIIIff", MAGIC, mode, count, self.frame_id,
-            total, float(stats.fps), float(stats.update_ms))
+            "<IIIIIffIf", MAGIC, mode, count, self.frame_id,
+            total, float(stats.fps), float(stats.update_ms),
+            rseq, float(self._latency_ms))
         return head + payload
 
     def _sim_loop(self) -> None:
@@ -227,7 +256,12 @@ class StreamServer:
             t0 = time.perf_counter()
             with self.lock:
                 stepped = not self.engine.is_paused()
+                seq, seq_t = self._event_seq, self._event_t
                 self.engine.step(self.params)
+                if stepped:
+                    # this step consumed every event up to seq: frames
+                    # packed from it reflect that input
+                    self._reflected_seq, self._reflected_t = seq, seq_t
             if stepped:
                 # paused frames are identical: don't re-pack/re-stream them
                 self._state_version += 1
@@ -349,6 +383,11 @@ class StreamServer:
                     "/manifest.json": ("manifest.json", "application/json"),
                     "/sw.js": ("sw.js", "application/javascript"),
                 }
+                for icon in ("icon-1024.png", "icon-256.png",
+                             "icon_ios_touch_192.png",
+                             "maskable_icon_x512.png", "favicon.png"):
+                    static[f"/assets/{icon}"] = (
+                        os.path.join("assets", icon), "image/png")
                 entry = static.get(path.split("?")[0])
                 try:
                     if entry is None:
@@ -357,8 +396,11 @@ class StreamServer:
                     fpath = os.path.join(os.path.dirname(_VIEWER_PATH), fname)
                     with open(fpath, "rb") as f:
                         body = f.read()
+                    cache = ("max-age=86400" if ctype == "image/png"
+                             else "no-cache")
                     sock.sendall(
                         f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+                        f"Cache-Control: {cache}\r\n"
                         f"Content-Length: {len(body)}\r\n\r\n".encode()
                         + body)
                 except (OSError, FileNotFoundError):

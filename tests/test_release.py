@@ -13,7 +13,10 @@ def test_web_bundle_default_url(tmp_path):
     out = str(tmp_path / "dist")
     written = release.build_web(out)
     names = {os.path.basename(p) for p in written}
-    assert names == {"index.html", "sw.js", "manifest.json"}
+    assert names == {"index.html", "sw.js", "manifest.json",
+                     "icon-1024.png", "icon-256.png",
+                     "icon_ios_touch_192.png", "maskable_icon_x512.png",
+                     "favicon.png"}
     sw = (tmp_path / "dist" / "web" / "sw.js").read_text()
     # cache name stamped with a content hash, not the dev default
     assert 'const CACHE = "psim-tpu-v1"' not in sw

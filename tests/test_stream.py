@@ -178,16 +178,16 @@ class TestStreamServer:
         s = ws_connect("127.0.0.1", server.port)
         op, frame = ws_recv_binary(s)
         assert op == 0x2
-        magic, mode, count, fid, total, fps, upd = struct.unpack(
-            "<IIIIIff", frame[:28])
+        (magic, mode, count, fid, total, fps, upd, rseq,
+         input_ms) = struct.unpack("<IIIIIffIf", frame[:36])
         assert magic == 0x4D495350
         assert mode == 0
         assert total == 2000
         assert count >= total  # capacity slots; padding carries alpha 0
         pos = np.frombuffer(frame, dtype=np.float32,
-                            count=3 * count, offset=28).reshape(3, -1)
+                            count=3 * count, offset=36).reshape(3, -1)
         rgba = np.frombuffer(frame, dtype=np.uint8, count=4 * count,
-                             offset=28 + 12 * count).reshape(-1, 4)
+                             offset=36 + 12 * count).reshape(-1, 4)
         assert np.isfinite(pos).all()
         # hollow sphere: radius ~50 for every active particle
         radii = np.sqrt((pos[:, :total] ** 2).sum(0))
@@ -213,6 +213,29 @@ class TestStreamServer:
         assert server.engine.is_paused()
         s.close()
 
+    def test_input_to_frame_latency(self, server):
+        """Events carry a seq; frames report the newest reflected seq and
+        the server-side input->frame time (the measured interactivity of
+        the split architecture — app.rs:303-315 analog)."""
+        s = ws_connect("127.0.0.1", server.port)
+        ws_recv_binary(s)
+        ws_send_text(s, {"type": "mouse", "pos": [1.0, 2.0, 3.0],
+                         "dragging": True, "seq": 41})
+        t_sent = time.time()
+        deadline = time.time() + 10
+        rseq = 0
+        while time.time() < deadline:
+            _, frame = ws_recv_binary(s)
+            rseq, input_ms = struct.unpack("<If", frame[28:36])
+            if rseq >= 41:
+                break
+        rtt_ms = (time.time() - t_sent) * 1e3
+        assert rseq == 41
+        # the reflecting frame's server latency must be a plausible
+        # positive number bounded by the measured client round trip
+        assert 0.0 < input_ms < rtt_ms + 1e3
+        s.close()
+
     def test_compact_f16_mode(self, server):
         s = ws_connect("127.0.0.1", server.port)
         ws_recv_binary(s)
@@ -228,9 +251,9 @@ class TestStreamServer:
                 break
         assert mode == 1
         count = struct.unpack("<I", frame[8:12])[0]
-        assert len(frame) == 28 + count * packer.RECORD_BYTES
+        assert len(frame) == 36 + count * packer.RECORD_BYTES
         pos, rgba = packer.unpack_f16(
-            np.frombuffer(frame, np.uint8, offset=28))
+            np.frombuffer(frame, np.uint8, offset=36))
         active = rgba[:, 3] > 0
         radii = np.linalg.norm(pos[active], axis=1)
         assert abs(np.median(radii) - 50.0) < 2.0  # hollow sphere survives f16
@@ -238,7 +261,12 @@ class TestStreamServer:
 
     def test_static_files(self, server):
         for path, marker in [("/manifest.json", b"psim-tpu"),
+                             ("/manifest.json", b"maskable"),
                              ("/sw.js", b"psim-tpu-v1"),
+                             ("/assets/favicon.png", b"\x89PNG"),
+                             ("/assets/icon-256.png", b"\x89PNG"),
+                             ("/assets/icon_ios_touch_192.png", b"\x89PNG"),
+                             ("/assets/maskable_icon_x512.png", b"\x89PNG"),
                              ("/nope", b"404")]:
             s = socket.create_connection(("127.0.0.1", server.port), timeout=5)
             s.sendall(f"GET {path} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
