@@ -204,3 +204,75 @@ def test_periodic_wraps_out_of_box_particles():
     assert float(rho2.sum()) == pytest.approx(1.0, rel=1e-5)
     flat_x = np.asarray(rho2.sum(axis=(0, 1)))
     assert flat_x[127] > 0 and flat_x[0] > 0  # split across the seam
+
+
+# --------------------------------------------------------------------------
+# accuracy sweep: the docs/DESIGN.md "Measured" accuracy claims pinned as
+# invariants across density/box/softening regimes (not just one cloud).
+# Bounds are ~2x the measured errors at these exact configurations.
+# --------------------------------------------------------------------------
+
+def _sweep_cloud(n, seed, radius, offset=(0, 0, 0)):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    r = radius * rng.random(n).astype(np.float32) ** (1 / 3)
+    return (x * r[:, None] + np.asarray(offset, np.float32)).astype(
+        np.float32)
+
+
+_SWEEP = {
+    # name: (positions, cfg, ref-vs-direct rms bound)
+    "diffuse": (lambda: _sweep_cloud(2048, 0, 40.0),
+                PMConfig(grid=128, box_min=(-64,) * 3, box_size=128.0,
+                         softening=5.0), 0.005),
+    "dense_clump": (lambda: np.concatenate([
+                        _sweep_cloud(1536, 1, 8.0, (30, -25, 40)),
+                        _sweep_cloud(512, 2, 55.0)]),
+                    PMConfig(grid=128, box_min=(-64,) * 3, box_size=128.0,
+                             softening=3.0), 0.032),
+    "wide_box": (lambda: np.concatenate([
+                     _sweep_cloud(1024, 3, 30.0, (-40, 20, 0)),
+                     _sweep_cloud(1024, 4, 30.0, (50, -30, 10))]),
+                 PMConfig(grid=128, box_min=(-96,) * 3, box_size=192.0,
+                          softening=6.0), 0.010),
+}
+
+
+@pytest.mark.parametrize("case", sorted(_SWEEP))
+def test_accuracy_sweep(case):
+    """Pins the PM accuracy story at three density/box regimes:
+      * fast path vs jnp PM reference: <2% max, <0.5% rms (the bf16 +
+        quantized-weight + 40-bit-pack budget of docs/DESIGN.md);
+      * jnp PM reference vs direct softened sum: mesh-resolution rms
+        bound per regime (worst in the dense clump, where the force
+        field varies fastest relative to the cell size)."""
+    from particle_sim_tpu.ops import pm_pallas
+
+    make_pos, cfg, direct_tol = _SWEEP[case]
+    pos_np = make_pos()
+    n = pos_np.shape[0]
+    cap = -(-n // 512) * 512
+    pos = jnp.asarray(np.concatenate(
+        [pos_np, np.zeros((cap - n, 3), np.float32)]).T)
+    n_act = jnp.asarray(n, jnp.int32)
+
+    a_ref = np.asarray(pm.pm_accel_ref(pos, n_act, 1.0, cfg.softening,
+                                       cfg))[:, :n]
+    a_fast = np.asarray(pm_pallas.pm_accel(pos, n_act, 1.0, cfg,
+                                           interpret=True))[:, :n]
+    a_dir = np.asarray(pairwise.pairwise_accel(pos, n_act, 1.0,
+                                               cfg.softening))[:, :n]
+
+    scale = np.abs(a_ref).max()
+    mean_mag = np.linalg.norm(a_ref, axis=0).mean()
+    assert np.abs(a_fast - a_ref).max() < 0.02 * scale
+    assert (np.sqrt(((a_fast - a_ref) ** 2).sum(0).mean())
+            < 0.005 * mean_mag)
+
+    dir_mag = np.linalg.norm(a_dir, axis=0).mean()
+    rms = np.sqrt((np.linalg.norm(a_ref - a_dir, axis=0) ** 2).mean())
+    assert rms < direct_tol * dir_mag, f"{case}: {rms / dir_mag:.4f}"
+    # the composition stays within the sum of both budgets
+    rms_fd = np.sqrt((np.linalg.norm(a_fast - a_dir, axis=0) ** 2).mean())
+    assert rms_fd < (direct_tol + 0.005) * dir_mag
