@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="track the cloud with a traced box every step "
                         "(auto-zoom; --pm-softening is then in CELL units)")
     p.add_argument("--pm-gradient", choices=["exact", "fd"], default="exact")
+    p.add_argument("--pm-persist", action="store_true",
+                   help="persistent cell-sorted PM state (sort-free "
+                        "steady-state frames; needs grid 128, static box)")
     # rendering
     p.add_argument("--render-every", type=int, default=0)
     p.add_argument("--render-dir", default="frames")
@@ -121,7 +124,8 @@ def main(argv=None) -> int:
               f"({engine.particle_count} particles)", file=sys.stderr)
         ignored = [name for name, given in (
             ("--mesh", args.mesh != "none"), ("--count", args.count),
-            ("--pm", args.pm), ("--pairwise", args.pairwise),
+            ("--pm", args.pm), ("--pm-persist", args.pm_persist),
+            ("--pairwise", args.pairwise),
             ("--substeps", args.substeps != 1),
             ("--generation", args.generation != "hollow"),
         ) if given]
@@ -159,6 +163,7 @@ def main(argv=None) -> int:
             pm=pm_cfg,
             substeps=args.substeps,
             mesh=mesh,
+            pm_persist=args.pm_persist,
         )
 
     if args.central_mass > 0.0:

@@ -207,11 +207,14 @@ class StreamServer:
                 name = ev.get("name", "off")
                 g = float(ev.get("g", 1.0))
                 eps = float(ev.get("softening", 2.0))
-                if name == "pm":
+                if name in ("pm", "pm_persist"):
                     self.engine.pm = PMConfig(
                         softening=eps,
                         auto_box=bool(ev.get("auto_box", False)))
                     self.engine.pairwise = PairwiseParams(g, eps)
+                    # runtime toggle: _persist_eligible() re-validates
+                    # (auto_box silently falls back to per-frame sorting)
+                    self.engine.pm_persist = name == "pm_persist"
                 elif name == "direct":
                     self.engine.pm = None
                     self.engine.pairwise = PairwiseParams(g, eps)
@@ -360,7 +363,8 @@ class StreamServer:
                     "method": self.engine.method.name.lower(),
                     "count": self.engine.particle_count,
                     "paused": self.engine.is_paused(),
-                    "solver": ("pm" if self.engine.pm is not None
+                    "solver": (("pm_persist" if self.engine.pm_persist
+                                else "pm") if self.engine.pm is not None
                                else "direct" if self.engine.pairwise
                                else "off"),
                     "solver_g": (self.engine.pairwise.gravitational_constant
@@ -469,17 +473,21 @@ def main(argv=None) -> int:
     ap.add_argument("--max-points", type=int, default=250_000)
     ap.add_argument("--pm", action="store_true",
                     help="start with particle-mesh self-gravity on")
+    ap.add_argument("--pm-persist", action="store_true",
+                    help="persistent cell-sorted PM state (implies --pm)")
     ap.add_argument("--pm-g", type=float, default=1.0)
     ap.add_argument("--pm-softening", type=float, default=2.0)
     args = ap.parse_args(argv)
 
     method = {"auto": None, "jnp": Method.JNP,
               "pallas": Method.PALLAS}[args.method]
+    want_pm = args.pm or args.pm_persist
     engine = Engine(
         particle_count=args.count, method=method,
-        pm=PMConfig(softening=args.pm_softening) if args.pm else None,
+        pm=PMConfig(softening=args.pm_softening) if want_pm else None,
         pairwise=(PairwiseParams(args.pm_g, args.pm_softening)
-                  if args.pm else None))
+                  if want_pm else None),
+        pm_persist=args.pm_persist)
     server = StreamServer(engine, host=args.host, port=args.port,
                           target_fps=args.fps)
     server.max_points = args.max_points

@@ -74,6 +74,7 @@ class Engine:
         substeps: int = 1,
         debug_checks: bool = False,
         mesh=None,
+        pm_persist: bool = False,
     ):
         """``mesh``: a 1-D jax.sharding.Mesh (parallel.mesh.make_mesh) to
         row-shard the state over its ``dp`` axis — the multi-chip mode.
@@ -87,6 +88,12 @@ class Engine:
         uses the sorted CIC kernels when pm.grid == 128, the jnp
         reference otherwise; multi-chip uses the psum-grid step
         (parallel/pm_dp.py).
+
+        ``pm_persist``: run the PM solver on the persistent cell-sorted
+        state (ops/pm_persist.py): the frame pays zero sorts in steady
+        state; identity order (colors, streaming, checkpoints) is
+        rebuilt lazily only when an output accessor needs it. Requires
+        ``pm`` with grid 128 and a static box (no auto_box).
 
         ``masses``: f32[particle_count] per-particle SOURCE masses for
         the gravity solvers (heavy central bodies, multi-species scenes;
@@ -111,6 +118,18 @@ class Engine:
         self.method = method
         self.generation_mode = generation_mode
         self.pm = pm
+        if pm_persist:
+            from ..ops import pm_pallas as _pp
+            if pm is None:
+                raise ValueError("pm_persist requires a PMConfig")
+            if pm.auto_box or pm.grid != _pp.GRID:
+                raise ValueError(
+                    "pm_persist needs a static box and grid "
+                    f"{_pp.GRID} (got auto_box={pm.auto_box}, "
+                    f"grid={pm.grid})")
+        self.pm_persist = pm_persist
+        self._persist = None          # SortedPMState / dp carry, lazy
+        self._identity_dirty = False  # state planes stale vs _persist
         if pm is not None and pairwise is None:
             pairwise = PairwiseParams(1.0, pm.softening)
         self.pairwise = pairwise
@@ -164,6 +183,8 @@ class Engine:
 
     def set_masses(self, masses) -> None:
         """Set per-particle source masses (length = particle_count)."""
+        self.ensure_identity_order()
+        self._persist = None  # sorted mass mirror is stale
         m = np.asarray(masses, dtype=np.float32).ravel()
         if m.shape[0] != self.particle_count:
             raise ValueError(
@@ -313,6 +334,81 @@ class Engine:
         self._jit_cache[key] = fn
         return fn
 
+    # -- persistent-sorted PM mode (ops/pm_persist.py) ------------------------
+    def _persist_eligible(self) -> bool:
+        """Persist mode can run right now (solver events may have swapped
+        the PMConfig out from under it — fall back gracefully)."""
+        from ..ops import pm_pallas as _pp
+        return (self.pm_persist and self.pm is not None
+                and not self.pm.auto_box and self.pm.grid == _pp.GRID)
+
+    def _step_persist(self, pv, pp) -> None:
+        from ..ops import pm_persist as pper
+        cfg = self.pm
+        n_act = self.state.n_active
+        masses = self._masses_for_capacity()
+        if self.mesh is not None:
+            from ..parallel import pm_persist_dp
+            key = ("persist_dp", cfg, masses is not None, self.substeps,
+                   self._interpret)
+            fns = self._jit_cache.get(key)
+            if fns is None:
+                fns = (pm_persist_dp.make_persist_init(
+                           self.mesh, cfg, with_masses=masses is not None),
+                       pm_persist_dp.make_persist_pm_step(
+                           self.mesh, cfg, interpret=self._interpret,
+                           with_masses=masses is not None))
+                self._jit_cache[key] = fns
+            init, pstep = fns
+            if self._persist is None:
+                args = (self.state.pos.reshape(3, -1),
+                        self.state.vel.reshape(3, -1), n_act)
+                self._persist = init(*args + ((masses,)
+                                              if masses is not None else ()))
+            for _ in range(self.substeps):
+                self._persist = pstep(*self._persist, pv, pp, n_act)
+        else:
+            if self._persist is None:
+                self._persist = pper.init_sorted(
+                    self.state.pos.reshape(3, -1), n_act, cfg,
+                    vel_flat=self.state.vel.reshape(3, -1), masses=masses)
+            for _ in range(self.substeps):
+                self._persist = pper.step_sorted_jit(
+                    self._persist, pv, pp, n_act, cfg,
+                    interpret=self._interpret)
+        self._identity_dirty = True
+
+    def ensure_identity_order(self) -> None:
+        """Rebuild the identity-order state planes from the persistent
+        sorted state (no-op otherwise). Output accessors call this; the
+        scatter is paid per CONSUMED frame, never per simulated frame."""
+        if not self._identity_dirty:
+            return
+        from ..ops import pm_persist as pper
+        carry = self._persist
+        if self.mesh is None:
+            st = carry
+        else:
+            st = pper.SortedPMState(carry[0], carry[1], carry[2], None,
+                                    jnp.int32(0))
+        key = ("persist_unsort",)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda s: pper.unsort(s, (s.pos, s.vel)))
+            self._jit_cache[key] = fn
+        pos_f, vel_f = fn(st)
+        shape = self.state.pos.shape
+        self.state = ParticleState(pos=pos_f.reshape(shape),
+                                   vel=vel_f.reshape(shape),
+                                   init_color=self.state.init_color,
+                                   n_active=self.state.n_active)
+        self._identity_dirty = False
+
+    def _drop_persist(self) -> None:
+        """Invalidate the sorted mirror (state about to be rebuilt)."""
+        self._persist = None
+        self._identity_dirty = False
+
     def step(self, params: Union[SimParams, np.ndarray]) -> None:
         """Advance one frame unless paused (app.rs:283). Dispatch is async."""
         self.stats.frame_tick()
@@ -322,15 +418,28 @@ class Engine:
                          else params)
         pp = jnp.asarray((self.pairwise or PairwiseParams()).pack())
         t0 = time.perf_counter()
-        pos, vel = self._step_fn()(self.state.pos, self.state.vel, pv, pp,
-                                   self.state.n_active)
-        self.state = ParticleState(pos=pos, vel=vel,
-                                   init_color=self.state.init_color,
-                                   n_active=self.state.n_active)
+        if self._persist_eligible():
+            self._step_persist(pv, pp)
+        else:
+            self.ensure_identity_order()  # solver may have just switched
+            self._persist = None
+            pos, vel = self._step_fn()(self.state.pos, self.state.vel, pv,
+                                       pp, self.state.n_active)
+            self.state = ParticleState(pos=pos, vel=vel,
+                                       init_color=self.state.init_color,
+                                       n_active=self.state.n_active)
         self.stats.record_update(time.perf_counter() - t0)
         if self.debug_checks:
             from ..utils.debug import validate_state
-            validate_state(self.state.pos, self.state.vel)
+            if self._identity_dirty:
+                st = (self._persist if self.mesh is None
+                      else self._persist[:2])
+                p = st.pos if self.mesh is None else st[0]
+                v = st.vel if self.mesh is None else st[1]
+                validate_state(p.reshape(self.state.pos.shape),
+                               v.reshape(self.state.vel.shape))
+            else:
+                validate_state(self.state.pos, self.state.vel)
 
     def step_synced(self, params: Union[SimParams, np.ndarray]) -> None:
         """step() + device sync, recording honest device time."""
@@ -351,6 +460,7 @@ class Engine:
         """Regenerate at current count, keeping capacity (cpu.rs:172-186)."""
         if generation_mode is not None:
             self.generation_mode = generation_mode
+        self._drop_persist()
         self.state = self._generate_state(self.particle_count,
                                           capacity=self.capacity)
 
@@ -358,6 +468,8 @@ class Engine:
                generation_mode: Optional[SphereGeneration] = None) -> None:
         """Grow appends preserving state; shrink keeps capacity (§3.3)."""
         new_count = max(int(new_count), 1)  # app.rs:480 clamps to >=1
+        self.ensure_identity_order()  # grow/shrink read the state planes
+        self._persist = None          # capacity/count change: re-init
         if generation_mode is not None and generation_mode != self.generation_mode:
             self.generation_mode = generation_mode
             # generation-mode change regenerates (app.rs:479-491 passes the
@@ -406,6 +518,7 @@ class Engine:
             raise ValueError(f"method {method.name} unavailable")
         count, was_paused = self.particle_count, self.paused
         self.method = method
+        self._drop_persist()
         self.state = self._generate_state(count)
         self.paused = was_paused
 
@@ -417,6 +530,7 @@ class Engine:
         PM config at large N)."""
         from ..ops import diagnostics as diag
 
+        self.ensure_identity_order()
         g = (self.pairwise.gravitational_constant if self.pairwise else 0.0)
         eps = (self.pm.softening if self.pm
                else self.pairwise.softening if self.pairwise else 2.0)
@@ -428,6 +542,7 @@ class Engine:
     # -- output ---------------------------------------------------------------
     def colors_rgba(self, params: Union[SimParams, np.ndarray]) -> np.ndarray:
         """float32[n_active, 4] current colors (compute.wgsl:74-93)."""
+        self.ensure_identity_order()
         pv = jnp.asarray(params.pack() if isinstance(params, SimParams)
                          else params)
         rgb = step_jnp.colors_jit(self.state.pos, self.state.vel,
@@ -456,6 +571,7 @@ class Engine:
         """Device-array variant of frame_arrays: dispatches the pack and
         returns without forcing the device->host transfer, so a caller can
         release locks before the (slow) fetch."""
+        self.ensure_identity_order()
         pv = jnp.asarray(params.pack() if isinstance(params, SimParams)
                          else params)
         n = self.particle_count
@@ -483,6 +599,7 @@ class Engine:
         """
         from ..render import raster_sorted
 
+        self.ensure_identity_order()
         pv = jnp.asarray(params.pack() if isinstance(params, SimParams)
                          else params)
         vp = jnp.asarray(camera.view_proj())

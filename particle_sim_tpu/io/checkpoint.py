@@ -27,6 +27,7 @@ FORMAT_VERSION = 1
 
 
 def save(path: str, engine: Engine, step_index: int = 0) -> None:
+    engine.ensure_identity_order()
     state = engine.state
     meta = {
         "format_version": FORMAT_VERSION,

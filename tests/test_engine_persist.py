@@ -1,0 +1,114 @@
+"""Engine integration of the persistent-sorted PM mode: outputs stay in
+identity order, lifecycle mutations invalidate the sorted mirror, and
+the trajectory matches the per-frame-sorted engine."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import particle_sim_tpu as psim
+from particle_sim_tpu.core.params import Method, PMConfig, SimParams
+from particle_sim_tpu.engine import Engine
+
+CFG = PMConfig(softening=4.0, gradient="exact", boundary="isolated")
+PARAMS = SimParams(delta_time=0.016, gravity=0.0)
+
+
+def _engine(persist, **kw):
+    return Engine(particle_count=2000, method=Method.PALLAS, pm=CFG,
+                  interpret=True, pm_persist=persist, **kw)
+
+
+def test_trajectory_matches_sorted_path():
+    e_ref = _engine(False)
+    e_per = _engine(True)
+    for _ in range(3):
+        e_ref.step(PARAMS)
+        e_per.step(PARAMS)
+    p_ref = e_ref.state.positions()
+    p_per = e_per.state.positions()  # accessor must rebuild identity order
+    # same kernels; persist skips the un-sort 40-bit pack quantization,
+    # which bounds the divergence per kick
+    np.testing.assert_allclose(p_per, p_ref, rtol=0, atol=5e-3)
+
+
+def test_frame_arrays_identity_order():
+    """Streaming output must be identity-ordered (colors pair with their
+    original particles) even while the internal state is sorted."""
+    e_per = _engine(True)
+    e_ref = _engine(False)
+    e_per.step(PARAMS)
+    e_ref.step(PARAMS)
+    pos_p, rgba_p = e_per.frame_arrays(PARAMS)
+    pos_r, rgba_r = e_ref.frame_arrays(PARAMS)
+    np.testing.assert_allclose(pos_p, pos_r, rtol=0, atol=5e-3)
+    assert abs(rgba_p.astype(int) - rgba_r.astype(int)).max() <= 1
+
+
+def test_resize_and_reset_invalidate_mirror():
+    e = _engine(True)
+    e.step(PARAMS)
+    assert e._persist is not None
+    e.resize(2600)
+    assert e._persist is None
+    assert e.particle_count == 2600
+    e.step(PARAMS)
+    assert e._persist is not None
+    e.reset()
+    assert e._persist is None
+    e.step(PARAMS)
+    assert bool(jnp.isfinite(e.state.pos).all())
+
+
+def test_solver_switch_falls_back():
+    """Clearing pm mid-run (server 'solver off' event) must sync identity
+    order once and continue on the plain attractor path."""
+    e = _engine(True)
+    e.step(PARAMS)
+    e.pm = None
+    e.pairwise = None
+    e.step(PARAMS)  # no crash; identity order restored internally
+    assert not e._identity_dirty
+    assert bool(jnp.isfinite(e.state.pos).all())
+
+
+def test_checkpoint_roundtrip_identity(tmp_path):
+    from particle_sim_tpu.io import checkpoint as ckpt
+    e = _engine(True)
+    e.step(PARAMS)
+    path = str(tmp_path / "per.npz")
+    ckpt.save(path, e, step_index=1)
+    e2, step = ckpt.load(path, method=Method.JNP)
+    assert step == 1
+    np.testing.assert_allclose(e2.state.positions(),
+                               e.state.positions(), atol=1e-6)
+
+
+def test_rejects_bad_config():
+    with pytest.raises(ValueError, match="pm_persist"):
+        Engine(particle_count=1000, method=Method.JNP, pm=None,
+               interpret=True, pm_persist=True)
+    with pytest.raises(ValueError, match="static box"):
+        Engine(particle_count=1000, method=Method.JNP,
+               pm=PMConfig(softening=2.0, auto_box=True),
+               interpret=True, pm_persist=True)
+
+
+def test_persist_with_mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device platform")
+    from particle_sim_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.make_mesh()
+    e = Engine(particle_count=mesh.devices.size * 1024,
+               method=Method.PALLAS, pm=CFG, interpret=True,
+               pm_persist=True, mesh=mesh)
+    e_ref = Engine(particle_count=mesh.devices.size * 1024,
+                   method=Method.PALLAS, pm=CFG, interpret=True,
+                   mesh=mesh)
+    for _ in range(2):
+        e.step(PARAMS)
+        e_ref.step(PARAMS)
+    np.testing.assert_allclose(e.state.positions(),
+                               e_ref.state.positions(), rtol=0, atol=5e-3)
