@@ -266,22 +266,39 @@ def _measure(res: dict) -> None:
         _sync(out16)
         detail["pm_self_gravity_16m_frame_ms"] = round(
             (time.perf_counter() - t0) / 4 * 1e3, 3)
-        # persistent cell-sorted mode (repair sort instead of full re-sort)
+        # persistent cell-sorted mode (ops/pm_persist.py): steady accel
+        # (result consumed — returning only the state lets XLA dead-code
+        # the whole solver) + dynamic integrated frames with repairs
         try:
             from particle_sim_tpu.ops import pm_persist as _pmper
+
             st_p = _pmper.init_sorted(pos16m, jnp.int32(n16), cfg16)
-            step_fn = jax.jit(lambda s: _pmper.accel_sorted(
-                s, jnp.float32(1.0), cfg16)[0])
-            st_p = step_fn(st_p)
-            _sync(st_p.pos)
+            acc_p = jax.jit(lambda s: (lambda s2, a: (s2, a.sum()))(
+                *_pmper.accel_sorted(s, jnp.float32(1.0), cfg16)))
+            st_p, tot = acc_p(st_p)
+            _sync(tot)
             t0 = time.perf_counter()
             for _ in range(4):
-                st_p = step_fn(st_p)
-            _sync(st_p.pos)
-            detail["pm_persistent_16m_frame_ms"] = round(
+                st_p, tot = acc_p(st_p)
+            _sync(tot)
+            detail["pm_persistent_16m_steady_ms"] = round(
                 (time.perf_counter() - t0) / 4 * 1e3, 3)
-        except ImportError:
-            pass
+            pp16 = jnp.asarray(psim.PairwiseParams(1.0, 2.0).pack())
+            step_p = jax.jit(lambda s: _pmper.step_sorted(
+                s, pv, pp16, jnp.int32(n16), cfg16))
+            st_p = step_p(st_p)
+            _sync(st_p.pos)
+            t0 = time.perf_counter()
+            k_dyn = 12
+            for _ in range(k_dyn):
+                st_p = step_p(st_p)
+            _sync(st_p.pos)
+            detail["pm_persistent_16m_dynamic_ms"] = round(
+                (time.perf_counter() - t0) / k_dyn * 1e3, 3)
+            detail["pm_persistent_16m_repairs"] = (
+                f"{int(st_p.resorts)}/{k_dyn + 2}")
+        except Exception as e:
+            errors["pm_persist_16m"] = repr(e)[:200]
         del pos16m
     except Exception as e:
         errors["pm_16m"] = repr(e)[:200]
