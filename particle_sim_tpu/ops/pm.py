@@ -180,6 +180,49 @@ def _isolated_kernels_host(grid: int, h: float, eps: float,
 
 
 @functools.lru_cache(maxsize=8)
+def _isolated_diff_kernels_host(grid: int, h: float, eps: float,
+                                eps_outer: float, gradient: str) -> tuple:
+    """rfftn of the DIFFERENCE kernel g_eps - g_eps_outer (eps < eps_outer)
+    on the doubled grid — the short-range part a coarse mesh softened at
+    eps_outer cannot resolve. Decays like r^-4 beyond eps_outer, so its
+    support is local to the refinement window (ops/pm2.py)."""
+    g2 = 2 * grid
+    idx = np.arange(g2)
+    d = np.where(idx < grid, idx, idx - g2).astype(np.float32) * h
+    dz = d[:, None, None]
+    dy = d[None, :, None]
+    dx = d[None, None, :]
+    r2 = dx * dx + dy * dy + dz * dz
+    r2a = r2 + np.float32(eps * eps)
+    r2b = r2 + np.float32(eps_outer * eps_outer)
+    if gradient == "fd":
+        phi = -(r2a ** np.float32(-0.5) - r2b ** np.float32(-0.5))
+        return (np.fft.rfftn(phi).astype(np.complex64),)
+    k = r2a ** np.float32(-1.5) - r2b ** np.float32(-1.5)
+    return tuple(
+        np.fft.rfftn(-dc * k).astype(np.complex64)
+        for dc in (dx, dy, dz)
+    )
+
+
+def solve_accel_diff(rho: jax.Array, grid: int, h, eps, eps_outer,
+                     gradient: str = "exact") -> jax.Array:
+    """f32[3, G, G, G] acceleration grids for the short-range difference
+    kernel (isolated Hockney; the fine level of the two-level PM).
+    ``h``/``eps``/``eps_outer`` must be static python floats (cached
+    kernel FFTs)."""
+    kernels = _isolated_diff_kernels_host(grid, float(h), float(eps),
+                                          float(eps_outer), gradient)
+    rho_p = jnp.pad(rho, ((0, grid), (0, grid), (0, grid)))
+    rho_hat = jnp.fft.rfftn(rho_p)
+    if gradient == "fd":
+        phi = _irfftn_octant(rho_hat * jnp.asarray(kernels[0]), grid)
+        return _fd_gradient(phi.astype(jnp.float32), float(h))
+    specs = rho_hat[None] * jnp.stack([jnp.asarray(k) for k in kernels])
+    return _irfftn_octant_batch(specs, grid).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=8)
 def _periodic_kernels_host(grid: int, h: float, eps: float,
                            gradient: str) -> tuple:
     """Closed-form Plummer kernel in Fourier space on the G^3 grid."""

@@ -1,0 +1,176 @@
+"""Two-level particle-mesh — sub-mesh-scale forces via a refinement window.
+
+The single-level PM (ops/pm.py, ops/pm_pallas.py) resolves forces down to
+its softening, which mesh accuracy pins at eps >= ~2-3 cells of the WORLD
+grid — dense clumps smaller than a few cells feel only their smoothed
+far field. The reference app has no self-gravity at all, so this is a
+capability extension past docs/DESIGN.md's P3M analysis, which showed
+every TPU-shaped *pairwise* short-range correction wastes 10-50x on
+empty slot-pairs; the honest route it names — a multi-level mesh — is
+what this module builds:
+
+  * **Coarse level**: the ordinary PM over the full box, softened at
+    eps1 = cfg.softening (>= ~2.5 h1 for mesh accuracy). Every particle
+    gets this far field.
+  * **Fine level**: a second GRID^3 mesh over a refinement window (a
+    sub-box around the region of interest, h2 = window/grid cells).
+    It deposits ONLY the particles inside the window and solves the
+    isolated Hockney convolution with the DIFFERENCE kernel
+    g_eps - g_eps1 (pm.solve_accel_diff) — exactly the short-range part
+    the coarse level smoothed away, decaying like r^-4 beyond eps1 so
+    its support is local.
+  * **Composition**: particles deeper than a margin (~4 eps1, where the
+    difference kernel has decayed) inside the window receive
+    coarse + fine = the eps-softened force; the outer shell and
+    everything outside the window keep the coarse eps1 force. Effective
+    softening is therefore eps inside the (shrunken) window and eps1
+    elsewhere — an 1/(window/box)x refinement of force resolution where
+    it matters, for one extra O(G^3 log G) solve.
+
+The fine correction is not antisymmetric across the margin boundary
+(an inner particle feels the sharpened pull of an outer-shell source,
+but not vice versa); pm.momentum_clean removes the tiny net force this
+injects, as it already does for the FFT's rounding bias.
+
+Both levels run on the same machinery: the jnp reference path
+(pm.cic_* + solve) and the sorted-Pallas fast path (pm_pallas kernels
+with the window's cell coords and the window mask riding as the deposit
+mass). Fast-path cost is one extra grouping sort + deposit + solve +
+gather per frame; fusing the fine level into the persistent-sorted
+state (ops/pm_persist.py) is the natural next step if a workload runs
+two-level at 16M.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import params as P
+from . import physics, pm, pm_pallas
+
+
+@dataclass(frozen=True)
+class PM2Config:
+    """Fine-level configuration (all static — shapes cached kernel FFTs).
+
+    window_min:  world coords of the refinement window origin.
+    window_size: window extent per axis (fine cell h2 = window_size/grid;
+                 the grid resolution is inherited from the coarse
+                 PMConfig).
+    softening:   fine Plummer eps — resolve eps >= ~2.5 h2; must be
+                 < the coarse cfg.softening for the split to make sense.
+    margin:      shell width (world units) inside the window where the
+                 fine correction is NOT applied (difference-kernel
+                 support spills past the window edge there). 0 -> 4x the
+                 coarse softening.
+    gradient:    'exact' or 'fd', as in PMConfig.
+    """
+    window_min: Tuple[float, float, float]
+    window_size: float
+    softening: float
+    margin: float = 0.0
+    gradient: str = "exact"
+
+
+def _in_window(pos_flat: jax.Array, cfg2: PM2Config,
+               shrink: float) -> jax.Array:
+    lo = (jnp.asarray(cfg2.window_min, jnp.float32).reshape(3, 1)
+          + jnp.float32(shrink))
+    hi = lo + jnp.float32(cfg2.window_size - 2.0 * shrink)
+    return ((pos_flat >= lo) & (pos_flat < hi)).all(axis=0)
+
+
+def _margin(cfg: "P.PMConfig", cfg2: PM2Config) -> float:
+    return cfg2.margin if cfg2.margin > 0.0 else 4.0 * cfg.softening
+
+
+def _fine_accel_ref(pos_flat, n_active, cfg, cfg2, masses):
+    """f32[3, N] difference-kernel acceleration, unmasked (jnp path)."""
+    h2 = cfg2.window_size / cfg.grid
+    coords2 = pm.cell_coords_dyn(pos_flat, cfg2.window_min, h2, cfg.grid)
+    n = pos_flat.shape[1]
+    live = jnp.arange(n, dtype=jnp.int32) < n_active
+    w_src = (_in_window(pos_flat, cfg2, 0.0) & live).astype(jnp.float32)
+    m_src = w_src if masses is None else w_src * masses
+    rho2 = pm.cic_deposit_ref(pos_flat, n_active, cfg, coords=coords2,
+                              masses=m_src)
+    grids2 = pm.solve_accel_diff(rho2, cfg.grid, h2, cfg2.softening,
+                                 cfg.softening, cfg2.gradient)
+    return pm.cic_gather_ref(grids2, pos_flat, cfg, coords=coords2)
+
+
+def pm2_accel_ref(pos_flat: jax.Array, n_active: jax.Array, g_const,
+                  cfg: "P.PMConfig", cfg2: PM2Config,
+                  masses=None) -> jax.Array:
+    """f32[3, N] two-level PM acceleration — jnp reference path."""
+    acc = pm.pm_accel_ref(pos_flat, n_active, 1.0, cfg.softening, cfg,
+                          masses=masses)
+    acc2 = _fine_accel_ref(pos_flat, n_active, cfg, cfg2, masses)
+    n = pos_flat.shape[1]
+    live = jnp.arange(n, dtype=jnp.int32) < n_active
+    inner = (_in_window(pos_flat, cfg2, _margin(cfg, cfg2))
+             & live).astype(jnp.float32)
+    acc = acc + acc2 * inner[None]
+    return g_const * pm.momentum_clean(acc, n_active, masses)
+
+
+def pm2_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
+              cfg: "P.PMConfig", cfg2: PM2Config, *, masses=None,
+              interpret: bool = False) -> jax.Array:
+    """f32[3, N] two-level PM acceleration — sorted-Pallas fast path for
+    BOTH levels (grid 128, N a multiple of 512; see pm_pallas.pm_accel).
+
+    The fine level reuses the sorted CIC kernels with the window's cell
+    coords; particles outside the window clamp to the window boundary
+    with deposit weight zero (the window mask rides as the mass payload)
+    and their gathered garbage is masked by the margin test."""
+    if cfg.auto_box:
+        raise ValueError("two-level PM needs a static coarse box")
+    acc = pm_pallas.pm_accel(pos_flat, n_active, 1.0, cfg, masses=masses,
+                             interpret=interpret)
+    h2 = cfg2.window_size / cfg.grid
+    coords2 = pm.cell_coords_dyn(pos_flat, cfg2.window_min, h2, cfg.grid)
+    n = pos_flat.shape[1]
+    live = jnp.arange(n, dtype=jnp.int32) < n_active
+    w_src = (_in_window(pos_flat, cfg2, 0.0) & live).astype(jnp.float32)
+    m_src = w_src if masses is None else w_src * masses
+    key_s, idx_s, frac_s, mass_s = pm_pallas.pm_sort(
+        pos_flat, n_active, cfg, coords=coords2, masses=m_src)
+    rho2 = pm_pallas.pm_deposit_sorted(key_s, frac_s, mass_s,
+                                       interpret=interpret)
+    grids2 = pm.solve_accel_diff(rho2, cfg.grid, h2, cfg2.softening,
+                                 cfg.softening, cfg2.gradient)
+    acc2 = pm_pallas.pm_gather_sorted(grids2, key_s, frac_s, idx_s,
+                                      interpret=interpret)
+    inner = (_in_window(pos_flat, cfg2, _margin(cfg, cfg2))
+             & live).astype(jnp.float32)
+    acc = acc + acc2 * inner[None]
+    return g_const * pm.momentum_clean(acc, n_active, masses)
+
+
+def step_pm2(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
+             pair_vec: jax.Array, n_active: jax.Array, cfg: "P.PMConfig",
+             cfg2: PM2Config, *, masses=None, use_fast: bool = True,
+             interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """One frame: two-level PM self-gravity + attractor step on
+    (3, R, LANE) planes — same contract as pm_pallas.step_pm."""
+    flat = pos.reshape(3, -1)
+    fn = pm2_accel if use_fast else pm2_accel_ref
+    kw = {"interpret": interpret} if use_fast else {}
+    acc = fn(flat, n_active, pair_vec[0], cfg, cfg2, masses=masses, **kw)
+    return physics.kick_and_step_planes(pos, vel, acc.reshape(pos.shape),
+                                        param_vec)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "cfg2", "use_fast", "interpret"))
+def step_pm2_jit(pos, vel, param_vec, pair_vec, n_active, cfg, cfg2,
+                 use_fast: bool = True, interpret: bool = False,
+                 masses=None):
+    return step_pm2(pos, vel, param_vec, pair_vec, n_active, cfg, cfg2,
+                    masses=masses, use_fast=use_fast, interpret=interpret)

@@ -1,0 +1,150 @@
+"""Two-level PM: sub-mesh force accuracy, composition semantics, parity.
+
+Oracle chain (SURVEY.md §4): the direct softened sum at the FINE
+softening is the ground truth inside the refinement window; outside,
+the two-level result must degrade exactly to the coarse field (plus the
+constant momentum-clean shift)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from particle_sim_tpu.core.params import PMConfig
+from particle_sim_tpu.ops import pairwise, pm, pm2
+
+CFG = PMConfig(grid=128, box_min=(-64,) * 3, box_size=128.0, softening=3.0)
+CFG2 = pm2.PM2Config(window_min=(-16.0,) * 3, window_size=32.0,
+                     softening=0.75)
+EPS_FINE = 0.75
+
+
+def _scene(seed=0):
+    rng = np.random.default_rng(seed)
+
+    def cloud(n, radius, offset=(0, 0, 0)):
+        x = rng.normal(size=(n, 3)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        r = radius * rng.random(n).astype(np.float32) ** (1 / 3)
+        return (x * r[:, None] + np.asarray(offset, np.float32)).astype(
+            np.float32)
+
+    pos_np = np.concatenate([cloud(3000, 5.0), cloud(1000, 45.0)])
+    n = pos_np.shape[0]
+    cap = -(-n // 512) * 512
+    pos = jnp.asarray(np.concatenate(
+        [pos_np, np.zeros((cap - n, 3), np.float32)]).T)
+    return pos_np, pos, jnp.asarray(n, jnp.int32)
+
+
+def _inner_mask(pos_np, margin=12.0):
+    return np.all((pos_np >= -16 + margin) & (pos_np < 16 - margin), axis=1)
+
+
+def test_subgrid_accuracy_beats_single_level():
+    """Inside the window, two-level PM reproduces the direct sum at the
+    FINE softening (eps = 0.75 = 3 fine cells) — which no single-level
+    128^3 mesh over the full box can: a mesh-resolved softening (3 h1)
+    over-smooths by ~50% rms in the clump, and forcing eps = 0.75 on
+    h1 = 1 under-resolves to ~5% rms. Measured two-level: ~1.9%."""
+    pos_np, pos, n_act = _scene()
+    n = int(n_act)
+    a2 = np.asarray(pm2.pm2_accel_ref(pos, n_act, 1.0, CFG, CFG2))[:, :n]
+    a_dir = np.asarray(pairwise.pairwise_accel(
+        pos, n_act, 1.0, EPS_FINE))[:, :n]
+    a_coarse = np.asarray(pm.pm_accel_ref(
+        pos, n_act, 1.0, CFG.softening, CFG))[:, :n]
+
+    inner = _inner_mask(pos_np)
+    assert inner.sum() > 2000
+    mag = np.linalg.norm(a_dir[:, inner], axis=0).mean()
+
+    def rms(a):
+        d = np.linalg.norm(a[:, inner] - a_dir[:, inner], axis=0)
+        return np.sqrt((d ** 2).mean()) / mag
+
+    assert rms(a2) < 0.03, f"two-level rms {rms(a2):.4f}"
+    assert rms(a_coarse) > 0.3          # the problem is real
+    assert rms(a2) < rms(a_coarse) / 10  # and two-level solves it
+
+
+def test_outside_window_is_coarse_plus_constant():
+    """Particles outside the window get exactly the coarse field; the
+    only difference is the spatially-CONSTANT momentum-clean shift from
+    the fine level's inner/shell asymmetry."""
+    pos_np, pos, n_act = _scene(1)
+    n = int(n_act)
+    a2 = np.asarray(pm2.pm2_accel_ref(pos, n_act, 1.0, CFG, CFG2))[:, :n]
+    a_coarse = np.asarray(pm.pm_accel_ref(
+        pos, n_act, 1.0, CFG.softening, CFG))[:, :n]
+    out = ~np.all((pos_np >= -16) & (pos_np < 16), axis=1)
+    assert out.sum() > 500
+    diff = a2[:, out] - a_coarse[:, out]
+    scale = np.abs(a_coarse).max()
+    assert diff.std(axis=1).max() < 1e-4 * scale     # constant per axis
+    assert np.abs(diff).max() < 0.05 * scale         # and small
+
+
+def test_fast_path_parity():
+    pos_np, pos, n_act = _scene(2)
+    n = int(n_act)
+    a_ref = np.asarray(pm2.pm2_accel_ref(pos, n_act, 1.0, CFG, CFG2))[:, :n]
+    a_fast = np.asarray(pm2.pm2_accel(pos, n_act, 1.0, CFG, CFG2,
+                                      interpret=True))[:, :n]
+    scale = np.abs(a_ref).max()
+    assert np.abs(a_fast - a_ref).max() < 0.02 * scale
+
+
+def test_momentum_conserved():
+    pos_np, pos, n_act = _scene(3)
+    n = int(n_act)
+    a2 = np.asarray(pm2.pm2_accel_ref(pos, n_act, 1.0, CFG, CFG2))[:, :n]
+    typical = np.abs(a2).max()
+    assert np.abs(a2.sum(axis=1)).max() < 1e-3 * typical * n ** 0.5
+
+
+def test_step_contract_and_masses():
+    """step_pm2 integrates; doubling a source's mass doubles its fine
+    pull on a close neighbor (the correction respects masses)."""
+    import particle_sim_tpu as psim
+
+    pos_np, pos, n_act = _scene(4)
+    n = int(n_act)
+    cap = pos.shape[1]
+    pv = jnp.asarray(psim.SimParams(delta_time=0.016, gravity=0.0).pack())
+    pp = jnp.asarray(psim.PairwiseParams(1.0, CFG.softening).pack())
+    shape = (3, cap // 128, 128)
+    p, v = pm2.step_pm2(pos.reshape(shape), jnp.zeros(shape), pv, pp,
+                        n_act, CFG, CFG2, use_fast=False)
+    assert np.isfinite(np.asarray(p)).all()
+
+    # heavy source + neighbor both deep inside the margin-shrunk inner
+    # region ([-4, 4)^3 here), where the fine correction applies
+    i0 = int(np.argmin(np.linalg.norm(pos_np, axis=1)))
+    d = np.linalg.norm(pos_np - pos_np[i0], axis=1)
+    d[i0] = np.inf
+    j = int(np.argmin(d))
+    assert np.abs(pos_np[[i0, j]]).max() < 4.0
+
+    masses = jnp.ones((cap,), jnp.float32)
+    a1 = np.asarray(pm2.pm2_accel_ref(pos, n_act, 1.0, CFG, CFG2,
+                                      masses=masses))
+    a2_ = np.asarray(pm2.pm2_accel_ref(pos, n_act, 1.0, CFG, CFG2,
+                                       masses=masses.at[i0].set(50.0)))
+    # the neighbor's acceleration changes by ~49x the FINE softened
+    # kernel of the heavy source (the extra mass resolves at eps_fine
+    # inside the window, not the coarse smoothing). CIC at one-cell
+    # separations smooths the kernel — allow a generous band.
+    delta = np.linalg.norm(a2_[:, j] - a1[:, j])
+    r = pos_np[i0] - pos_np[j]
+    expect = 49.0 * np.linalg.norm(
+        r / (np.dot(r, r) + EPS_FINE ** 2) ** 1.5)
+    assert 0.4 * expect < delta < 2.0 * expect, (delta, expect)
+
+
+def test_rejects_auto_box():
+    pos_np, pos, n_act = _scene(5)
+    with pytest.raises(ValueError, match="static"):
+        pm2.pm2_accel(pos, n_act, 1.0,
+                      PMConfig(softening=3.0, auto_box=True), CFG2,
+                      interpret=True)
