@@ -78,6 +78,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="track the cloud with a traced box every step "
                         "(auto-zoom; --pm-softening is then in CELL units)")
     p.add_argument("--pm-gradient", choices=["exact", "fd"], default="exact")
+    p.add_argument("--pm2-size", type=float, default=0.0,
+                   help="two-level PM: refinement window extent (enables "
+                        "the fine level; window follows the mass centroid "
+                        "unless --pm2-window is given)")
+    p.add_argument("--pm2-window", type=float, nargs=3, default=None,
+                   metavar=("X", "Y", "Z"),
+                   help="two-level PM: static window origin")
+    p.add_argument("--pm2-softening", type=float, default=0.5,
+                   help="fine-level Plummer softening (resolve >= "
+                        "~2.5 * pm2-size/128)")
+    p.add_argument("--pm2-margin", type=float, default=0.0)
     p.add_argument("--pm-persist", action="store_true",
                    help="persistent cell-sorted PM state (sort-free "
                         "steady-state frames; needs grid 128, static box)")
@@ -150,6 +161,14 @@ def main(argv=None) -> int:
                 softening=args.pm_softening,
                 boundary=args.pm_boundary, gradient=args.pm_gradient,
                 auto_box=args.pm_auto_box)
+        pm2_cfg = None
+        if args.pm2_size > 0.0:
+            from ..ops.pm2 import PM2Config
+            pm2_cfg = PM2Config(
+                window_min=(tuple(args.pm2_window)
+                            if args.pm2_window else None),
+                window_size=args.pm2_size,
+                softening=args.pm2_softening, margin=args.pm2_margin)
         engine = Engine(
             particle_count=args.count,
             method=method,
@@ -164,6 +183,7 @@ def main(argv=None) -> int:
             substeps=args.substeps,
             mesh=mesh,
             pm_persist=args.pm_persist,
+            pm2=pm2_cfg,
         )
 
     if args.central_mass > 0.0:

@@ -75,6 +75,7 @@ class Engine:
         debug_checks: bool = False,
         mesh=None,
         pm_persist: bool = False,
+        pm2=None,
     ):
         """``mesh``: a 1-D jax.sharding.Mesh (parallel.mesh.make_mesh) to
         row-shard the state over its ``dp`` axis — the multi-chip mode.
@@ -88,6 +89,11 @@ class Engine:
         uses the sorted CIC kernels when pm.grid == 128, the jnp
         reference otherwise; multi-chip uses the psum-grid step
         (parallel/pm_dp.py).
+
+        ``pm2``: a pm2.PM2Config refinement window — two-level PM
+        (ops/pm2.py): fine-softened forces inside the (possibly
+        centroid-tracking) window, the coarse field elsewhere. Requires
+        ``pm``; single-device only; exclusive with ``pm_persist``.
 
         ``pm_persist``: run the PM solver on the persistent cell-sorted
         state (ops/pm_persist.py): the frame pays zero sorts in steady
@@ -127,6 +133,15 @@ class Engine:
                     "pm_persist needs a static box and grid "
                     f"{_pp.GRID} (got auto_box={pm.auto_box}, "
                     f"grid={pm.grid})")
+        if pm2 is not None:
+            if pm is None:
+                raise ValueError("pm2 requires a coarse PMConfig (pm=...)")
+            if pm_persist:
+                raise ValueError("pm2 and pm_persist are exclusive "
+                                 "(fusing them is future work)")
+            if mesh is not None:
+                raise ValueError("pm2 is single-device for now")
+        self.pm2 = pm2
         self.pm_persist = pm_persist
         self._persist = None          # SortedPMState / dp carry, lazy
         self._identity_dirty = False  # state planes stale vs _persist
@@ -221,12 +236,31 @@ class Engine:
     def _step_fn(self):
         key = (self.method, self.pairwise is not None, self.substeps,
                self._interpret, self.mesh is not None, self.pm,
-               self._masses is not None)
+               self._masses is not None, self.pm2)
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
         interpret = self._interpret
         substeps = self.substeps
+
+        if self.pm is not None and self.pm2 is not None:
+            from ..ops import pm2 as pm2_mod
+            from ..ops import pm_pallas
+
+            cfg, cfg2 = self.pm, self.pm2
+            use_fast = (self.method == Method.PALLAS
+                        and cfg.grid == pm_pallas.GRID)
+
+            def fn(pos, vel, pv, pp, n):
+                for _ in range(substeps):
+                    pos, vel = pm2_mod.step_pm2_jit(
+                        pos, vel, pv, pp, n, cfg, cfg2,
+                        use_fast=use_fast, interpret=interpret,
+                        masses=self._masses_for_capacity())
+                return pos, vel
+
+            self._jit_cache[key] = fn
+            return fn
 
         if self.pm is not None:
             from ..ops import pm as pm_ref

@@ -19,18 +19,17 @@ what this module builds:
     g_eps - g_eps1 (pm.solve_accel_diff) — exactly the short-range part
     the coarse level smoothed away, decaying like r^-4 beyond eps1 so
     its support is local.
-  * **Composition**: particles deeper than a margin (~4 eps1, where the
-    difference kernel has decayed) inside the window receive
-    coarse + fine = the eps-softened force; the outer shell and
-    everything outside the window keep the coarse eps1 force. Effective
-    softening is therefore eps inside the (shrunken) window and eps1
-    elsewhere — an 1/(window/box)x refinement of force resolution where
-    it matters, for one extra O(G^3 log G) solve.
-
-The fine correction is not antisymmetric across the margin boundary
-(an inner particle feels the sharpened pull of an outer-shell source,
-but not vice versa); pm.momentum_clean removes the tiny net force this
-injects, as it already does for the FFT's rounding bias.
+  * **Composition**: the SAME window mask selects sources and
+    receivers, so the correction acts exactly on window-internal pairs
+    and is antisymmetric — zero net force by construction (a one-sided
+    mask was measured to leak its imbalance through momentum_clean as a
+    constant ~7% error vector on off-center clumps). Window particles
+    get coarse + fine = the eps-softened force from window sources and
+    the eps1 force from outside sources (pairs straddling the window
+    edge stay at eps1 on BOTH sides); everything outside keeps the
+    coarse field untouched. Effective refinement is therefore
+    1/(window/box)x where it matters, for one extra O(G^3 log G)
+    solve.
 
 Both levels run on the same machinery: the jnp reference path
 (pm.cic_* + solve) and the sorted-Pallas fast path (pm_pallas kernels
@@ -58,44 +57,59 @@ from . import physics, pm, pm_pallas
 class PM2Config:
     """Fine-level configuration (all static — shapes cached kernel FFTs).
 
-    window_min:  world coords of the refinement window origin.
+    window_min:  world coords of the refinement window origin, or None
+                 to TRACK the live mass centroid every step (the window
+                 follows a collapsing/drifting clump; only the origin is
+                 traced — the size, and with it the cached kernel FFTs,
+                 stays static).
     window_size: window extent per axis (fine cell h2 = window_size/grid;
                  the grid resolution is inherited from the coarse
                  PMConfig).
     softening:   fine Plummer eps — resolve eps >= ~2.5 h2; must be
                  < the coarse cfg.softening for the split to make sense.
-    margin:      shell width (world units) inside the window where the
-                 fine correction is NOT applied (difference-kernel
-                 support spills past the window edge there). 0 -> 4x the
-                 coarse softening.
+    margin:      optional shrink (world units) of the correction mask
+                 inside the window (both sources and receivers). The
+                 scheme is momentum-exact at any margin; particles
+                 within ~2 eps1 of the mask edge see intermediate
+                 accuracy (their just-outside neighbors stay
+                 eps1-softened). Default 0 = the whole window.
     gradient:    'exact' or 'fd', as in PMConfig.
     """
-    window_min: Tuple[float, float, float]
+    window_min: Optional[Tuple[float, float, float]]
     window_size: float
     softening: float
     margin: float = 0.0
     gradient: str = "exact"
 
 
-def _in_window(pos_flat: jax.Array, cfg2: PM2Config,
+def _in_window(pos_flat: jax.Array, wmin: jax.Array, size: float,
                shrink: float) -> jax.Array:
-    lo = (jnp.asarray(cfg2.window_min, jnp.float32).reshape(3, 1)
-          + jnp.float32(shrink))
-    hi = lo + jnp.float32(cfg2.window_size - 2.0 * shrink)
+    lo = wmin.reshape(3, 1) + jnp.float32(shrink)
+    hi = lo + jnp.float32(size - 2.0 * shrink)
     return ((pos_flat >= lo) & (pos_flat < hi)).all(axis=0)
 
 
-def _margin(cfg: "P.PMConfig", cfg2: PM2Config) -> float:
-    return cfg2.margin if cfg2.margin > 0.0 else 4.0 * cfg.softening
+def window_min(pos_flat: jax.Array, n_active: jax.Array,
+               cfg2: PM2Config, masses=None) -> jax.Array:
+    """f32[3] window origin: the static config value, or (auto mode) the
+    live mass centroid minus half the window."""
+    if cfg2.window_min is not None:
+        return jnp.asarray(cfg2.window_min, jnp.float32)
+    n = pos_flat.shape[1]
+    live = (jnp.arange(n, dtype=jnp.int32) < n_active).astype(jnp.float32)
+    w = live if masses is None else live * masses
+    c = (pos_flat * w[None]).sum(axis=1) / jnp.maximum(w.sum(), 1e-12)
+    return c - 0.5 * jnp.float32(cfg2.window_size)
 
 
-def _fine_accel_ref(pos_flat, n_active, cfg, cfg2, masses):
+def _fine_accel_ref(pos_flat, n_active, cfg, cfg2, masses, wmin):
     """f32[3, N] difference-kernel acceleration, unmasked (jnp path)."""
     h2 = cfg2.window_size / cfg.grid
-    coords2 = pm.cell_coords_dyn(pos_flat, cfg2.window_min, h2, cfg.grid)
+    coords2 = pm.cell_coords_dyn(pos_flat, wmin, h2, cfg.grid)
     n = pos_flat.shape[1]
     live = jnp.arange(n, dtype=jnp.int32) < n_active
-    w_src = (_in_window(pos_flat, cfg2, 0.0) & live).astype(jnp.float32)
+    w_src = (_in_window(pos_flat, wmin, cfg2.window_size, cfg2.margin)
+             & live).astype(jnp.float32)
     m_src = w_src if masses is None else w_src * masses
     rho2 = pm.cic_deposit_ref(pos_flat, n_active, cfg, coords=coords2,
                               masses=m_src)
@@ -110,10 +124,12 @@ def pm2_accel_ref(pos_flat: jax.Array, n_active: jax.Array, g_const,
     """f32[3, N] two-level PM acceleration — jnp reference path."""
     acc = pm.pm_accel_ref(pos_flat, n_active, 1.0, cfg.softening, cfg,
                           masses=masses)
-    acc2 = _fine_accel_ref(pos_flat, n_active, cfg, cfg2, masses)
+    wmin = window_min(pos_flat, n_active, cfg2, masses)
+    acc2 = _fine_accel_ref(pos_flat, n_active, cfg, cfg2, masses, wmin)
     n = pos_flat.shape[1]
     live = jnp.arange(n, dtype=jnp.int32) < n_active
-    inner = (_in_window(pos_flat, cfg2, _margin(cfg, cfg2))
+    # receivers == sources: window-internal pairs only (antisymmetric)
+    inner = (_in_window(pos_flat, wmin, cfg2.window_size, cfg2.margin)
              & live).astype(jnp.float32)
     acc = acc + acc2 * inner[None]
     return g_const * pm.momentum_clean(acc, n_active, masses)
@@ -133,11 +149,13 @@ def pm2_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
         raise ValueError("two-level PM needs a static coarse box")
     acc = pm_pallas.pm_accel(pos_flat, n_active, 1.0, cfg, masses=masses,
                              interpret=interpret)
+    wmin = window_min(pos_flat, n_active, cfg2, masses)
     h2 = cfg2.window_size / cfg.grid
-    coords2 = pm.cell_coords_dyn(pos_flat, cfg2.window_min, h2, cfg.grid)
+    coords2 = pm.cell_coords_dyn(pos_flat, wmin, h2, cfg.grid)
     n = pos_flat.shape[1]
     live = jnp.arange(n, dtype=jnp.int32) < n_active
-    w_src = (_in_window(pos_flat, cfg2, 0.0) & live).astype(jnp.float32)
+    w_src = (_in_window(pos_flat, wmin, cfg2.window_size, cfg2.margin)
+             & live).astype(jnp.float32)
     m_src = w_src if masses is None else w_src * masses
     key_s, idx_s, frac_s, mass_s = pm_pallas.pm_sort(
         pos_flat, n_active, cfg, coords=coords2, masses=m_src)
@@ -147,7 +165,8 @@ def pm2_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
                                  cfg.softening, cfg2.gradient)
     acc2 = pm_pallas.pm_gather_sorted(grids2, key_s, frac_s, idx_s,
                                       interpret=interpret)
-    inner = (_in_window(pos_flat, cfg2, _margin(cfg, cfg2))
+    # receivers == sources: window-internal pairs only (antisymmetric)
+    inner = (_in_window(pos_flat, wmin, cfg2.window_size, cfg2.margin)
              & live).astype(jnp.float32)
     acc = acc + acc2 * inner[None]
     return g_const * pm.momentum_clean(acc, n_active, masses)

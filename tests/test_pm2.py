@@ -148,3 +148,58 @@ def test_rejects_auto_box():
         pm2.pm2_accel(pos, n_act, 1.0,
                       PMConfig(softening=3.0, auto_box=True), CFG2,
                       interpret=True)
+
+
+def test_auto_window_tracks_centroid():
+    """window_min=None: the window follows the live mass centroid, so an
+    off-center clump still gets fine-softened forces."""
+    rng = np.random.default_rng(6)
+
+    def cloud(n, radius, offset=(0, 0, 0)):
+        x = rng.normal(size=(n, 3)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        r = radius * rng.random(n).astype(np.float32) ** (1 / 3)
+        return (x * r[:, None] + np.asarray(offset, np.float32)).astype(
+            np.float32)
+
+    off = (5.0, 4.0, -3.0)
+    pos_np = np.concatenate([cloud(3000, 5.0, off), cloud(1000, 45.0)])
+    n = pos_np.shape[0]
+    cap = -(-n // 512) * 512
+    pos = jnp.asarray(np.concatenate(
+        [pos_np, np.zeros((cap - n, 3), np.float32)]).T)
+    n_act = jnp.asarray(n, jnp.int32)
+    cfg2 = pm2.PM2Config(window_min=None, window_size=32.0, softening=0.75)
+
+    wmin = np.asarray(pm2.window_min(pos, n_act, cfg2))
+    centroid = pos_np.mean(axis=0)
+    np.testing.assert_allclose(wmin, centroid - 16.0, atol=1e-3)
+
+    a2 = np.asarray(pm2.pm2_accel_ref(pos, n_act, 1.0, CFG, cfg2))[:, :n]
+    a_dir = np.asarray(pairwise.pairwise_accel(
+        pos, n_act, 1.0, EPS_FINE))[:, :n]
+    near = np.abs(pos_np - centroid).max(axis=1) < 3.0
+    assert near.sum() > 300
+    mag = np.linalg.norm(a_dir[:, near], axis=0).mean()
+    rms = np.sqrt((np.linalg.norm(a2[:, near] - a_dir[:, near],
+                                  axis=0) ** 2).mean()) / mag
+    assert rms < 0.04, f"auto-window rms {rms:.4f}"
+
+
+def test_engine_integration():
+    """Engine(pm2=...) steps the two-level solver; bad configs rejected."""
+    import particle_sim_tpu as psim
+    from particle_sim_tpu.core.params import Method
+    from particle_sim_tpu.engine import Engine
+
+    e = Engine(particle_count=1500, method=Method.PALLAS, interpret=True,
+               pm=CFG, pm2=CFG2)
+    e.step(psim.SimParams(delta_time=0.016, gravity=0.0))
+    assert bool(jnp.isfinite(e.state.pos).all())
+
+    with pytest.raises(ValueError, match="pm2 requires"):
+        Engine(particle_count=512, method=Method.JNP, interpret=True,
+               pm2=CFG2)
+    with pytest.raises(ValueError, match="exclusive"):
+        Engine(particle_count=512, method=Method.JNP, interpret=True,
+               pm=CFG, pm2=CFG2, pm_persist=True)
