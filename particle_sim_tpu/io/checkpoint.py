@@ -40,6 +40,9 @@ def save(path: str, engine: Engine, step_index: int = 0) -> None:
             [engine.pairwise.gravitational_constant, engine.pairwise.softening]
             if engine.pairwise else None),
         "pm": dataclasses.asdict(engine.pm) if engine.pm else None,
+        "pm_persist": bool(getattr(engine, "pm_persist", False)),
+        "pm2": (dataclasses.asdict(engine.pm2)
+                if getattr(engine, "pm2", None) else None),
     }
     arrays = dict(
         positions=state.positions(),
@@ -79,6 +82,13 @@ def load(path: str, method: Optional[Method] = None,
     pm_meta = meta.get("pm")
     if pm_meta:
         pm_meta["box_min"] = tuple(pm_meta["box_min"])
+    pm2_cfg = None
+    pm2_meta = meta.get("pm2")
+    if pm2_meta:
+        from ..ops.pm2 import PM2Config
+        if pm2_meta.get("window_min") is not None:
+            pm2_meta["window_min"] = tuple(pm2_meta["window_min"])
+        pm2_cfg = PM2Config(**pm2_meta)
     engine = Engine(
         particle_count=1,  # placeholder; state is replaced below
         method=method if method is not None else Method(meta["method"]),
@@ -87,6 +97,8 @@ def load(path: str, method: Optional[Method] = None,
         pm=PMConfig(**pm_meta) if pm_meta else None,
         interpret=interpret,
         substeps=meta.get("substeps", 1),
+        pm_persist=bool(meta.get("pm_persist", False)),
+        pm2=pm2_cfg,
     )
     engine.state = ParticleState.from_arrays(positions, velocities, init_colors)
     if masses is not None:

@@ -82,6 +82,7 @@ def test_checkpoint_roundtrip_identity(tmp_path):
     ckpt.save(path, e, step_index=1)
     e2, step = ckpt.load(path, method=Method.JNP)
     assert step == 1
+    assert e2.pm_persist  # solver mode survives the roundtrip
     np.testing.assert_allclose(e2.state.positions(),
                                e.state.positions(), atol=1e-6)
 

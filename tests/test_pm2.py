@@ -197,6 +197,15 @@ def test_engine_integration():
     e.step(psim.SimParams(delta_time=0.016, gravity=0.0))
     assert bool(jnp.isfinite(e.state.pos).all())
 
+    # pm2 config survives a checkpoint roundtrip
+    import tempfile, os
+    from particle_sim_tpu.io import checkpoint as ckpt
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "c.npz")
+        ckpt.save(path, e, step_index=3)
+        e2, step = ckpt.load(path, method=Method.JNP)
+        assert step == 3 and e2.pm2 == CFG2
+
     with pytest.raises(ValueError, match="pm2 requires"):
         Engine(particle_count=512, method=Method.JNP, interpret=True,
                pm2=CFG2)
