@@ -15,11 +15,13 @@ from .core import (
     SphereGeneration,
     generate,
 )
+from .ops.pm2 import PM2Config
 
 __version__ = "0.1.0"
 
 __all__ = [
     "ColorMode",
+    "PM2Config",
     "Method",
     "PairwiseParams",
     "PMConfig",
