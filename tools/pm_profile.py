@@ -73,6 +73,65 @@ def main() -> None:
     print(f"full pm_accel    {timeit(full_jit, pos, iters=4):8.2f} ms",
           flush=True)
 
+    # persistent-sorted mode (ops/pm_persist.py): stage marginals of the
+    # sort-free frame — every stage consumes its result (a state-only
+    # return lets XLA dead-code the solver; see bench.py)
+    from particle_sim_tpu.ops import pm_persist
+
+    st = pm_persist.init_sorted(pos, n_active, cfg)
+    chunk = pm_persist.pick_chunk(n)
+    n_chunks = n // chunk
+    print(f"-- persist (chunk {chunk}) --", flush=True)
+
+    keys_jit = jax.jit(lambda s: pm_pallas.cell_key_frac(
+        s.pos, s.ids < n_active, cfg))
+    key_p, frac_p = keys_jit(st)
+    print(f"keys+fracs       {timeit(keys_jit, st):8.2f} ms", flush=True)
+
+    spans_jit = jax.jit(lambda k: pm_persist._pair_totals(k, chunk))
+    _ = spans_jit(key_p)
+    print(f"spans+totals     {timeit(spans_jit, key_p):8.2f} ms",
+          flush=True)
+
+    c_max_dep = pm_persist.SLACK_DEP * n_chunks + 4 * pm_pallas.N_TILES + 2
+    c_max_gat = pm_persist.SLACK_GAT * n_chunks + 2 * pm_pallas.N_TILES + 2
+
+    def dep_persist(k, f):
+        rmin, rmax = pm_persist._chunk_spans(k, chunk)
+        pairs = pm_persist._deposit_table_spans(rmin, rmax, n_chunks,
+                                                c_max_dep)
+        k_p = jnp.concatenate(
+            [k, jnp.full((chunk,), pm_pallas.SENTINEL, jnp.int32)])
+        f_p = jnp.concatenate([f, jnp.zeros((chunk,), jnp.int32)])
+        dep = pm_pallas._build_deposit(chunk, c_max_dep, False)
+        return dep(pairs, k_p.reshape(1, -1),
+                   f_p.reshape(1, -1))[:pm_pallas.N_TILES]
+
+    dp_jit = jax.jit(dep_persist)
+    rho_p = dp_jit(key_p, frac_p)
+    print(f"span deposit     {timeit(dp_jit, key_p, frac_p):8.2f} ms",
+          flush=True)
+
+    def gat_persist(g, k, f):
+        rmin, rmax = pm_persist._chunk_spans(k, chunk)
+        pairs = pm_persist._gather_table_spans(rmin, rmax, n_chunks,
+                                               c_max_gat)
+        gat = pm_pallas._build_gather(n, chunk, c_max_gat, False)
+        tiles = g.reshape(3, pm_pallas.ROWS_TOTAL,
+                          pm_pallas.LANE).astype(jnp.bfloat16)
+        return gat(pairs, k.reshape(1, -1), f.reshape(1, -1), tiles)[:, :n]
+
+    gp_jit = jax.jit(gat_persist)
+    _ = gp_jit(grids, key_p, frac_p)
+    print(f"span gather      {timeit(gp_jit, grids, key_p, frac_p):8.2f} ms",
+          flush=True)
+
+    acc_jit = jax.jit(lambda s: (lambda s2, a: a.sum())(
+        *pm_persist.accel_sorted(s, jnp.float32(1.0), cfg)))
+    _ = acc_jit(st)
+    print(f"full persist     {timeit(acc_jit, st, iters=4):8.2f} ms",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()
