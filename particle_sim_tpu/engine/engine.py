@@ -400,7 +400,10 @@ class Engine:
                 self._persist = init(*args + ((masses,)
                                               if masses is not None else ()))
             for _ in range(self.substeps):
-                self._persist = pstep(*self._persist, pv, pp, n_act)
+                # carry = (pos, vel, ids, resorts[, masses]); the step
+                # takes masses AFTER (pv, pairv, n_active)
+                c = self._persist
+                self._persist = pstep(*c[:4], pv, pp, n_act, *c[4:])
         else:
             if self._persist is None:
                 self._persist = pper.init_sorted(

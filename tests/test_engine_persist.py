@@ -102,12 +102,14 @@ def test_persist_with_mesh():
         pytest.skip("needs a multi-device platform")
     from particle_sim_tpu.parallel import mesh as mesh_lib
     mesh = mesh_lib.make_mesh()
-    e = Engine(particle_count=mesh.devices.size * 1024,
+    n = mesh.devices.size * 1024
+    masses = np.ones(n, np.float32)
+    e = Engine(particle_count=n,
                method=Method.PALLAS, pm=CFG, interpret=True,
-               pm_persist=True, mesh=mesh)
-    e_ref = Engine(particle_count=mesh.devices.size * 1024,
+               pm_persist=True, mesh=mesh, masses=masses)
+    e_ref = Engine(particle_count=n,
                    method=Method.PALLAS, pm=CFG, interpret=True,
-                   mesh=mesh)
+                   mesh=mesh, masses=masses)
     for _ in range(2):
         e.step(PARAMS)
         e_ref.step(PARAMS)
