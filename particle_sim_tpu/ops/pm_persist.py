@@ -65,10 +65,17 @@ from .pm_pallas import (GRID, LANE, N_TILES, ROWS_TOTAL, SENTINEL, SPREAD,
 
 # Pair budgets, in window-memberships (deposit) / tile-visits x2 (gather)
 # per chunk. Freshly repaired order needs <= 4 + o(1) of either (the
-# telescoping bounds in pm_pallas); the headroom between 4 and SLACK is
-# how much drift a state absorbs before the next forced repair.
-SLACK_DEP = 8
-SLACK_GAT = 8
+# telescoping bounds in pm_pallas); the headroom above that is how much
+# drift a state absorbs before the next forced repair. Sizing: ONE
+# particle crossing a z-cell boundary widens its whole chunk's row span
+# by GRID = 128 rows (~2 extra 64-row windows per side per family), so a
+# useful budget must absorb at least +-1 z-cell of outlier drift —
+# ~6 extra memberships/chunk deposit-side, ~8 tile-visits gather-side —
+# or dense states repair almost every frame (measured: SLACK 8 at 16M
+# repaired 14 of 21 dynamic frames; drift per frame is only ~0.04 cells,
+# so a +-1-cell budget pushes repairs out by an order of magnitude).
+SLACK_DEP = 20
+SLACK_GAT = 16
 _SMEM_WORDS = 65536          # known-good scalar-prefetch budget (pick_chunk)
 
 
