@@ -303,6 +303,36 @@ def _measure(res: dict) -> None:
     except Exception as e:
         errors["pm_16m"] = repr(e)[:200]
 
+    # -- two-level PM (fine-softened window) at 1M -------------------------
+    try:
+        from particle_sim_tpu.core.params import PMConfig as _PMC2
+        from particle_sim_tpu.ops import pm2 as _pm2
+
+        n2 = 1_048_576
+        rng2 = np.random.default_rng(0)
+        clump = (rng2.normal(size=(n2 // 2, 3)) * 2.0
+                 + np.array([5, 4, -3])).astype(np.float32)
+        halo = (rng2.normal(size=(n2 - n2 // 2, 3)) * 20.0).astype(np.float32)
+        posc = jnp.asarray(np.clip(
+            np.concatenate([clump, halo]), -60, 60).T.copy())
+        cfgc = _PMC2(softening=3.0)
+        cfg2 = _pm2.PM2Config(window_min=None, window_size=32.0,
+                              softening=0.75)
+        # fine kernels as jit ARGUMENTS (docs/DESIGN.md: remote-compile 413)
+        ker = _pm2.fine_kernels(cfgc, cfg2)
+        f2 = jax.jit(lambda q, k: _pm2.pm2_accel(
+            q, jnp.int32(n2), jnp.float32(1.0), cfgc, cfg2, kernels=k))
+        _sync(f2(posc, ker))
+        t0 = time.perf_counter()
+        for _ in range(4):
+            out2 = f2(posc, ker)
+        _sync(out2)
+        detail["pm2_two_level_1m_frame_ms"] = round(
+            (time.perf_counter() - t0) / 4 * 1e3, 3)
+        del posc
+    except Exception as e:
+        errors["pm2_1m"] = repr(e)[:200]
+
     # -- all-pairs O(N^2) frame at 65k (BASELINE config 3) ------------------
     try:
         from particle_sim_tpu.ops import pairwise_pallas

@@ -250,13 +250,16 @@ class Engine:
             cfg, cfg2 = self.pm, self.pm2
             use_fast = (self.method == Method.PALLAS
                         and cfg.grid == pm_pallas.GRID)
+            # fine kernels ride as jit arguments (device buffers), not
+            # baked-in constants — see pm.diff_kernels_device
+            ker = pm2_mod.fine_kernels(cfg, cfg2)
 
             def fn(pos, vel, pv, pp, n):
                 for _ in range(substeps):
                     pos, vel = pm2_mod.step_pm2_jit(
                         pos, vel, pv, pp, n, cfg, cfg2,
                         use_fast=use_fast, interpret=interpret,
-                        masses=self._masses_for_capacity())
+                        masses=self._masses_for_capacity(), kernels=ker)
                 return pos, vel
 
             self._jit_cache[key] = fn

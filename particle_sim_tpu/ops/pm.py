@@ -205,20 +205,48 @@ def _isolated_diff_kernels_host(grid: int, h: float, eps: float,
     )
 
 
+def diff_kernels_device(grid: int, h, eps, eps_outer,
+                        gradient: str = "exact") -> tuple:
+    """Difference kernels as DEVICE-resident (real, imag) f32 pairs,
+    cached. Passed into jits as runtime ARGUMENTS instead of closed-over
+    numpy constants: a second set of baked-in Hockney kernels pushed the
+    serialized program past the axon compile RPC's body limit
+    (HTTP 413), and the platform cannot device_put complex64 eagerly
+    (UNIMPLEMENTED) — so they ship as two f32 planes and recombine
+    on-device."""
+    key = (grid, float(h), float(eps), float(eps_outer), gradient)
+    got = _DIFF_DEV_CACHE.get(key)
+    if got is None:
+        ks = _isolated_diff_kernels_host(*key)
+        got = tuple((jnp.asarray(k.real.astype(np.float32)),
+                     jnp.asarray(k.imag.astype(np.float32))) for k in ks)
+        _DIFF_DEV_CACHE[key] = got
+    return got
+
+
+_DIFF_DEV_CACHE: dict = {}
+
+
 def solve_accel_diff(rho: jax.Array, grid: int, h, eps, eps_outer,
-                     gradient: str = "exact") -> jax.Array:
+                     gradient: str = "exact", kernels=None) -> jax.Array:
     """f32[3, G, G, G] acceleration grids for the short-range difference
     kernel (isolated Hockney; the fine level of the two-level PM).
     ``h``/``eps``/``eps_outer`` must be static python floats (cached
-    kernel FFTs)."""
-    kernels = _isolated_diff_kernels_host(grid, float(h), float(eps),
-                                          float(eps_outer), gradient)
+    kernel FFTs). ``kernels``: optional diff_kernels_device() output
+    threaded through the caller's jit as arguments (keeps the program
+    under the remote-compile size limit); default embeds host-side
+    constants (fine off-TPU)."""
     rho_p = jnp.pad(rho, ((0, grid), (0, grid), (0, grid)))
     rho_hat = jnp.fft.rfftn(rho_p)
+    if kernels is None:
+        ks = [jnp.asarray(k) for k in _isolated_diff_kernels_host(
+            grid, float(h), float(eps), float(eps_outer), gradient)]
+    else:
+        ks = [r + 1j * i for r, i in kernels]
     if gradient == "fd":
-        phi = _irfftn_octant(rho_hat * jnp.asarray(kernels[0]), grid)
+        phi = _irfftn_octant(rho_hat * ks[0], grid)
         return _fd_gradient(phi.astype(jnp.float32), float(h))
-    specs = rho_hat[None] * jnp.stack([jnp.asarray(k) for k in kernels])
+    specs = rho_hat[None] * jnp.stack(ks)
     return _irfftn_octant_batch(specs, grid).astype(jnp.float32)
 
 

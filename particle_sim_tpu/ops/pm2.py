@@ -102,7 +102,17 @@ def window_min(pos_flat: jax.Array, n_active: jax.Array,
     return c - 0.5 * jnp.float32(cfg2.window_size)
 
 
-def _fine_accel_ref(pos_flat, n_active, cfg, cfg2, masses, wmin):
+def fine_kernels(cfg: "P.PMConfig", cfg2: PM2Config) -> tuple:
+    """Device-resident difference kernels for the fine solve — pass into
+    pm2_accel*/step_pm2_jit as the ``kernels`` argument when calling
+    under jit on TPU (pm.diff_kernels_device explains why)."""
+    h2 = cfg2.window_size / cfg.grid
+    return pm.diff_kernels_device(cfg.grid, h2, cfg2.softening,
+                                  cfg.softening, cfg2.gradient)
+
+
+def _fine_accel_ref(pos_flat, n_active, cfg, cfg2, masses, wmin,
+                    kernels=None):
     """f32[3, N] difference-kernel acceleration, unmasked (jnp path)."""
     h2 = cfg2.window_size / cfg.grid
     coords2 = pm.cell_coords_dyn(pos_flat, wmin, h2, cfg.grid)
@@ -114,18 +124,20 @@ def _fine_accel_ref(pos_flat, n_active, cfg, cfg2, masses, wmin):
     rho2 = pm.cic_deposit_ref(pos_flat, n_active, cfg, coords=coords2,
                               masses=m_src)
     grids2 = pm.solve_accel_diff(rho2, cfg.grid, h2, cfg2.softening,
-                                 cfg.softening, cfg2.gradient)
+                                 cfg.softening, cfg2.gradient,
+                                 kernels=kernels)
     return pm.cic_gather_ref(grids2, pos_flat, cfg, coords=coords2)
 
 
 def pm2_accel_ref(pos_flat: jax.Array, n_active: jax.Array, g_const,
                   cfg: "P.PMConfig", cfg2: PM2Config,
-                  masses=None) -> jax.Array:
+                  masses=None, kernels=None) -> jax.Array:
     """f32[3, N] two-level PM acceleration — jnp reference path."""
     acc = pm.pm_accel_ref(pos_flat, n_active, 1.0, cfg.softening, cfg,
                           masses=masses)
     wmin = window_min(pos_flat, n_active, cfg2, masses)
-    acc2 = _fine_accel_ref(pos_flat, n_active, cfg, cfg2, masses, wmin)
+    acc2 = _fine_accel_ref(pos_flat, n_active, cfg, cfg2, masses, wmin,
+                           kernels=kernels)
     n = pos_flat.shape[1]
     live = jnp.arange(n, dtype=jnp.int32) < n_active
     # receivers == sources: window-internal pairs only (antisymmetric)
@@ -137,7 +149,7 @@ def pm2_accel_ref(pos_flat: jax.Array, n_active: jax.Array, g_const,
 
 def pm2_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
               cfg: "P.PMConfig", cfg2: PM2Config, *, masses=None,
-              interpret: bool = False) -> jax.Array:
+              kernels=None, interpret: bool = False) -> jax.Array:
     """f32[3, N] two-level PM acceleration — sorted-Pallas fast path for
     BOTH levels (grid 128, N a multiple of 512; see pm_pallas.pm_accel).
 
@@ -162,7 +174,8 @@ def pm2_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
     rho2 = pm_pallas.pm_deposit_sorted(key_s, frac_s, mass_s,
                                        interpret=interpret)
     grids2 = pm.solve_accel_diff(rho2, cfg.grid, h2, cfg2.softening,
-                                 cfg.softening, cfg2.gradient)
+                                 cfg.softening, cfg2.gradient,
+                                 kernels=kernels)
     acc2 = pm_pallas.pm_gather_sorted(grids2, key_s, frac_s, idx_s,
                                       interpret=interpret)
     # receivers == sources: window-internal pairs only (antisymmetric)
@@ -174,14 +187,16 @@ def pm2_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
 
 def step_pm2(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
              pair_vec: jax.Array, n_active: jax.Array, cfg: "P.PMConfig",
-             cfg2: PM2Config, *, masses=None, use_fast: bool = True,
+             cfg2: PM2Config, *, masses=None, kernels=None,
+             use_fast: bool = True,
              interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """One frame: two-level PM self-gravity + attractor step on
     (3, R, LANE) planes — same contract as pm_pallas.step_pm."""
     flat = pos.reshape(3, -1)
     fn = pm2_accel if use_fast else pm2_accel_ref
     kw = {"interpret": interpret} if use_fast else {}
-    acc = fn(flat, n_active, pair_vec[0], cfg, cfg2, masses=masses, **kw)
+    acc = fn(flat, n_active, pair_vec[0], cfg, cfg2, masses=masses,
+             kernels=kernels, **kw)
     return physics.kick_and_step_planes(pos, vel, acc.reshape(pos.shape),
                                         param_vec)
 
@@ -190,6 +205,7 @@ def step_pm2(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
                    static_argnames=("cfg", "cfg2", "use_fast", "interpret"))
 def step_pm2_jit(pos, vel, param_vec, pair_vec, n_active, cfg, cfg2,
                  use_fast: bool = True, interpret: bool = False,
-                 masses=None):
+                 masses=None, kernels=None):
     return step_pm2(pos, vel, param_vec, pair_vec, n_active, cfg, cfg2,
-                    masses=masses, use_fast=use_fast, interpret=interpret)
+                    masses=masses, kernels=kernels, use_fast=use_fast,
+                    interpret=interpret)

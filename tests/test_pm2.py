@@ -142,6 +142,32 @@ def test_step_contract_and_masses():
     assert 0.4 * expect < delta < 2.0 * expect, (delta, expect)
 
 
+def test_kernels_as_arguments_bit_exact():
+    """Passing fine_kernels() device buffers as the ``kernels`` jit
+    argument (the remote-compile-413 workaround, pm.diff_kernels_device)
+    reproduces the embedded-constant path exactly: the (real, imag) f32
+    split of a complex64 kernel recombines losslessly."""
+    pos_np, pos, n_act = _scene(7)
+    ker = pm2.fine_kernels(CFG, CFG2)
+    assert all(r.dtype == jnp.float32 for r, _ in ker) and len(ker) == 3
+    a_const = np.asarray(pm2.pm2_accel_ref(pos, n_act, 1.0, CFG, CFG2))
+    a_arg = np.asarray(pm2.pm2_accel_ref(pos, n_act, 1.0, CFG, CFG2,
+                                         kernels=ker))
+    np.testing.assert_array_equal(a_const, a_arg)
+    # and through the jitted step entry the engine uses
+    cap = pos.shape[1]
+    import particle_sim_tpu as psim
+    pv = jnp.asarray(psim.SimParams(delta_time=0.016, gravity=0.0).pack())
+    pp = jnp.asarray(psim.PairwiseParams(1.0, CFG.softening).pack())
+    shape = (3, cap // 128, 128)
+    p1, v1 = pm2.step_pm2_jit(pos.reshape(shape), jnp.zeros(shape), pv, pp,
+                              n_act, CFG, CFG2, use_fast=False)
+    p2, v2 = pm2.step_pm2_jit(pos.reshape(shape), jnp.zeros(shape), pv, pp,
+                              n_act, CFG, CFG2, use_fast=False, kernels=ker)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
 def test_rejects_auto_box():
     pos_np, pos, n_act = _scene(5)
     with pytest.raises(ValueError, match="static"):
