@@ -284,8 +284,12 @@ def _measure(res: dict) -> None:
             detail["pm_persistent_16m_steady_ms"] = round(
                 (time.perf_counter() - t0) / 4 * 1e3, 3)
             pp16 = jnp.asarray(psim.PairwiseParams(1.0, 2.0).pack())
+            # gravity-only collapse (no mouse attractor): the documented
+            # dynamic scene — drift comes from the self-gravity infall
+            pv16 = jnp.asarray(psim.SimParams(delta_time=0.016,
+                                              gravity=0.0).pack())
             step_p = jax.jit(lambda s: _pmper.step_sorted(
-                s, pv, pp16, jnp.int32(n16), cfg16))
+                s, pv16, pp16, jnp.int32(n16), cfg16))
             st_p = step_p(st_p)
             _sync(st_p.pos)
             t0 = time.perf_counter()

@@ -93,7 +93,9 @@ class Engine:
         ``pm2``: a pm2.PM2Config refinement window — two-level PM
         (ops/pm2.py): fine-softened forces inside the (possibly
         centroid-tracking) window, the coarse field elsewhere. Requires
-        ``pm``; single-device only; exclusive with ``pm_persist``.
+        ``pm``; single-device only. Composes with ``pm_persist``: the
+        coarse level then runs sort-free on the persistent order while
+        the fine level pays its own per-frame sort in slot order.
 
         ``pm_persist``: run the PM solver on the persistent cell-sorted
         state (ops/pm_persist.py): the frame pays zero sorts in steady
@@ -136,9 +138,6 @@ class Engine:
         if pm2 is not None:
             if pm is None:
                 raise ValueError("pm2 requires a coarse PMConfig (pm=...)")
-            if pm_persist:
-                raise ValueError("pm2 and pm_persist are exclusive "
-                                 "(fusing them is future work)")
             if mesh is not None:
                 raise ValueError("pm2 is single-device for now")
         self.pm2 = pm2
@@ -412,10 +411,15 @@ class Engine:
                 self._persist = pper.init_sorted(
                     self.state.pos.reshape(3, -1), n_act, cfg,
                     vel_flat=self.state.vel.reshape(3, -1), masses=masses)
+            cfg2 = self.pm2
+            ker = None
+            if cfg2 is not None:
+                from ..ops import pm2 as pm2_mod
+                ker = pm2_mod.fine_kernels(cfg, cfg2)
             for _ in range(self.substeps):
                 self._persist = pper.step_sorted_jit(
                     self._persist, pv, pp, n_act, cfg,
-                    interpret=self._interpret)
+                    interpret=self._interpret, cfg2=cfg2, kernels=ker)
         self._identity_dirty = True
 
     def ensure_identity_order(self) -> None:

@@ -90,14 +90,19 @@ def _in_window(pos_flat: jax.Array, wmin: jax.Array, size: float,
 
 
 def window_min(pos_flat: jax.Array, n_active: jax.Array,
-               cfg2: PM2Config, masses=None) -> jax.Array:
+               cfg2: PM2Config, masses=None, live=None) -> jax.Array:
     """f32[3] window origin: the static config value, or (auto mode) the
-    live mass centroid minus half the window."""
+    live mass centroid minus half the window. ``live`` (bool[N])
+    overrides the ``arange < n_active`` liveness for callers in
+    non-identity slot order (ops/pm_persist.py)."""
     if cfg2.window_min is not None:
         return jnp.asarray(cfg2.window_min, jnp.float32)
     n = pos_flat.shape[1]
-    live = (jnp.arange(n, dtype=jnp.int32) < n_active).astype(jnp.float32)
-    w = live if masses is None else live * masses
+    if live is None:
+        live = jnp.arange(n, dtype=jnp.int32) < n_active
+    w = live.astype(jnp.float32)
+    if masses is not None:
+        w = w * masses
     c = (pos_flat * w[None]).sum(axis=1) / jnp.maximum(w.sum(), 1e-12)
     return c - 0.5 * jnp.float32(cfg2.window_size)
 
@@ -147,30 +152,29 @@ def pm2_accel_ref(pos_flat: jax.Array, n_active: jax.Array, g_const,
     return g_const * pm.momentum_clean(acc, n_active, masses)
 
 
-def pm2_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
-              cfg: "P.PMConfig", cfg2: PM2Config, *, masses=None,
-              kernels=None, interpret: bool = False) -> jax.Array:
-    """f32[3, N] two-level PM acceleration — sorted-Pallas fast path for
-    BOTH levels (grid 128, N a multiple of 512; see pm_pallas.pm_accel).
+def fine_accel_fast(pos_flat: jax.Array, live: jax.Array,
+                    cfg: "P.PMConfig", cfg2: PM2Config, *, masses=None,
+                    kernels=None, interpret: bool = False) -> jax.Array:
+    """f32[3, N] fine-level (difference-kernel) acceleration in the
+    CALLER's slot order, already masked to window-internal receivers —
+    sorted-Pallas path. ``live`` is an explicit bool[N] (identity order
+    passes ``arange < n_active``; the persistent sorted state passes
+    ``ids < n_active``, ops/pm_persist.py).
 
     The fine level reuses the sorted CIC kernels with the window's cell
     coords; particles outside the window clamp to the window boundary
     with deposit weight zero (the window mask rides as the mass payload)
-    and their gathered garbage is masked by the margin test."""
-    if cfg.auto_box:
-        raise ValueError("two-level PM needs a static coarse box")
-    acc = pm_pallas.pm_accel(pos_flat, n_active, 1.0, cfg, masses=masses,
-                             interpret=interpret)
-    wmin = window_min(pos_flat, n_active, cfg2, masses)
+    and their gathered garbage is masked by the margin test. The per-
+    frame fine grouping sort is paid here (window membership changes
+    every frame, so there is no persistent fine order to maintain)."""
+    wmin = window_min(pos_flat, None, cfg2, masses, live=live)
     h2 = cfg2.window_size / cfg.grid
     coords2 = pm.cell_coords_dyn(pos_flat, wmin, h2, cfg.grid)
-    n = pos_flat.shape[1]
-    live = jnp.arange(n, dtype=jnp.int32) < n_active
-    w_src = (_in_window(pos_flat, wmin, cfg2.window_size, cfg2.margin)
-             & live).astype(jnp.float32)
+    inner = _in_window(pos_flat, wmin, cfg2.window_size, cfg2.margin) & live
+    w_src = inner.astype(jnp.float32)
     m_src = w_src if masses is None else w_src * masses
     key_s, idx_s, frac_s, mass_s = pm_pallas.pm_sort(
-        pos_flat, n_active, cfg, coords=coords2, masses=m_src)
+        pos_flat, None, cfg, coords=coords2, masses=m_src, live=live)
     rho2 = pm_pallas.pm_deposit_sorted(key_s, frac_s, mass_s,
                                        interpret=interpret)
     grids2 = pm.solve_accel_diff(rho2, cfg.grid, h2, cfg2.softening,
@@ -179,9 +183,22 @@ def pm2_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
     acc2 = pm_pallas.pm_gather_sorted(grids2, key_s, frac_s, idx_s,
                                       interpret=interpret)
     # receivers == sources: window-internal pairs only (antisymmetric)
-    inner = (_in_window(pos_flat, wmin, cfg2.window_size, cfg2.margin)
-             & live).astype(jnp.float32)
-    acc = acc + acc2 * inner[None]
+    return acc2 * w_src[None]
+
+
+def pm2_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
+              cfg: "P.PMConfig", cfg2: PM2Config, *, masses=None,
+              kernels=None, interpret: bool = False) -> jax.Array:
+    """f32[3, N] two-level PM acceleration — sorted-Pallas fast path for
+    BOTH levels (grid 128, N a multiple of 512; see pm_pallas.pm_accel)."""
+    if cfg.auto_box:
+        raise ValueError("two-level PM needs a static coarse box")
+    acc = pm_pallas.pm_accel(pos_flat, n_active, 1.0, cfg, masses=masses,
+                             interpret=interpret)
+    n = pos_flat.shape[1]
+    live = jnp.arange(n, dtype=jnp.int32) < n_active
+    acc = acc + fine_accel_fast(pos_flat, live, cfg, cfg2, masses=masses,
+                                kernels=kernels, interpret=interpret)
     return g_const * pm.momentum_clean(acc, n_active, masses)
 
 

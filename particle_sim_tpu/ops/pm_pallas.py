@@ -436,23 +436,28 @@ def cell_key_frac(pos_flat: jax.Array, live: jax.Array,
 
 
 def pm_sort(pos_flat: jax.Array, n_active: jax.Array,
-            cfg: "P.PMConfig", coords=None, masses=None) -> tuple:
+            cfg: "P.PMConfig", coords=None, masses=None,
+            live=None) -> tuple:
     """(key_s, idx_s, frac_s, mass_s): particles grouped by cell id.
 
     key_s i32[N] sorted cell ids (inactive -> SENTINEL, at the end);
     idx_s i32[N] carried original indices; frac_s i32[N] packed
     10-bit-per-axis CIC fractions (_unpack_fracs); mass_s f32[N] sorted
     masses (None when ``masses`` is None). ``coords`` overrides the cell
-    coords (auto-box path). Sorts are ``lax.sort`` — measured FASTER
-    than the hand-built Pallas merge-path sort (see ops/psort.py for the
-    experiment and the cost model).
+    coords (auto-box path); ``live`` (bool[N]) overrides the default
+    ``arange < n_active`` liveness — callers whose slot order is not
+    identity order (ops/pm_persist.py) pass ``ids < n_active``. Sorts
+    are ``lax.sort`` — measured FASTER than the hand-built Pallas
+    merge-path sort (see ops/psort.py for the experiment and the cost
+    model).
     """
     n = pos_flat.shape[1]
     if n % 512:
         raise ValueError(f"particle capacity {n} not a multiple of 512")
     idx = jnp.arange(n, dtype=jnp.int32)
-    key, packed = cell_key_frac(pos_flat, idx < n_active, cfg,
-                                coords=coords)
+    if live is None:
+        live = idx < n_active
+    key, packed = cell_key_frac(pos_flat, live, cfg, coords=coords)
     if masses is not None:
         key_s, idx_s, fq_s, m_s = jax.lax.sort(
             (key, idx, packed, masses), num_keys=1)

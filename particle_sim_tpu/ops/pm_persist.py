@@ -74,6 +74,10 @@ from .pm_pallas import (GRID, LANE, N_TILES, ROWS_TOTAL, SENTINEL, SPREAD,
 # or dense states repair almost every frame (measured: SLACK 8 at 16M
 # repaired 14 of 21 dynamic frames; drift per frame is only ~0.04 cells,
 # so a +-1-cell budget pushes repairs out by an order of magnitude).
+# Going LOOSER loses (measured, 16M collapse, 31 frames): 28/24 and
+# 31/31 cut repairs 8->6 but the extra tolerated span width makes every
+# inter-repair frame costlier — 174/164 ms avg vs 132 at 20/16. Early
+# repair keeps frames near the 58.5 ms steady floor.
 SLACK_DEP = 20
 SLACK_GAT = 16
 _SMEM_WORDS = 65536          # known-good scalar-prefetch budget (pick_chunk)
@@ -249,7 +253,8 @@ def _momentum_clean_live(acc, live_f, masses, psum_axis=None):
 
 def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
                  n_active=None, interpret: bool = False, chunk: int = 0,
-                 psum_axis=None) -> Tuple[SortedPMState, jax.Array]:
+                 psum_axis=None, cfg2=None,
+                 kernels=None) -> Tuple[SortedPMState, jax.Array]:
     """(state', acc f32[3, N]) — PM acceleration in the state's slot
     order, repairing the sort first iff drift would overflow the pair
     budgets. Traceable; the returned state is the one ``acc`` aligns
@@ -260,7 +265,14 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     mass grid is psum'd before the replicated solve — the only collective,
     O(G^3) like parallel/pm_dp.py — the gather stays local, and repairs
     fire per shard independently (particles never migrate between
-    shards)."""
+    shards).
+
+    ``cfg2`` (a pm2.PM2Config, with ``kernels`` from pm2.fine_kernels)
+    adds the two-level refinement window on top: the COARSE level stays
+    sort-free on the persistent order, while the fine level pays its own
+    per-frame grouping sort in slot order (window membership changes
+    every frame — there is no persistent fine order to maintain;
+    single-device only)."""
     if cfg.auto_box:
         raise ValueError("persistent sorted mode needs a static box; "
                          "use pm_pallas.pm_accel for auto_box")
@@ -311,6 +323,13 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     gat = _build_gather(n, chunk, c_max_gat, interpret)
     acc = gat(gat_pairs, key.reshape(1, -1), frac.reshape(1, -1),
               grids.reshape(3, ROWS_TOTAL, LANE).astype(jnp.bfloat16))[:, :n]
+    if cfg2 is not None:
+        if psum_axis is not None:
+            raise ValueError("pm2 refinement is single-device for now")
+        from . import pm2 as _pm2
+        acc = acc + _pm2.fine_accel_fast(
+            st.pos, live, cfg, cfg2, masses=st.masses, kernels=kernels,
+            interpret=interpret)
     acc = _momentum_clean_live(acc, live.astype(jnp.float32), st.masses,
                                psum_axis=psum_axis)
     return st, g_const * acc
@@ -319,13 +338,14 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
 def step_sorted(st: SortedPMState, param_vec: jax.Array,
                 pair_vec: jax.Array, n_active, cfg: "P.PMConfig", *,
                 interpret: bool = False, chunk: int = 0,
-                psum_axis=None) -> SortedPMState:
+                psum_axis=None, cfg2=None, kernels=None) -> SortedPMState:
     """One frame on the persistent state: PM self-gravity (repairing the
-    order when needed) + the reference kick/step contract
-    (physics.kick_and_step_planes), all in slot order."""
+    order when needed; two-level with ``cfg2``) + the reference
+    kick/step contract (physics.kick_and_step_planes), all in slot
+    order."""
     st, acc = accel_sorted(st, pair_vec[0], cfg, n_active=n_active,
                            interpret=interpret, chunk=chunk,
-                           psum_axis=psum_axis)
+                           psum_axis=psum_axis, cfg2=cfg2, kernels=kernels)
     shape = (3, st.pos.shape[1] // LANE, LANE)
     pos, vel = physics.kick_and_step_planes(
         st.pos.reshape(shape), st.vel.reshape(shape),
@@ -333,11 +353,14 @@ def step_sorted(st: SortedPMState, param_vec: jax.Array,
     return st._replace(pos=pos.reshape(3, -1), vel=vel.reshape(3, -1))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "interpret", "chunk", "cfg2"))
 def step_sorted_jit(st, param_vec, pair_vec, n_active, cfg,
-                    interpret: bool = False, chunk: int = 0):
+                    interpret: bool = False, chunk: int = 0,
+                    cfg2=None, kernels=None):
     return step_sorted(st, param_vec, pair_vec, n_active, cfg,
-                       interpret=interpret, chunk=chunk)
+                       interpret=interpret, chunk=chunk, cfg2=cfg2,
+                       kernels=kernels)
 
 
 def unsort(st: SortedPMState, arrays) -> tuple:

@@ -93,8 +93,10 @@ def make_ring_pairwise_step(mesh: Mesh, *, interpret: bool = False,
         # literal zeros are unvarying; the loop carry becomes varying after
         # one hop, so mark them device-varying up front (check_vma=True
         # rejects the mismatched carry otherwise)
-        acc0 = jax.lax.pvary(jnp.zeros((local_n, 3), jnp.float32), DP_AXIS)
-        m0 = (jax.lax.pvary(jnp.zeros((local_n,), jnp.float32), DP_AXIS)
+        acc0 = jax.lax.pcast(jnp.zeros((local_n, 3), jnp.float32),
+                             DP_AXIS, to="varying")
+        m0 = (jax.lax.pcast(jnp.zeros((local_n,), jnp.float32),
+                            DP_AXIS, to="varying")
               if masses is None else masses)
         acc, _, _ = jax.lax.fori_loop(0, n_dev, body, (acc0, flat, m0))
 

@@ -235,6 +235,38 @@ def test_engine_integration():
     with pytest.raises(ValueError, match="pm2 requires"):
         Engine(particle_count=512, method=Method.JNP, interpret=True,
                pm2=CFG2)
-    with pytest.raises(ValueError, match="exclusive"):
-        Engine(particle_count=512, method=Method.JNP, interpret=True,
+
+
+def test_persist_composition_parity():
+    """pm2 composes with the persistent sorted state: the coarse level
+    runs sort-free on the slot order, the fine level pays its own sort —
+    and the result matches the identity-order two-level fast path."""
+    from particle_sim_tpu.ops import pm_persist
+
+    pos_np, pos, n_act = _scene(8)
+    n = int(n_act)
+    ker = pm2.fine_kernels(CFG, CFG2)
+    a_id = np.asarray(pm2.pm2_accel(pos, n_act, 1.0, CFG, CFG2,
+                                    kernels=ker, interpret=True))[:, :n]
+
+    st = pm_persist.init_sorted(pos, n_act, CFG)
+    st2, a_slot = pm_persist.accel_sorted(st, jnp.float32(1.0), CFG,
+                                          n_active=n_act, interpret=True,
+                                          cfg2=CFG2, kernels=ker)
+    ids = np.asarray(st2.ids)
+    a_back = np.zeros_like(np.asarray(a_slot))
+    a_back[:, ids] = np.asarray(a_slot)
+    scale = np.abs(a_id).max()
+    assert np.abs(a_back[:, :n] - a_id).max() < 5e-3 * scale
+
+    # engine wiring: the combination steps and stays finite
+    import particle_sim_tpu as psim
+    from particle_sim_tpu.core.params import Method
+    from particle_sim_tpu.engine import Engine
+
+    e = Engine(particle_count=1500, method=Method.PALLAS, interpret=True,
                pm=CFG, pm2=CFG2, pm_persist=True)
+    e.step(psim.SimParams(delta_time=0.016, gravity=0.0))
+    e.step(psim.SimParams(delta_time=0.016, gravity=0.0))
+    e.ensure_identity_order()
+    assert bool(jnp.isfinite(e.state.pos).all())
