@@ -301,6 +301,27 @@ def _measure(res: dict) -> None:
                 (time.perf_counter() - t0) / k_dyn * 1e3, 3)
             detail["pm_persistent_16m_repairs"] = (
                 f"{int(st_p.resorts)}/{k_dyn + 2}")
+            # two-level refinement riding the SAME persistent order
+            # (sort-free fine level, ops/pm_persist.py two-level mode)
+            try:
+                from particle_sim_tpu.ops import pm2 as _pm2p
+
+                cfg2p = _pm2p.PM2Config(window_min=None, window_size=32.0,
+                                        softening=0.5)
+                ker2p = _pm2p.fine_kernels(cfg16, cfg2p)
+                acc_p2 = jax.jit(lambda s, k: (lambda s2, a: (s2, a.sum()))(
+                    *_pmper.accel_sorted(s, jnp.float32(1.0), cfg16,
+                                         cfg2=cfg2p, kernels=k)))
+                st_p, tot = acc_p2(st_p, ker2p)
+                _sync(tot)
+                t0 = time.perf_counter()
+                for _ in range(4):
+                    st_p, tot = acc_p2(st_p, ker2p)
+                _sync(tot)
+                detail["pm2_persistent_16m_steady_ms"] = round(
+                    (time.perf_counter() - t0) / 4 * 1e3, 3)
+            except Exception as e:
+                errors["pm2_persist_16m"] = repr(e)[:200]
         except Exception as e:
             errors["pm_persist_16m"] = repr(e)[:200]
         del pos16m

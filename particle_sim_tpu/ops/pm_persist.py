@@ -43,6 +43,17 @@ Span-table mechanics (vs pm_pallas._deposit_table/_gather_table):
     that zeroes each output tile always exists (pm_pallas kernels are
     reused unmodified).
 
+Two-level mode (``cfg2``, ops/pm2.py) extends the same trick to the
+fine level: fine keys are computed in the SAME coarse slot order with
+non-window particles masked to SENTINEL, so masked spans bound the fine
+tables too and the steady-state two-level frame pays zero sorts as
+well. Coarse-sorted chunks are spatially coherent, so their fine spans
+are structurally ~(box/window + 1) z-slabs wide (fine_slack sizes the
+budgets); membership churn at the window edge is absorbed by the mask
+(entrants carry valid fine keys wherever they sit, leavers' keys go
+SENTINEL), and a lax.cond falls back to the per-frame-sorted fine path
+on the rare frame whose totals cannot fit even after a repair.
+
 Reference parity: same physics contract as ops/pm.step_pm_ref /
 reference compute.wgsl integration (see ops/physics.py citations); the
 reference app has no self-gravity at all — this path is a capability
@@ -83,15 +94,32 @@ SLACK_GAT = 16
 _SMEM_WORDS = 65536          # known-good scalar-prefetch budget (pick_chunk)
 
 
-def pick_chunk(n_pad: int) -> int:
+def fine_slack(cfg: "P.PMConfig", cfg2) -> int:
+    """Per-chunk pair budget for the FINE level riding the coarse
+    persistent order. A coarse-sorted chunk localized to ~1 coarse cell
+    spans ~(ratio+1) fine z-slabs of GRID rows each (ratio = h1/h2 =
+    box/window), i.e. ~2*((ratio+1)*GRID/T_ROWS + 2) window memberships
+    across the two corner families; +8 is drift headroom matching the
+    coarse budgets' +-1-cell sizing. (A FINE-sorted order was tried and
+    measured worse: it scatters coarse rows across the window segment,
+    which inflates the coarse hulls of _window_ranges to every chunk —
+    the coarse level's budgets blow up instead.)"""
+    ratio = max(1, int(round(cfg.box_size / cfg2.window_size)))
+    return 2 * ((ratio + 1) * GRID // T_ROWS + 2) + 8
+
+
+def pick_chunk(n_pad: int, slack_fine: int = 0) -> int:
     """Particles per kernel block: smallest supported chunk whose
-    SLACK-scaled pair tables still fit the SMEM budget."""
+    SLACK-scaled pair tables still fit the SMEM budget. ``slack_fine``
+    (two-level mode, fine_slack) adds the fine level's tables to the
+    check."""
     for c in (512, 1024, 2048, 4096, 8192, 16384):
         if n_pad % c:
             continue
         nc = n_pad // c
         worst = max(SLACK_DEP * nc + 4 * N_TILES,
-                    SLACK_GAT * nc + 2 * N_TILES) + 2
+                    SLACK_GAT * nc + 2 * N_TILES,
+                    slack_fine * nc + 4 * N_TILES) + 2
         if worst <= _SMEM_WORDS:
             return c
     raise ValueError(f"capacity {n_pad} not a multiple of 512, or too "
@@ -120,7 +148,9 @@ def init_sorted(pos_flat: jax.Array, n_active, cfg: "P.PMConfig",
                 vel_flat=None, masses=None) -> SortedPMState:
     """Full grouping sort of (pos, vel, identity[, masses]) into a fresh
     SortedPMState. ``n_active`` masks trailing padding slots (their keys
-    become SENTINEL, so they sort to the tail with ids >= n_active)."""
+    become SENTINEL, so they sort to the tail with ids >= n_active).
+    The coarse cell order serves BOTH levels of the two-level mode (the
+    fine level rides it with masked spans — see accel_sorted)."""
     n = pos_flat.shape[1]
     if n % 512:
         raise ValueError(f"particle capacity {n} not a multiple of 512")
@@ -135,10 +165,17 @@ def init_sorted(pos_flat: jax.Array, n_active, cfg: "P.PMConfig",
 
 
 def _chunk_spans(key: jax.Array, chunk: int):
-    """(rmin i32[n_chunks], rmax i32[n_chunks]) grid-row span per chunk.
-    SENTINEL keys map to row ROWS_TOTAL (past the last tile)."""
+    """(rmin i32[n_chunks], rmax i32[n_chunks]) grid-row span per chunk
+    over the chunk's LIVE keys only: SENTINEL entries (dead slots, or
+    masked-out particles on the fine level) are excluded — rmin falls
+    back to ROWS_TOTAL and rmax to -1, so an all-masked chunk reads as
+    EMPTY (rmax < rmin) and intersects no window, instead of a SENTINEL
+    rmax inflating the prefix-max hull to every window above it."""
     r = (key >> 7).reshape(-1, chunk)
-    return r.min(axis=1), r.max(axis=1)
+    dead = key.reshape(-1, chunk) >= SENTINEL
+    rmin = jnp.where(dead, ROWS_TOTAL, r).min(axis=1)
+    rmax = jnp.where(dead, -1, r).max(axis=1)
+    return rmin, rmax
 
 
 def _window_ranges(rmin, rmax, n_chunks: int):
@@ -172,6 +209,20 @@ def _gather_tiles(rmin, rmax):
     t_lo = jnp.clip(rmin // T_ROWS, 0, N_TILES - 1).astype(jnp.int32)
     t_hi = jnp.clip((rmax + 1) // T_ROWS, 0, N_TILES - 1).astype(jnp.int32)
     return t_lo, jnp.maximum(t_hi, t_lo)
+
+
+def _fine_inputs(pos, live, masses, cfg: "P.PMConfig", cfg2):
+    """(wmin, w_src f32[N], key2 i32[N], frac2 i32[N]) for the fine
+    level in the caller's slot order. Non-window / dead particles get
+    key SENTINEL (they miss every one-hot and every masked span); the
+    window mask w_src rides as the deposit mass and masks receivers."""
+    from . import pm2 as _pm2
+    wmin = _pm2.window_min(pos, None, cfg2, masses, live=live)
+    h2 = cfg2.window_size / cfg.grid
+    coords2 = pm.cell_coords_dyn(pos, wmin, h2, cfg.grid)
+    inner = _pm2._in_window(pos, wmin, cfg2.window_size, cfg2.margin) & live
+    key2, frac2 = pm_pallas.cell_key_frac(pos, inner, cfg, coords=coords2)
+    return wmin, inner.astype(jnp.float32), key2, frac2
 
 
 def _pair_totals(key: jax.Array, chunk: int):
@@ -253,8 +304,9 @@ def _momentum_clean_live(acc, live_f, masses, psum_axis=None):
 
 def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
                  n_active=None, interpret: bool = False, chunk: int = 0,
-                 psum_axis=None, cfg2=None,
-                 kernels=None) -> Tuple[SortedPMState, jax.Array]:
+                 psum_axis=None, cfg2=None, kernels=None,
+                 _force_fine_fallback: bool = False
+                 ) -> Tuple[SortedPMState, jax.Array]:
     """(state', acc f32[3, N]) — PM acceleration in the state's slot
     order, repairing the sort first iff drift would overflow the pair
     budgets. Traceable; the returned state is the one ``acc`` aligns
@@ -268,24 +320,43 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     shards).
 
     ``cfg2`` (a pm2.PM2Config, with ``kernels`` from pm2.fine_kernels)
-    adds the two-level refinement window on top: the COARSE level stays
-    sort-free on the persistent order, while the fine level pays its own
-    per-frame grouping sort in slot order (window membership changes
-    every frame — there is no persistent fine order to maintain;
-    single-device only)."""
+    adds the two-level refinement window on top, ALSO sort-free in the
+    steady state: the fine level builds masked span tables over the SAME
+    coarse persistent order (non-window particles' fine keys are
+    SENTINEL, so only window chunks carry fine spans, structurally
+    ~fine_slack memberships each). A repair fires when EITHER level's
+    totals overflow; if even the repaired order cannot fit the fine
+    budgets (pathological window/scene combinations — e.g. a handful of
+    particles at opposite corners of the window sharing a chunk), a
+    lax.cond falls back to the per-frame-sorted fine path
+    (pm2.fine_accel_fast) for that frame, so results are exact in every
+    regime. Membership churn between repairs is handled by the mask
+    alone: entrants carry valid fine keys from their coarse chunks
+    (masked spans cover them), leavers' keys go SENTINEL.
+    Single-device only."""
     if cfg.auto_box:
         raise ValueError("persistent sorted mode needs a static box; "
                          "use pm_pallas.pm_accel for auto_box")
+    if cfg2 is not None and psum_axis is not None:
+        raise ValueError("pm2 refinement is single-device for now")
     n = st.pos.shape[1]
     n_active = jnp.int32(n) if n_active is None else n_active
-    chunk = chunk or pick_chunk(n)
+    slack_f = 0 if cfg2 is None else fine_slack(cfg, cfg2)
+    chunk = chunk or pick_chunk(n, slack_f)
     n_chunks = n // chunk
     c_max_dep = SLACK_DEP * n_chunks + 4 * N_TILES + 2
     c_max_gat = SLACK_GAT * n_chunks + 2 * N_TILES + 2
+    c_max_dep2 = slack_f * n_chunks + 4 * N_TILES + 2
+    c_max_gat2 = slack_f * n_chunks + 2 * N_TILES + 2
 
-    key, _ = pm_pallas.cell_key_frac(st.pos, st.ids < n_active, cfg)
+    live0 = st.ids < n_active
+    key, _ = pm_pallas.cell_key_frac(st.pos, live0, cfg)
     dep_total, gat_total = _pair_totals(key, chunk)
     need = (dep_total > c_max_dep) | (gat_total > c_max_gat)
+    if cfg2 is not None:
+        _, _, key2, _ = _fine_inputs(st.pos, live0, st.masses, cfg, cfg2)
+        dep2_total, gat2_total = _pair_totals(key2, chunk)
+        need = need | (dep2_total > c_max_dep2) | (gat2_total > c_max_gat2)
     st = jax.lax.cond(
         need,
         lambda s: _sort_state(key, s.pos, s.vel, s.ids, s.masses,
@@ -324,12 +395,57 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     acc = gat(gat_pairs, key.reshape(1, -1), frac.reshape(1, -1),
               grids.reshape(3, ROWS_TOTAL, LANE).astype(jnp.bfloat16))[:, :n]
     if cfg2 is not None:
-        if psum_axis is not None:
-            raise ValueError("pm2 refinement is single-device for now")
-        from . import pm2 as _pm2
-        acc = acc + _pm2.fine_accel_fast(
-            st.pos, live, cfg, cfg2, masses=st.masses, kernels=kernels,
-            interpret=interpret)
+        # fine level on the SAME persistent order: masked spans over the
+        # fine keys (SENTINEL outside the window) bound the tables, the
+        # window mask rides as the deposit mass, and the gather lands in
+        # slot order directly — no grouping sort, no un-sort. Tables are
+        # only trusted when the (post-repair) totals fit their static
+        # capacities; otherwise the cond pays the sorted fine path, so
+        # no pair is ever silently dropped.
+        _, w_src, key2, frac2 = _fine_inputs(st.pos, live, st.masses,
+                                             cfg, cfg2)
+        dep2_total, gat2_total = _pair_totals(key2, chunk)
+        fits = (dep2_total <= c_max_dep2) & (gat2_total <= c_max_gat2)
+        if _force_fine_fallback:      # test hook: exercise the cond's
+            fits = jnp.bool_(False)   # sorted-fallback plumbing
+
+        def _fine_spans(_):
+            rmin2, rmax2 = _chunk_spans(key2, chunk)
+            dep2_pairs = _deposit_table_spans(rmin2, rmax2, n_chunks,
+                                              c_max_dep2)
+            key2_p = jnp.concatenate(
+                [key2,
+                 jnp.full((chunk,), SENTINEL, jnp.int32)]).reshape(1, -1)
+            frac2_p = jnp.concatenate(
+                [frac2, jnp.zeros((chunk,), jnp.int32)]).reshape(1, -1)
+            m2 = w_src if st.masses is None else w_src * st.masses
+            m2_p = jnp.concatenate(
+                [m2, jnp.zeros((chunk,), jnp.float32)]).reshape(1, -1)
+            dep2 = _build_deposit(chunk, c_max_dep2, interpret,
+                                  has_mass=True)
+            rho2 = (dep2(dep2_pairs, key2_p, frac2_p, m2_p)[:N_TILES]
+                    .reshape(GRID, GRID, GRID))
+            h2 = cfg2.window_size / cfg.grid
+            grids2 = pm.solve_accel_diff(rho2, cfg.grid, h2,
+                                         cfg2.softening, cfg.softening,
+                                         cfg2.gradient, kernels=kernels)
+            gat2_pairs = _gather_table_spans(rmin2, rmax2, n_chunks,
+                                             c_max_gat2)
+            gat2 = _build_gather(n, chunk, c_max_gat2, interpret)
+            acc2 = gat2(gat2_pairs, key2.reshape(1, -1),
+                        frac2.reshape(1, -1),
+                        grids2.reshape(3, ROWS_TOTAL, LANE)
+                        .astype(jnp.bfloat16))[:, :n]
+            # receivers == sources: window-internal pairs (antisymmetric)
+            return acc2 * w_src[None]
+
+        def _fine_sorted(_):
+            from . import pm2 as _pm2
+            return _pm2.fine_accel_fast(st.pos, live, cfg, cfg2,
+                                        masses=st.masses, kernels=kernels,
+                                        interpret=interpret)
+
+        acc = acc + jax.lax.cond(fits, _fine_spans, _fine_sorted, None)
     acc = _momentum_clean_live(acc, live.astype(jnp.float32), st.masses,
                                psum_axis=psum_axis)
     return st, g_const * acc

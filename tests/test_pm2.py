@@ -237,10 +237,140 @@ def test_engine_integration():
                pm2=CFG2)
 
 
+def test_persist_fine_spans_no_repair():
+    """On a freshly coarse-sorted state the fine level's masked span
+    tables fit their ratio-scaled budgets (fine_slack): the two-level
+    frame runs with ZERO repairs — the sort-free steady state — and
+    matches the identity-order fast path."""
+    from particle_sim_tpu.ops import pm_persist
+
+    pos_np, pos, n_act = _scene(21)
+    n = int(n_act)
+    ker = pm2.fine_kernels(CFG, CFG2)
+    a_id = np.asarray(pm2.pm2_accel(pos, n_act, 1.0, CFG, CFG2,
+                                    kernels=ker, interpret=True))[:, :n]
+    st = pm_persist.init_sorted(pos, n_act, CFG)
+    st2, a_slot = pm_persist.accel_sorted(st, jnp.float32(1.0), CFG,
+                                          n_active=n_act, interpret=True,
+                                          cfg2=CFG2, kernels=ker)
+    assert int(st2.resorts) == 0
+    # and the span tables actually fit (the cond took the sort-free leg)
+    chunk = pm_persist.pick_chunk(st2.pos.shape[1],
+                                  pm_persist.fine_slack(CFG, CFG2))
+    nc = st2.pos.shape[1] // chunk
+    _, _, key2, _ = pm_persist._fine_inputs(
+        st2.pos, st2.ids < n_act, None, CFG, CFG2)
+    dep2, gat2 = pm_persist._pair_totals(key2, chunk)
+    slack = pm_persist.fine_slack(CFG, CFG2)
+    from particle_sim_tpu.ops.pm_pallas import N_TILES
+    assert int(dep2) <= slack * nc + 4 * N_TILES + 2
+    assert int(gat2) <= slack * nc + 2 * N_TILES + 2
+    ids = np.asarray(st2.ids)
+    a_back = np.zeros_like(np.asarray(a_slot))
+    a_back[:, ids] = np.asarray(a_slot)
+    scale = np.abs(a_id).max()
+    assert np.abs(a_back[:, :n] - a_id).max() < 5e-3 * scale
+
+
+def test_persist_fine_fallback_parity():
+    """The cond's guaranteed-correct leg: when the fine span tables
+    cannot fit (forced here via the test hook), the frame pays the
+    per-frame-sorted fine path and must produce the SAME result as the
+    span leg / identity-order fast path."""
+    from particle_sim_tpu.ops import pm_persist
+
+    pos_np, pos, n_act = _scene(24)
+    n = int(n_act)
+    ker = pm2.fine_kernels(CFG, CFG2)
+    a_id = np.asarray(pm2.pm2_accel(pos, n_act, 1.0, CFG, CFG2,
+                                    kernels=ker, interpret=True))[:, :n]
+    st = pm_persist.init_sorted(pos, n_act, CFG)
+    st2, a_slot = pm_persist.accel_sorted(st, jnp.float32(1.0), CFG,
+                                          n_active=n_act, interpret=True,
+                                          cfg2=CFG2, kernels=ker,
+                                          _force_fine_fallback=True)
+    ids = np.asarray(st2.ids)
+    a_back = np.zeros_like(np.asarray(a_slot))
+    a_back[:, ids] = np.asarray(a_slot)
+    scale = np.abs(a_id).max()
+    assert np.abs(a_back[:, :n] - a_id).max() < 5e-3 * scale
+
+
+def test_persist_composite_edge_churn_exact():
+    """Particles crossing the window edge BETWEEN repairs stay exact:
+    entrants carry valid fine keys from whatever chunk they sit in
+    (masked spans cover them); leavers' fine keys go SENTINEL. A drift
+    that pushes a band of particles across the boundary must keep
+    parity with the identity-order fast path at zero repairs."""
+    from particle_sim_tpu.ops import pm_persist
+
+    pos_np, pos, n_act = _scene(22)
+    n = int(n_act)
+    # plant bands straddling the window x-faces so the drift is
+    # guaranteed to churn membership: 40 leavers just inside x=+16,
+    # 40 entrants just outside x=-16
+    rng = np.random.default_rng(220)
+    yz = rng.uniform(-10, 10, size=(80, 2)).astype(np.float32)
+    pos_np[100:140, 0] = rng.uniform(15.3, 15.9, 40).astype(np.float32)
+    pos_np[100:140, 1:] = yz[:40]
+    pos_np[140:180, 0] = rng.uniform(-16.7, -16.1, 40).astype(np.float32)
+    pos_np[140:180, 1:] = yz[40:]
+    pos = pos.at[:, 100:180].set(jnp.asarray(pos_np[100:180].T))
+    ker = pm2.fine_kernels(CFG, CFG2)
+    st = pm_persist.init_sorted(pos, n_act, CFG)
+    # coherent drift: everything slides +0.9 world units along x, so
+    # particles near both x-faces of the window change membership while
+    # spans stay tight (no repair)
+    pos2 = st.pos + jnp.asarray([[0.9], [0.0], [0.0]], jnp.float32)
+    st = st._replace(pos=pos2)
+    st2, a_slot = pm_persist.accel_sorted(st, jnp.float32(1.0), CFG,
+                                          n_active=n_act, interpret=True,
+                                          cfg2=CFG2, kernels=ker)
+    assert int(st2.resorts) == 0
+    ids = np.asarray(st2.ids)
+    inv = np.argsort(ids)
+    a_id = np.asarray(pm2.pm2_accel(
+        jnp.asarray(np.asarray(st2.pos)[:, inv]), n_act, 1.0, CFG, CFG2,
+        kernels=ker, interpret=True))[:, :n]
+    a_back = np.asarray(a_slot)[:, inv]
+    scale = np.abs(a_id).max()
+    assert np.abs(a_back[:, :n] - a_id).max() < 5e-3 * scale
+    # sanity: the drift actually churned membership
+    w0 = np.all((pos_np >= -16) & (pos_np < 16), axis=1)
+    p2 = np.asarray(st2.pos)[:, inv][:, :n].T
+    w1 = np.all((p2 >= -16) & (p2 < 16), axis=1)
+    assert (w0 != w1).sum() > 20
+
+
+def test_persist_composite_centroid_window():
+    """Centroid-tracking windows (window_min=None) ride the persistent
+    order too — the traced origin shifts fine keys coherently, masked
+    spans stay tight, and the result matches the identity-order fast
+    path."""
+    from particle_sim_tpu.ops import pm_persist
+
+    cfg2 = pm2.PM2Config(window_min=None, window_size=32.0, softening=0.75)
+    pos_np, pos, n_act = _scene(23)
+    n = int(n_act)
+    ker = pm2.fine_kernels(CFG, cfg2)
+    a_id = np.asarray(pm2.pm2_accel(pos, n_act, 1.0, CFG, cfg2,
+                                    kernels=ker, interpret=True))[:, :n]
+    st = pm_persist.init_sorted(pos, n_act, CFG)
+    st2, a_slot = pm_persist.accel_sorted(st, jnp.float32(1.0), CFG,
+                                          n_active=n_act, interpret=True,
+                                          cfg2=cfg2, kernels=ker)
+    ids = np.asarray(st2.ids)
+    a_back = np.zeros_like(np.asarray(a_slot))
+    a_back[:, ids] = np.asarray(a_slot)
+    scale = np.abs(a_id).max()
+    assert np.abs(a_back[:, :n] - a_id).max() < 5e-3 * scale
+
+
 def test_persist_composition_parity():
-    """pm2 composes with the persistent sorted state: the coarse level
-    runs sort-free on the slot order, the fine level pays its own sort —
-    and the result matches the identity-order two-level fast path."""
+    """pm2 composes with the persistent sorted state: both levels run
+    sort-free on the coarse slot order (the fine level via masked
+    spans) — and the result matches the identity-order two-level fast
+    path."""
     from particle_sim_tpu.ops import pm_persist
 
     pos_np, pos, n_act = _scene(8)
