@@ -502,6 +502,11 @@ def pm_gather_sorted(grids: jax.Array, key_s: jax.Array, frac_s: jax.Array,
     #   pay  = mx low 10 | my 11 | mz 11
     # with e7 = clip(max biased exponent - 64, 0, 127) and mantissas
     # m = round(a * 2^(72 - e7)) + 1024 in [1, 2047] (11-bit biased).
+    # e7 == 127 is reserved: NaN/Inf inputs (biased exponent 0xFF) and
+    # |a| >= ~2^63 blowups saturate it, and the decode maps it to an
+    # infinite scale — so a solver blowup comes OUT non-finite instead
+    # of as plausible-looking garbage (all three components of an
+    # affected particle are poisoned together; fine for diagnostics).
     if n > (1 << 24):
         # idx<<8 needs a 24-bit index; beyond that, plain f32 payloads
         _, ax, ay, az = jax.lax.sort(
@@ -513,7 +518,12 @@ def pm_gather_sorted(grids: jax.Array, key_s: jax.Array, frac_s: jax.Array,
                   0, 127)
     inv = jax.lax.bitcast_convert_type(
         ((199 - e7) << 23).astype(jnp.uint32), jnp.float32)   # 2^(72-e7)
-    m = (jnp.clip(jnp.round(acc_sorted * inv), -1023, 1023)
+    # NaN mantissas are zeroed BEFORE the int cast (NaN->int32 is
+    # implementation-defined and could spill into the key's idx bits,
+    # mis-sorting an unrelated particle); e7 == 127 alone carries the
+    # poison through to the infinite decode scale.
+    m_f = jnp.clip(jnp.round(acc_sorted * inv), -1023, 1023)
+    m = (jnp.where(jnp.isnan(m_f), 0.0, m_f)
          .astype(jnp.int32) + 1024).astype(jnp.uint32)        # (3, n)
     key = ((idx_s.astype(jnp.uint32) << 8)
            | (e7.astype(jnp.uint32) << 1) | (m[0] >> 10))
@@ -522,6 +532,7 @@ def pm_gather_sorted(grids: jax.Array, key_s: jax.Array, frac_s: jax.Array,
     e7_s = ((k_s >> 1) & 127).astype(jnp.int32)
     scale = jax.lax.bitcast_convert_type(
         ((e7_s + 55) << 23).astype(jnp.uint32), jnp.float32)  # 2^(e7-72)
+    scale = jnp.where(e7_s == 127, jnp.float32(jnp.inf), scale)
     mx = ((k_s & 1) << 10) | (p_s >> 22)
     my = (p_s >> 11) & 0x7FF
     mz = p_s & 0x7FF
@@ -540,11 +551,12 @@ def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
     scales the deposit (sources); receivers are mass-free (acceleration
     field).
 
-    Caveat: the un-sort's shared-exponent pack decodes NON-FINITE
-    accelerations as large finite values (docstring item 4), so a solver
-    blowup does not propagate NaN through this path — run the jnp
-    reference (pm.pm_accel_ref) or ``utils.debug`` checks when
-    diagnosing one."""
+    Non-finite accelerations (solver blowup) saturate the un-sort pack's
+    shared exponent and decode as +-Inf/NaN (see pm_gather_sorted), so a
+    blowup propagates OUT of this path as non-finite — at reduced
+    component-level fidelity (all three components of an affected
+    particle are poisoned together). Use pm.pm_accel_ref or
+    ``utils.debug`` checks to localize which component went bad."""
     if cfg.auto_box:
         box_min, cell = pm.auto_box(pos_flat, n_active, cfg.grid)
         c = pm.cell_coords_dyn(pos_flat, box_min, cell, cfg.grid)

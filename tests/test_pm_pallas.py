@@ -243,3 +243,27 @@ def test_parity_periodic_with_strays():
     np.testing.assert_allclose(a_fast[:, :n][:, interior],
                                a_ref[:, :n][:, interior],
                                atol=0.03 * scale)
+
+
+def test_unsort_pack_propagates_nonfinite():
+    """A solver blowup must come OUT of the packed un-sort as non-finite
+    (the reserved shared-exponent value decodes to an infinite scale),
+    poisoning exactly the affected particles — not as plausible finite
+    garbage, and without corrupting any OTHER particle's slot."""
+    pos_np = _cloud(2000, 11)
+    pos, n_act, n = _planes(pos_np)
+    key_s, idx_s, frac_s, _ = pm_pallas.pm_sort(pos, n_act, CFG)
+    rho = pm_pallas.pm_deposit_sorted(key_s, frac_s, interpret=True)
+    grids = pm.solve_accel(rho, CFG, CFG.softening)
+    a_clean = np.asarray(pm_pallas.pm_gather_sorted(
+        grids, key_s, frac_s, idx_s, interpret=True))
+    # blow up the x-gradient grid everywhere a particle deposits: every
+    # live particle's gathered ax is NaN, y/z stay finite pre-pack
+    grids_bad = grids.at[0].set(jnp.nan)
+    a_bad = np.asarray(pm_pallas.pm_gather_sorted(
+        grids_bad, key_s, frac_s, idx_s, interpret=True))
+    assert not np.isfinite(a_bad[:, :n]).all()
+    # every live particle is poisoned (shared exponent covers all 3)
+    assert (~np.isfinite(a_bad[:, :n])).any(axis=0).all()
+    # the clean decode is untouched by the reserved-exponent change
+    assert np.isfinite(a_clean[:, :n]).all()
