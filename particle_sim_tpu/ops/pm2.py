@@ -90,11 +90,15 @@ def _in_window(pos_flat: jax.Array, wmin: jax.Array, size: float,
 
 
 def window_min(pos_flat: jax.Array, n_active: jax.Array,
-               cfg2: PM2Config, masses=None, live=None) -> jax.Array:
+               cfg2: PM2Config, masses=None, live=None,
+               psum_axis=None) -> jax.Array:
     """f32[3] window origin: the static config value, or (auto mode) the
     live mass centroid minus half the window. ``live`` (bool[N])
     overrides the ``arange < n_active`` liveness for callers in
-    non-identity slot order (ops/pm_persist.py)."""
+    non-identity slot order (ops/pm_persist.py). Inside a shard_map,
+    ``psum_axis`` makes the centroid GLOBAL (one psum of 4 scalars) so
+    every shard agrees on the window. Order-invariant: a re-sort of the
+    same particle set yields the same origin."""
     if cfg2.window_min is not None:
         return jnp.asarray(cfg2.window_min, jnp.float32)
     n = pos_flat.shape[1]
@@ -103,7 +107,11 @@ def window_min(pos_flat: jax.Array, n_active: jax.Array,
     w = live.astype(jnp.float32)
     if masses is not None:
         w = w * masses
-    c = (pos_flat * w[None]).sum(axis=1) / jnp.maximum(w.sum(), 1e-12)
+    s = (pos_flat * w[None]).sum(axis=1)
+    tot = w.sum()
+    if psum_axis is not None:
+        s, tot = jax.lax.psum((s, tot), psum_axis)
+    c = s / jnp.maximum(tot, 1e-12)
     return c - 0.5 * jnp.float32(cfg2.window_size)
 
 
@@ -154,7 +162,8 @@ def pm2_accel_ref(pos_flat: jax.Array, n_active: jax.Array, g_const,
 
 def fine_accel_fast(pos_flat: jax.Array, live: jax.Array,
                     cfg: "P.PMConfig", cfg2: PM2Config, *, masses=None,
-                    kernels=None, interpret: bool = False) -> jax.Array:
+                    kernels=None, interpret: bool = False,
+                    wmin=None, psum_axis=None) -> jax.Array:
     """f32[3, N] fine-level (difference-kernel) acceleration in the
     CALLER's slot order, already masked to window-internal receivers —
     sorted-Pallas path. ``live`` is an explicit bool[N] (identity order
@@ -166,8 +175,15 @@ def fine_accel_fast(pos_flat: jax.Array, live: jax.Array,
     with deposit weight zero (the window mask rides as the mass payload)
     and their gathered garbage is masked by the margin test. The per-
     frame fine grouping sort is paid here (window membership changes
-    every frame, so there is no persistent fine order to maintain)."""
-    wmin = window_min(pos_flat, None, cfg2, masses, live=live)
+    every frame, so there is no persistent fine order to maintain).
+
+    ``wmin`` overrides the window origin (callers that already computed
+    a global one); ``psum_axis`` (shard_map) makes the origin global and
+    psums the fine mass grid before the replicated solve — the same
+    one-grid-psum coupling as the coarse level (parallel/pm_dp.py)."""
+    if wmin is None:
+        wmin = window_min(pos_flat, None, cfg2, masses, live=live,
+                          psum_axis=psum_axis)
     h2 = cfg2.window_size / cfg.grid
     coords2 = pm.cell_coords_dyn(pos_flat, wmin, h2, cfg.grid)
     inner = _in_window(pos_flat, wmin, cfg2.window_size, cfg2.margin) & live
@@ -177,6 +193,8 @@ def fine_accel_fast(pos_flat: jax.Array, live: jax.Array,
         pos_flat, None, cfg, coords=coords2, masses=m_src, live=live)
     rho2 = pm_pallas.pm_deposit_sorted(key_s, frac_s, mass_s,
                                        interpret=interpret)
+    if psum_axis is not None:
+        rho2 = jax.lax.psum(rho2, psum_axis)
     grids2 = pm.solve_accel_diff(rho2, cfg.grid, h2, cfg2.softening,
                                  cfg.softening, cfg2.gradient,
                                  kernels=kernels)

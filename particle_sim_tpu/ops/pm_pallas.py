@@ -36,8 +36,9 @@ steps with the sorted one-hot-matmul machinery proven by the rasterizer
      than the bf16 grids the gather reads); smaller components quantize
      to the same absolute step, which is exactly the error scale bf16
      already set; magnitudes outside [2^-63, 2^64] flush to zero /
-     saturate. Caveat: a non-finite acceleration would decode as a large
-     finite value — the jnp reference path is the debugging surface.
+     saturate. Non-finite accelerations saturate the shared exponent,
+     whose reserved top value decodes with an INFINITE scale — blowups
+     propagate out as +-Inf/NaN rather than as plausible finite values.
 
 The spectral solve between the two kernels is shared with ops/pm.py.
 Requires grid == 128 (the lane decomposition); any-grid falls back to the
@@ -231,9 +232,8 @@ def _gather_kernel(n_chunks, p_ref, key_ref, frac_ref, a_ref, out_ref):
         out_ref[...] += g
 
 
-@functools.lru_cache(maxsize=None)
-def _build_deposit(chunk: int, c_max: int, interpret: bool,
-                   has_mass: bool = False):
+def _make_deposit(chunk: int, c_max: int, interpret: bool,
+                  has_mass: bool, grid):
     in_specs = [
         pl.BlockSpec((1, chunk), lambda i, p: (0, p[i] & _S_MASK),
                      memory_space=pltpu.VMEM),
@@ -246,7 +246,7 @@ def _build_deposit(chunk: int, c_max: int, interpret: bool,
                          memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,   # packed (tile | slice | first) words
-        grid=(c_max,),
+        grid=(grid,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, T_ROWS, LANE),
@@ -268,7 +268,26 @@ def _build_deposit(chunk: int, c_max: int, interpret: bool,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_gather(n_pad: int, chunk: int, c_max: int, interpret: bool):
+def _build_deposit(chunk: int, c_max: int, interpret: bool,
+                   has_mass: bool = False):
+    return _make_deposit(chunk, c_max, interpret, has_mass, c_max)
+
+
+def _build_deposit_dyn(chunk: int, c_max: int, interpret: bool,
+                       has_mass: bool, grid_n):
+    """Deposit with a TRACED grid size ``grid_n`` (i32 scalar <= c_max):
+    the kernel visits only the packed prefix — real pairs plus every
+    window's first-visit entry (_window_ranges gives empty windows one
+    PAD entry, so all N_TILES output tiles are still zeroed) — and the
+    static capacity's trailing trash slots cost nothing at all. The
+    (discarded) trash tile is left unwritten. Mosaic supports dynamic
+    grid bounds; parity vs the static grid is bit-exact (test_pm_persist
+    dynamic-grid cases)."""
+    return _make_deposit(chunk, c_max, interpret, has_mass, grid_n)
+
+
+def _make_gather(n_pad: int, chunk: int, c_max: int, interpret: bool,
+                 grid):
     # Trash pairs carry s == n_chunks: valid for the OUTPUT (which has an
     # extra trash block) but one past the end of the key/frac inputs — an
     # input index map must clamp it or the block DMA reads out of bounds
@@ -280,7 +299,7 @@ def _build_gather(n_pad: int, chunk: int, c_max: int, interpret: bool):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(c_max,),
+        grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, chunk), in_s, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk), in_s, memory_space=pltpu.VMEM),
@@ -305,12 +324,28 @@ def _build_gather(n_pad: int, chunk: int, c_max: int, interpret: bool):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _build_gather(n_pad: int, chunk: int, c_max: int, interpret: bool):
+    return _make_gather(n_pad, chunk, c_max, interpret, c_max)
+
+
+def _build_gather_dyn(n_pad: int, chunk: int, c_max: int, interpret: bool,
+                      grid_n):
+    """Gather with a TRACED grid size (see _build_deposit_dyn): every
+    chunk's zeroing first-visit lies in the packed prefix, so all real
+    output blocks are written; only the trailing trash block (sliced off
+    by the caller) is left untouched."""
+    return _make_gather(n_pad, chunk, c_max, interpret, grid_n)
+
+
 # ---------------------------------------------------------------------------
 # tables
 # ---------------------------------------------------------------------------
 
 def _deposit_table(key_s: jax.Array, n_pad: int, chunk: int):
-    """Tile-major packed pair table: (pairs i32[c_max], c_max).
+    """Tile-major packed pair table: (pairs i32[c_max], c_max, total).
+    ``total`` (traced) is the packed-prefix length — the dynamic grid
+    size; entries past it are trash.
 
     Per tile t, TWO windows (one per corner family), window id w = 2t+fam:
     fam 0 (rows r, r+1) receives particles with base row in
@@ -352,11 +387,13 @@ def _deposit_table(key_s: jax.Array, n_pad: int, chunk: int):
     fam_k = w_k & 1
     # zero the tile on its first entry = first entry of its fam-0 window
     first_k = jnp.where(real, (kk == base[w_safe]) & (fam_k == 0), True)
-    return _pack_pairs(t_k, fam_k, s_k, first_k), c_max
+    return (_pack_pairs(t_k, fam_k, s_k, first_k), c_max,
+            jnp.minimum(base[-1], c_max).astype(jnp.int32))
 
 
 def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
-    """Chunk-major packed pair table: (pairs i32[c_max], c_max).
+    """Chunk-major packed pair table: (pairs i32[c_max], c_max, total);
+    ``total`` as in _deposit_table.
 
     For each chunk-aligned slice: the range of grid tiles its fam-0
     corner rows (r, r+1) touch, then the fam-1 range (r+GRID, r+GRID+1 —
@@ -401,7 +438,8 @@ def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
     fam_k = jnp.where(overflow, 1, fam_k)
     s_k = jnp.where(real, s_k, n_chunks)
     first_k = jnp.where(real, kk == base[s_safe], kk == total)
-    return _pack_pairs(t_k, fam_k, s_k, first_k), c_max
+    return (_pack_pairs(t_k, fam_k, s_k, first_k), c_max,
+            jnp.minimum(total, c_max).astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -472,9 +510,9 @@ def pm_deposit_sorted(key_s: jax.Array, frac_s: jax.Array,
     """f32[G, G, G] mass grid from cell-sorted particles."""
     n = key_s.shape[0]
     chunk = chunk or pick_chunk(n)
-    pairs, c_max_d = _deposit_table(key_s, n, chunk)
-    dep = _build_deposit(chunk, c_max_d, interpret,
-                         has_mass=mass_s is not None)
+    pairs, c_max_d, total_d = _deposit_table(key_s, n, chunk)
+    dep = _build_deposit_dyn(chunk, c_max_d, interpret,
+                             mass_s is not None, total_d)
     if mass_s is not None:
         tiles = dep(pairs, key_s.reshape(1, -1), frac_s.reshape(1, -1),
                     mass_s.reshape(1, -1))
@@ -491,8 +529,8 @@ def pm_gather_sorted(grids: jax.Array, key_s: jax.Array, frac_s: jax.Array,
     n = key_s.shape[0]
     chunk = chunk or pick_chunk(n)
     a_tiles = grids.reshape(3, ROWS_TOTAL, LANE).astype(jnp.bfloat16)
-    pairs, c_max_g = _gather_table(key_s, n, chunk)
-    gat = _build_gather(n, chunk, c_max_g, interpret)
+    pairs, c_max_g, total_g = _gather_table(key_s, n, chunk)
+    gat = _build_gather_dyn(n, chunk, c_max_g, interpret, total_g)
     acc_sorted = gat(pairs, key_s.reshape(1, -1), frac_s.reshape(1, -1),
                      a_tiles)[:, :n]
     # un-sort via a second key sort on the carried original index; the

@@ -72,7 +72,7 @@ from ..core import params as P
 from ..utils.search import bin_search as _bin_search
 from . import physics, pm, pm_pallas
 from .pm_pallas import (GRID, LANE, N_TILES, ROWS_TOTAL, SENTINEL, SPREAD,
-                        T_ROWS, _build_deposit, _build_gather, _pack_pairs)
+                        T_ROWS, _pack_pairs)
 
 # Pair budgets, in window-memberships (deposit) / tile-visits x2 (gather)
 # per chunk. Freshly repaired order needs <= 4 + o(1) of either (the
@@ -108,22 +108,36 @@ def fine_slack(cfg: "P.PMConfig", cfg2) -> int:
     return 2 * ((ratio + 1) * GRID // T_ROWS + 2) + 8
 
 
-def pick_chunk(n_pad: int, slack_fine: int = 0) -> int:
+def pick_chunk(n_pad: int) -> int:
     """Particles per kernel block: smallest supported chunk whose
-    SLACK-scaled pair tables still fit the SMEM budget. ``slack_fine``
-    (two-level mode, fine_slack) adds the fine level's tables to the
-    check."""
+    SLACK-scaled pair tables still fit the SMEM budget."""
     for c in (512, 1024, 2048, 4096, 8192, 16384):
         if n_pad % c:
             continue
         nc = n_pad // c
         worst = max(SLACK_DEP * nc + 4 * N_TILES,
-                    SLACK_GAT * nc + 2 * N_TILES,
-                    slack_fine * nc + 4 * N_TILES) + 2
+                    SLACK_GAT * nc + 2 * N_TILES) + 2
         if worst <= _SMEM_WORDS:
             return c
     raise ValueError(f"capacity {n_pad} not a multiple of 512, or too "
                      "large for the persistent-mode SMEM budget")
+
+
+def pick_chunk_fine(n_pad: int, slack_f: int) -> int:
+    """Kernel block size for the FINE level: the LARGEST supported chunk
+    whose structural fine budget (slack_f per chunk) fits the SMEM word
+    budget. Window membership is scattered through the coarse order (the
+    window is a y/x sub-range of every coarse z-slab it meets), so fine
+    pair counts have a per-chunk floor and SHRINKING chunks explodes the
+    totals — measured at 16M/19%-window: 8050 pairs at 16384 vs 60870 at
+    2048, with deposit 39 ms vs 48 ms. Large chunks also keep the
+    structural budget under SMEM, preserving the repair guarantee."""
+    for c in (16384, 8192, 4096, 2048, 1024, 512):
+        if n_pad % c:
+            continue
+        if slack_f * (n_pad // c) + 4 * N_TILES + 2 <= _SMEM_WORDS:
+            return c
+    return 512 if n_pad % 512 == 0 else pick_chunk(n_pad)
 
 
 class SortedPMState(NamedTuple):
@@ -211,18 +225,21 @@ def _gather_tiles(rmin, rmax):
     return t_lo, jnp.maximum(t_hi, t_lo)
 
 
-def _fine_inputs(pos, live, masses, cfg: "P.PMConfig", cfg2):
-    """(wmin, w_src f32[N], key2 i32[N], frac2 i32[N]) for the fine
-    level in the caller's slot order. Non-window / dead particles get
-    key SENTINEL (they miss every one-hot and every masked span); the
-    window mask w_src rides as the deposit mass and masks receivers."""
+def _fine_inputs(pos, live, wmin, cfg: "P.PMConfig", cfg2):
+    """(w_src f32[N], key2 i32[N], frac2 i32[N]) for the fine level in
+    the caller's slot order, given the window origin ``wmin`` (computed
+    ONCE per frame by the caller — it is order-invariant, so it must
+    not be re-derived inside per-shard repair branches, where a
+    collective would deadlock shards that took the other branch).
+    Non-window / dead particles get key SENTINEL (they miss every
+    one-hot and every masked span); the window mask w_src rides as the
+    deposit mass and masks receivers. Purely local/elementwise."""
     from . import pm2 as _pm2
-    wmin = _pm2.window_min(pos, None, cfg2, masses, live=live)
     h2 = cfg2.window_size / cfg.grid
     coords2 = pm.cell_coords_dyn(pos, wmin, h2, cfg.grid)
     inner = _pm2._in_window(pos, wmin, cfg2.window_size, cfg2.margin) & live
     key2, frac2 = pm_pallas.cell_key_frac(pos, inner, cfg, coords=coords2)
-    return wmin, inner.astype(jnp.float32), key2, frac2
+    return inner.astype(jnp.float32), key2, frac2
 
 
 def _pair_totals(key: jax.Array, chunk: int):
@@ -324,51 +341,87 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     steady state: the fine level builds masked span tables over the SAME
     coarse persistent order (non-window particles' fine keys are
     SENTINEL, so only window chunks carry fine spans, structurally
-    ~fine_slack memberships each). A repair fires when EITHER level's
-    totals overflow; if even the repaired order cannot fit the fine
-    budgets (pathological window/scene combinations — e.g. a handful of
-    particles at opposite corners of the window sharing a chunk), a
-    lax.cond falls back to the per-frame-sorted fine path
-    (pm2.fine_accel_fast) for that frame, so results are exact in every
-    regime. Membership churn between repairs is handled by the mask
-    alone: entrants carry valid fine keys from their coarse chunks
-    (masked spans cover them), leavers' keys go SENTINEL.
-    Single-device only."""
+    ~fine_slack memberships each) at its OWN smaller block size
+    (pick_chunk_fine). Fine overflow triggers a repair only while the
+    structural fine budget fits SMEM (repair then provably restores the
+    fit); past that clamp — or for pathological window/scene
+    combinations — a lax.cond falls back to the per-frame-sorted fine
+    path (pm2.fine_accel_fast) for that frame, so results are exact in
+    every regime. Membership churn between repairs is handled by the
+    mask alone: entrants carry valid fine keys from their coarse chunks
+    (masked spans cover them), leavers' keys go SENTINEL. Multi-chip
+    (psum_axis): the window origin is global (one 4-scalar psum), the
+    fine grid joins the coarse grid's psum coupling, and the fits-cond
+    is decided GLOBALLY (an all-shards psum-of-votes) so every shard
+    takes the same collective-bearing branch."""
     if cfg.auto_box:
         raise ValueError("persistent sorted mode needs a static box; "
                          "use pm_pallas.pm_accel for auto_box")
-    if cfg2 is not None and psum_axis is not None:
-        raise ValueError("pm2 refinement is single-device for now")
     n = st.pos.shape[1]
     n_active = jnp.int32(n) if n_active is None else n_active
-    slack_f = 0 if cfg2 is None else fine_slack(cfg, cfg2)
-    chunk = chunk or pick_chunk(n, slack_f)
+    chunk = chunk or pick_chunk(n)
     n_chunks = n // chunk
     c_max_dep = SLACK_DEP * n_chunks + 4 * N_TILES + 2
     c_max_gat = SLACK_GAT * n_chunks + 2 * N_TILES + 2
-    c_max_dep2 = slack_f * n_chunks + 4 * N_TILES + 2
-    c_max_gat2 = slack_f * n_chunks + 2 * N_TILES + 2
-
-    live0 = st.ids < n_active
-    key, _ = pm_pallas.cell_key_frac(st.pos, live0, cfg)
-    dep_total, gat_total = _pair_totals(key, chunk)
-    need = (dep_total > c_max_dep) | (gat_total > c_max_gat)
     if cfg2 is not None:
-        _, _, key2, _ = _fine_inputs(st.pos, live0, st.masses, cfg, cfg2)
-        dep2_total, gat2_total = _pair_totals(key2, chunk)
-        need = need | (dep2_total > c_max_dep2) | (gat2_total > c_max_gat2)
-    st = jax.lax.cond(
-        need,
-        lambda s: _sort_state(key, s.pos, s.vel, s.ids, s.masses,
-                              s.resorts + 1),
-        lambda s: s,
-        st)
+        # the fine level gets its OWN block size (largest that fits the
+        # SMEM budget — see pick_chunk_fine), decoupled from the coarse
+        # choice. Its capacities are the structural bound clamped to
+        # SMEM; in the rare case the clamp bites, fine overflow can no
+        # longer be repaired away, so it stops triggering repairs and
+        # the fits-cond below pays the sorted fine path on overflow
+        # frames instead.
+        slack_f = fine_slack(cfg, cfg2)
+        chunk_f = pick_chunk_fine(n, slack_f)
+        nc_f = n // chunk_f
+        fine_structural = slack_f * nc_f + 4 * N_TILES + 2
+        fine_repairable = fine_structural <= _SMEM_WORDS
+        c_max_dep2 = min(fine_structural, _SMEM_WORDS)
+        c_max_gat2 = min(slack_f * nc_f + 2 * N_TILES + 2, _SMEM_WORDS)
 
-    # keys/fracs/spans of the (possibly re-ordered) state; a repaired
-    # order satisfies the telescoping bounds, so the tables below always
-    # fit their static budgets
+    # keys / fine inputs / totals are computed ONCE on the incoming
+    # order; the repair branch recomputes them post-sort (repairs are
+    # rare, so the steady-state frame never pays a duplicate pass). The
+    # totals double as the kernels' TRACED grid sizes (dynamic grid):
+    # only the packed prefix of each pair table is ever visited, so the
+    # static capacities' trash slots cost nothing.
+    live0 = st.ids < n_active
+    if cfg2 is not None:
+        # order-invariant, hence hoisted OUT of the repair cond: inside
+        # a shard_map its (auto-window) centroid psum must run on every
+        # shard, while repairs fire per shard independently
+        from . import pm2 as _pm2
+        wmin = _pm2.window_min(st.pos, None, cfg2, st.masses, live=live0,
+                               psum_axis=psum_axis)
+
+    def _derive(s, live):
+        k, f = pm_pallas.cell_key_frac(s.pos, live, cfg)
+        d1, g1 = _pair_totals(k, chunk)
+        if cfg2 is None:
+            return k, f, d1, g1, ()
+        w, k2, f2 = _fine_inputs(s.pos, live, wmin, cfg, cfg2)
+        d2, g2 = _pair_totals(k2, chunk_f)
+        return k, f, d1, g1, (w, k2, f2, d2, g2)
+
+    key0, frac0, dep0, gat0, fine0 = _derive(st, live0)
+    need = (dep0 > c_max_dep) | (gat0 > c_max_gat)
+    if cfg2 is not None and fine_repairable:
+        # a repair provably restores the fine totals under the (unclamped)
+        # structural budgets, so drift-inflated fine spans repair away
+        need = need | (fine0[3] > c_max_dep2) | (fine0[4] > c_max_gat2)
+
+    def _repair(s):
+        s2 = _sort_state(key0, s.pos, s.vel, s.ids, s.masses,
+                         s.resorts + 1)
+        return (s2,) + _derive(s2, s2.ids < n_active)
+
+    st, key, frac, dep_total, gat_total, fine = jax.lax.cond(
+        need, _repair, lambda s: (s, key0, frac0, dep0, gat0, fine0), st)
+
+    # spans of the (possibly re-ordered) state; a repaired order
+    # satisfies the telescoping bounds, so the tables below always fit
+    # their static budgets
     live = st.ids < n_active
-    key, frac = pm_pallas.cell_key_frac(st.pos, live, cfg)
     rmin, rmax = _chunk_spans(key, chunk)
 
     dep_pairs = _deposit_table_spans(rmin, rmax, n_chunks, c_max_dep)
@@ -376,8 +429,9 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
         [key, jnp.full((chunk,), SENTINEL, jnp.int32)]).reshape(1, -1)
     frac_p = jnp.concatenate(
         [frac, jnp.zeros((chunk,), jnp.int32)]).reshape(1, -1)
-    dep = _build_deposit(chunk, c_max_dep, interpret,
-                         has_mass=st.masses is not None)
+    dep = pm_pallas._build_deposit_dyn(
+        chunk, c_max_dep, interpret, st.masses is not None,
+        jnp.minimum(dep_total, c_max_dep).astype(jnp.int32))
     if st.masses is not None:
         m_p = jnp.concatenate(
             [st.masses, jnp.zeros((chunk,), jnp.float32)]).reshape(1, -1)
@@ -391,7 +445,9 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     grids = pm.solve_accel(rho, cfg, cfg.softening)     # (3, G, G, G)
 
     gat_pairs = _gather_table_spans(rmin, rmax, n_chunks, c_max_gat)
-    gat = _build_gather(n, chunk, c_max_gat, interpret)
+    gat = pm_pallas._build_gather_dyn(
+        n, chunk, c_max_gat, interpret,
+        jnp.minimum(gat_total, c_max_gat).astype(jnp.int32))
     acc = gat(gat_pairs, key.reshape(1, -1), frac.reshape(1, -1),
               grids.reshape(3, ROWS_TOTAL, LANE).astype(jnp.bfloat16))[:, :n]
     if cfg2 is not None:
@@ -402,36 +458,46 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
         # only trusted when the (post-repair) totals fit their static
         # capacities; otherwise the cond pays the sorted fine path, so
         # no pair is ever silently dropped.
-        _, w_src, key2, frac2 = _fine_inputs(st.pos, live, st.masses,
-                                             cfg, cfg2)
-        dep2_total, gat2_total = _pair_totals(key2, chunk)
+        w_src, key2, frac2, dep2_total, gat2_total = fine
         fits = (dep2_total <= c_max_dep2) & (gat2_total <= c_max_gat2)
         if _force_fine_fallback:      # test hook: exercise the cond's
             fits = jnp.bool_(False)   # sorted-fallback plumbing
+        if psum_axis is not None:
+            # both branches carry a collective (the rho2 psum), so the
+            # branch choice must be GLOBAL: any shard's overflow sends
+            # everyone down the sorted path for the frame
+            fits = jax.lax.psum(
+                fits.astype(jnp.int32), psum_axis) == jax.lax.psum(
+                jnp.int32(1), psum_axis)
 
         def _fine_spans(_):
-            rmin2, rmax2 = _chunk_spans(key2, chunk)
-            dep2_pairs = _deposit_table_spans(rmin2, rmax2, n_chunks,
+            rmin2, rmax2 = _chunk_spans(key2, chunk_f)
+            dep2_pairs = _deposit_table_spans(rmin2, rmax2, nc_f,
                                               c_max_dep2)
             key2_p = jnp.concatenate(
                 [key2,
-                 jnp.full((chunk,), SENTINEL, jnp.int32)]).reshape(1, -1)
+                 jnp.full((chunk_f,), SENTINEL, jnp.int32)]).reshape(1, -1)
             frac2_p = jnp.concatenate(
-                [frac2, jnp.zeros((chunk,), jnp.int32)]).reshape(1, -1)
+                [frac2, jnp.zeros((chunk_f,), jnp.int32)]).reshape(1, -1)
             m2 = w_src if st.masses is None else w_src * st.masses
             m2_p = jnp.concatenate(
-                [m2, jnp.zeros((chunk,), jnp.float32)]).reshape(1, -1)
-            dep2 = _build_deposit(chunk, c_max_dep2, interpret,
-                                  has_mass=True)
+                [m2, jnp.zeros((chunk_f,), jnp.float32)]).reshape(1, -1)
+            dep2 = pm_pallas._build_deposit_dyn(
+                chunk_f, c_max_dep2, interpret, True,
+                jnp.minimum(dep2_total, c_max_dep2).astype(jnp.int32))
             rho2 = (dep2(dep2_pairs, key2_p, frac2_p, m2_p)[:N_TILES]
                     .reshape(GRID, GRID, GRID))
+            if psum_axis is not None:
+                rho2 = jax.lax.psum(rho2, psum_axis)
             h2 = cfg2.window_size / cfg.grid
             grids2 = pm.solve_accel_diff(rho2, cfg.grid, h2,
                                          cfg2.softening, cfg.softening,
                                          cfg2.gradient, kernels=kernels)
-            gat2_pairs = _gather_table_spans(rmin2, rmax2, n_chunks,
+            gat2_pairs = _gather_table_spans(rmin2, rmax2, nc_f,
                                              c_max_gat2)
-            gat2 = _build_gather(n, chunk, c_max_gat2, interpret)
+            gat2 = pm_pallas._build_gather_dyn(
+                n, chunk_f, c_max_gat2, interpret,
+                jnp.minimum(gat2_total, c_max_gat2).astype(jnp.int32))
             acc2 = gat2(gat2_pairs, key2.reshape(1, -1),
                         frac2.reshape(1, -1),
                         grids2.reshape(3, ROWS_TOTAL, LANE)
@@ -443,7 +509,8 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
             from . import pm2 as _pm2
             return _pm2.fine_accel_fast(st.pos, live, cfg, cfg2,
                                         masses=st.masses, kernels=kernels,
-                                        interpret=interpret)
+                                        interpret=interpret, wmin=wmin,
+                                        psum_axis=psum_axis)
 
         acc = acc + jax.lax.cond(fits, _fine_spans, _fine_sorted, None)
     acc = _momentum_clean_live(acc, live.astype(jnp.float32), st.masses,

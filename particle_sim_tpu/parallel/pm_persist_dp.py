@@ -61,25 +61,34 @@ def make_persist_init(mesh: Mesh, cfg: "Pm.PMConfig", *,
 
 def make_persist_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *,
                          interpret: bool = False, chunk: int = 0,
-                         with_masses: bool = False):
+                         with_masses: bool = False, cfg2=None):
     """Jitted (pos, vel, ids, resorts, param_vec, pair_vec, n_active
-    [, masses]) -> (pos, vel, ids, resorts[, masses]): one persistent-PM
-    frame over the dp mesh. Arrays as in make_persist_init; n_active is
-    the GLOBAL active count (ids are global, so ``ids < n_active`` masks
-    correctly on every shard with no local-count bookkeeping)."""
-    def local(pos, vel, ids, resorts, pv, pairv, n_active, masses=None):
+    [, masses][, kernels]) -> (pos, vel, ids, resorts[, masses]): one
+    persistent-PM frame over the dp mesh. Arrays as in
+    make_persist_init; n_active is the GLOBAL active count (ids are
+    global, so ``ids < n_active`` masks correctly on every shard with no
+    local-count bookkeeping). ``cfg2`` (pm2.PM2Config) adds the
+    two-level refinement — the fine grid joins the coarse grid's psum
+    coupling and the window origin is global (ops/pm_persist.py
+    accel_sorted docstring); pass pm2.fine_kernels(cfg, cfg2) as the
+    trailing ``kernels`` argument (replicated)."""
+    def local(pos, vel, ids, resorts, pv, pairv, n_active, *rest):
+        masses = rest[0] if with_masses else None
+        kernels = rest[-1] if cfg2 is not None else None
         st = pm_persist.SortedPMState(pos, vel, ids, masses, resorts[0])
         st = pm_persist.step_sorted(st, pv, pairv, n_active, cfg,
                                     interpret=interpret, chunk=chunk,
-                                    psum_axis=DP_AXIS)
+                                    psum_axis=DP_AXIS, cfg2=cfg2,
+                                    kernels=kernels)
         out = (st.pos, st.vel, st.ids, st.resorts[None])
         return out + ((st.masses,) if masses is not None else ())
 
     mass_in = (P(DP_AXIS),) if with_masses else ()
+    ker_in = (P(),) if cfg2 is not None else ()
     sharded = shard_map(
         local, mesh=mesh,
         in_specs=(_flat_spec(), _flat_spec(), P(DP_AXIS), P(DP_AXIS),
-                  P(), P(), P()) + mass_in,
+                  P(), P(), P()) + mass_in + ker_in,
         out_specs=(_flat_spec(), _flat_spec(), P(DP_AXIS), P(DP_AXIS))
         + ((P(DP_AXIS),) if with_masses else ()),
         check_vma=False,  # Pallas kernel bodies (see parallel/dp.py)

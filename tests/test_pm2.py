@@ -255,16 +255,20 @@ def test_persist_fine_spans_no_repair():
                                           cfg2=CFG2, kernels=ker)
     assert int(st2.resorts) == 0
     # and the span tables actually fit (the cond took the sort-free leg)
-    chunk = pm_persist.pick_chunk(st2.pos.shape[1],
-                                  pm_persist.fine_slack(CFG, CFG2))
-    nc = st2.pos.shape[1] // chunk
-    _, _, key2, _ = pm_persist._fine_inputs(
-        st2.pos, st2.ids < n_act, None, CFG, CFG2)
-    dep2, gat2 = pm_persist._pair_totals(key2, chunk)
+    chunk_f = pm_persist.pick_chunk_fine(st2.pos.shape[1],
+                                         pm_persist.fine_slack(CFG, CFG2))
+    nc_f = st2.pos.shape[1] // chunk_f
+    wmin = pm2.window_min(st2.pos, None, CFG2, None,
+                          live=st2.ids < n_act)
+    _, key2, _ = pm_persist._fine_inputs(
+        st2.pos, st2.ids < n_act, wmin, CFG, CFG2)
+    dep2, gat2 = pm_persist._pair_totals(key2, chunk_f)
     slack = pm_persist.fine_slack(CFG, CFG2)
     from particle_sim_tpu.ops.pm_pallas import N_TILES
-    assert int(dep2) <= slack * nc + 4 * N_TILES + 2
-    assert int(gat2) <= slack * nc + 2 * N_TILES + 2
+    assert int(dep2) <= min(slack * nc_f + 4 * N_TILES + 2,
+                            pm_persist._SMEM_WORDS)
+    assert int(gat2) <= min(slack * nc_f + 2 * N_TILES + 2,
+                            pm_persist._SMEM_WORDS)
     ids = np.asarray(st2.ids)
     a_back = np.zeros_like(np.asarray(a_slot))
     a_back[:, ids] = np.asarray(a_slot)

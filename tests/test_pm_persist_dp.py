@@ -122,3 +122,38 @@ def test_sharded_persist_with_masses():
     scale = np.abs(v_1).max() + 1e-12
     np.testing.assert_allclose(v_dp, v_1, rtol=0,
                                atol=max(0.02 * scale, 2e-3))
+
+
+def test_sharded_persist_two_level():
+    """cfg2 on the mesh: both levels sort-free per shard, fine grid
+    psum'd, GLOBAL centroid window — matches the single-device
+    two-level persistent step in identity order."""
+    from particle_sim_tpu.ops import pm2
+
+    cfg2 = pm2.PM2Config(window_min=None, window_size=32.0, softening=1.0)
+    ker = pm2.fine_kernels(CFG, cfg2)
+    mesh = mesh_lib.make_mesh()
+    n_dev = mesh.devices.size
+    pos, vel, n_active = _inputs(n_dev, per_shard=512, seed=4)
+    pv = jnp.asarray(psim.SimParams(delta_time=0.016).pack())
+    pp = jnp.asarray(PairwiseParams(1.0, CFG.softening).pack())
+
+    init = pm_persist_dp.make_persist_init(mesh, CFG)
+    sp, sv, ids, resorts = init(pos, vel, n_active)
+    step = pm_persist_dp.make_persist_pm_step(mesh, CFG, interpret=True,
+                                              cfg2=cfg2)
+    sp2, sv2, ids2, resorts2 = step(sp, sv, ids, resorts, pv, pp,
+                                    n_active, ker)
+    assert np.asarray(resorts2).sum() == 0
+
+    st = pm_persist.init_sorted(pos, n_active, CFG, vel_flat=vel)
+    st1 = pm_persist.step_sorted(st, pv, pp, n_active, CFG,
+                                 interpret=True, cfg2=cfg2, kernels=ker)
+    v_dp = _identity_order(ids2, np.asarray(sv2))
+    v_1 = _identity_order(np.asarray(st1.ids), np.asarray(st1.vel))
+    p_dp = _identity_order(ids2, np.asarray(sp2))
+    p_1 = _identity_order(np.asarray(st1.ids), np.asarray(st1.pos))
+    scale = np.abs(v_1).max() + 1e-12
+    np.testing.assert_allclose(p_dp, p_1, rtol=0, atol=1e-2)
+    np.testing.assert_allclose(v_dp, v_1, rtol=0,
+                               atol=max(0.02 * scale, 2e-3))

@@ -103,7 +103,10 @@ def main() -> None:
         k_p = jnp.concatenate(
             [k, jnp.full((chunk,), pm_pallas.SENTINEL, jnp.int32)])
         f_p = jnp.concatenate([f, jnp.zeros((chunk,), jnp.int32)])
-        dep = pm_pallas._build_deposit(chunk, c_max_dep, False)
+        total, _ = pm_persist._pair_totals(k, chunk)
+        dep = pm_pallas._build_deposit_dyn(
+            chunk, c_max_dep, False, False,
+            jnp.minimum(total, c_max_dep).astype(jnp.int32))
         return dep(pairs, k_p.reshape(1, -1),
                    f_p.reshape(1, -1))[:pm_pallas.N_TILES]
 
@@ -116,7 +119,10 @@ def main() -> None:
         rmin, rmax = pm_persist._chunk_spans(k, chunk)
         pairs = pm_persist._gather_table_spans(rmin, rmax, n_chunks,
                                                c_max_gat)
-        gat = pm_pallas._build_gather(n, chunk, c_max_gat, False)
+        _, total = pm_persist._pair_totals(k, chunk)
+        gat = pm_pallas._build_gather_dyn(
+            n, chunk, c_max_gat, False,
+            jnp.minimum(total, c_max_gat).astype(jnp.int32))
         tiles = g.reshape(3, pm_pallas.ROWS_TOTAL,
                           pm_pallas.LANE).astype(jnp.bfloat16)
         return gat(pairs, k.reshape(1, -1), f.reshape(1, -1), tiles)[:, :n]
