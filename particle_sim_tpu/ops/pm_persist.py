@@ -123,6 +123,19 @@ def pick_chunk(n_pad: int) -> int:
                      "large for the persistent-mode SMEM budget")
 
 
+def budgets(n_chunks: int) -> Tuple[int, int]:
+    """(c_max_dep, c_max_gat) static pair-table capacities: DOUBLE the
+    +-1-cell SLACK sizing, clamped to the SMEM word budget. With dynamic
+    kernel grids (only the packed prefix is visited), extra capacity
+    costs nothing but a longer table build (vector work over c_max
+    entries, ~0.5 ms at the 64Ki ceiling) — it is pure drift headroom
+    that stretches the repair cadence for dynamic scenes. The repair
+    guarantee is untouched: a fresh sort's totals sit at the telescoping
+    bound (~SLACK/2 per chunk), far below either capacity."""
+    return (min(2 * SLACK_DEP * n_chunks + 4 * N_TILES + 2, _SMEM_WORDS),
+            min(2 * SLACK_GAT * n_chunks + 2 * N_TILES + 2, _SMEM_WORDS))
+
+
 def pick_chunk_fine(n_pad: int, slack_f: int) -> int:
     """Kernel block size for the FINE level: the LARGEST supported chunk
     whose structural fine budget (slack_f per chunk) fits the SMEM word
@@ -361,8 +374,7 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     n_active = jnp.int32(n) if n_active is None else n_active
     chunk = chunk or pick_chunk(n)
     n_chunks = n // chunk
-    c_max_dep = SLACK_DEP * n_chunks + 4 * N_TILES + 2
-    c_max_gat = SLACK_GAT * n_chunks + 2 * N_TILES + 2
+    c_max_dep, c_max_gat = budgets(n_chunks)
     if cfg2 is not None:
         # the fine level gets its OWN block size (largest that fits the
         # SMEM budget — see pick_chunk_fine), decoupled from the coarse

@@ -216,3 +216,22 @@ def test_pick_chunk_budget():
         assert (max(pm_persist.SLACK_DEP * nc + 4 * pm_pallas.N_TILES,
                     pm_persist.SLACK_GAT * nc + 2 * pm_pallas.N_TILES)
                 + 2 <= 65536)
+
+
+def test_budgets_clamped_and_sufficient():
+    """Capacities are the doubled-SLACK drift headroom clamped to SMEM,
+    and always cover a freshly-sorted order's totals (the repair
+    guarantee). (At sparse tiny N the gather totals sit against the
+    per-chunk tile-span floor, so only fit — not margin — is asserted.)"""
+    for n in (2048, 61440):
+        pos, n_act = _flat(_cloud(n - 7, 17))
+        st = pm_persist.init_sorted(pos, n_act, CFG)
+        cap = st.pos.shape[1]
+        c = pm_persist.pick_chunk(cap)
+        cd, cg = pm_persist.budgets(cap // c)
+        assert cd <= pm_persist._SMEM_WORDS
+        assert cg <= pm_persist._SMEM_WORDS
+        key, _ = pm_pallas.cell_key_frac(st.pos, st.ids < n_act, CFG)
+        dt, gt = pm_persist._pair_totals(key, c)
+        assert int(dt) <= cd
+        assert int(gt) <= cg

@@ -93,8 +93,7 @@ def main() -> None:
     print(f"spans+totals     {timeit(spans_jit, key_p):8.2f} ms",
           flush=True)
 
-    c_max_dep = pm_persist.SLACK_DEP * n_chunks + 4 * pm_pallas.N_TILES + 2
-    c_max_gat = pm_persist.SLACK_GAT * n_chunks + 2 * pm_pallas.N_TILES + 2
+    c_max_dep, c_max_gat = pm_persist.budgets(n_chunks)
 
     def dep_persist(k, f):
         rmin, rmax = pm_persist._chunk_spans(k, chunk)
