@@ -57,6 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import params as P
 from ..utils.search import bin_search as _bin_search
+from ..utils.search import rank_right_iota as _rank_right_iota
 from . import physics, pm
 
 GRID = 128
@@ -375,9 +376,7 @@ def _deposit_table(key_s: jax.Array, n_pad: int, chunk: int):
     # windows overlap 1 row), + ceil/alignment slack of 2 per window
     c_max = 4 * n_chunks + 4 * N_TILES + 2
     kk = jnp.arange(c_max, dtype=jnp.int32)
-    w_k = (_bin_search(base, kk, side_right=True,
-                       n_iters=(2 * N_TILES + 2).bit_length() + 1)
-           .astype(jnp.int32) - 1)
+    w_k = _rank_right_iota(base, c_max)
     w_k = jnp.clip(w_k, 0, 2 * N_TILES)       # 2*N_TILES == trash
     real = w_k < 2 * N_TILES
     w_safe = jnp.minimum(w_k, 2 * N_TILES - 1)
@@ -418,9 +417,7 @@ def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
     # N_TILES; two families double it
     c_max = 4 * n_chunks + 2 * N_TILES + 2
     kk = jnp.arange(c_max, dtype=jnp.int32)
-    s_k = (_bin_search(base, kk, side_right=True,
-                       n_iters=max(n_chunks + 2, 2).bit_length() + 1)
-           .astype(jnp.int32) - 1)
+    s_k = _rank_right_iota(base, c_max)
     s_k = jnp.clip(s_k, 0, n_chunks)          # n_chunks == trash block
     real = kk < total
     s_safe = jnp.minimum(s_k, n_chunks - 1)

@@ -70,6 +70,7 @@ import jax.numpy as jnp
 
 from ..core import params as P
 from ..utils.search import bin_search as _bin_search
+from ..utils.search import rank_right_iota as _rank_right_iota
 from . import physics, pm, pm_pallas
 from .pm_pallas import (GRID, LANE, N_TILES, ROWS_TOTAL, SENTINEL, SPREAD,
                         T_ROWS, _pack_pairs)
@@ -276,9 +277,7 @@ def _deposit_table_spans(rmin, rmax, n_chunks: int, c_max: int):
     base = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(c_w).astype(jnp.int32)])
     kk = jnp.arange(c_max, dtype=jnp.int32)
-    w_k = (_bin_search(base, kk, side_right=True,
-                       n_iters=(2 * N_TILES + 2).bit_length() + 1)
-           .astype(jnp.int32) - 1)
+    w_k = _rank_right_iota(base, c_max)
     w_k = jnp.clip(w_k, 0, 2 * N_TILES)       # 2*N_TILES == trash
     real = w_k < 2 * N_TILES
     w_safe = jnp.minimum(w_k, 2 * N_TILES - 1)
@@ -301,9 +300,7 @@ def _gather_table_spans(rmin, rmax, n_chunks: int, c_max: int):
          jnp.cumsum(2 * c_fam).astype(jnp.int32)])
     total = base[-1]
     kk = jnp.arange(c_max, dtype=jnp.int32)
-    s_k = (_bin_search(base, kk, side_right=True,
-                       n_iters=max(n_chunks + 2, 2).bit_length() + 1)
-           .astype(jnp.int32) - 1)
+    s_k = _rank_right_iota(base, c_max)
     s_k = jnp.clip(s_k, 0, n_chunks)          # n_chunks == trash block
     real = kk < total
     s_safe = jnp.minimum(s_k, n_chunks - 1)

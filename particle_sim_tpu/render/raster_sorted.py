@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import params as P
 from ..utils.search import bin_search as _bin_search
+from ..utils.search import rank_right_iota as _rank_right_iota
 from ..ops import physics
 from . import raster
 
@@ -167,9 +168,7 @@ def render(
     c_max = n // CHUNK + n_tiles + 1                      # static bound
 
     kk = jnp.arange(c_max, dtype=jnp.int32)
-    t_k = (_bin_search(base, kk, side_right=True,
-                       n_iters=(n_tiles + 2).bit_length() + 1)
-           .astype(jnp.int32) - 1)
+    t_k = _rank_right_iota(base, c_max)
     t_k = jnp.clip(t_k, 0, n_tiles)                       # n_tiles == trash
     real = t_k < n_tiles
     t_safe = jnp.minimum(t_k, n_tiles - 1)
