@@ -12,6 +12,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))  # run from anywhere without installing
+
+# honor JAX_PLATFORMS even though this box's sitecustomize pre-imports
+# jax pinned to the TPU (tests/conftest.py explains); lets examples
+# smoke-run on CPU (JAX_PLATFORMS=cpu) when the TPU is absent
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import json
 
 import numpy as np
