@@ -402,10 +402,10 @@ class Engine:
                 self._persist = init(*args + ((masses,)
                                               if masses is not None else ()))
             for _ in range(self.substeps):
-                # carry = (pos, vel, ids, resorts[, masses]); the step
-                # takes masses AFTER (pv, pairv, n_active)
+                # carry = (pos, vel, ids, resorts, fine_b[, masses]);
+                # the step takes masses AFTER (pv, pairv, n_active)
                 c = self._persist
-                self._persist = pstep(*c[:4], pv, pp, n_act, *c[4:])
+                self._persist = pstep(*c[:5], pv, pp, n_act, *c[5:])
         else:
             if self._persist is None:
                 self._persist = pper.init_sorted(

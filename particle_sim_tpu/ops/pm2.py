@@ -74,12 +74,20 @@ class PM2Config:
                  accuracy (their just-outside neighbors stay
                  eps1-softened). Default 0 = the whole window.
     gradient:    'exact' or 'fd', as in PMConfig.
+    park:        width (world units) of the PARKING band the persistent
+                 two-level mode (ops/pm_persist.py) adds OUTSIDE the
+                 source mask when freezing window membership at repair
+                 time: a particle must drift across the band before it
+                 can enter the source set, so membership staleness never
+                 affects physics — it only sets how often a true entrant
+                 forces a repair sort. Irrelevant to the per-frame paths.
     """
     window_min: Optional[Tuple[float, float, float]]
     window_size: float
     softening: float
     margin: float = 0.0
     gradient: str = "exact"
+    park: float = 1.0
 
 
 def _in_window(pos_flat: jax.Array, wmin: jax.Array, size: float,

@@ -44,15 +44,21 @@ Span-table mechanics (vs pm_pallas._deposit_table/_gather_table):
     reused unmodified).
 
 Two-level mode (``cfg2``, ops/pm2.py) extends the same trick to the
-fine level: fine keys are computed in the SAME coarse slot order with
-non-window particles masked to SENTINEL, so masked spans bound the fine
-tables too and the steady-state two-level frame pays zero sorts as
-well. Coarse-sorted chunks are spatially coherent, so their fine spans
-are structurally ~(box/window + 1) z-slabs wide (fine_slack sizes the
-budgets); membership churn at the window edge is absorbed by the mask
-(entrants carry valid fine keys wherever they sit, leavers' keys go
-SENTINEL), and a lax.cond falls back to the per-frame-sorted fine path
-on the rare frame whose totals cannot fit even after a repair.
+fine level via the SEGMENTED order: the repair sort keys non-window
+particles by coarse cell id and the window(+parking band) members by
+FINE cell id (the tail segment, boundary ``fine_b`` in the state), with
+membership FROZEN between repairs. Fine order is a monotone refinement
+of coarse order inside the window, so segment B is coherent for BOTH
+levels: fine span tables are as tight as coarse ones (no 20x
+chunk-width waste), and the coarse level reads the mixed order through
+per-segment hulls (_window_ranges_seg). Leavers just stop depositing
+(zero source mask); a true entrant — a frozen-A particle reaching the
+source set, which first has to cross the parking band (cfg2.park) —
+forces a repair that frame, so results are exact in every regime; a
+lax.cond falls back to the per-frame-sorted fine path on any frame
+whose totals cannot fit the capacities. (A fully fine-sorted GLOBAL
+order was tried first and measured worse — it inflates the coarse
+hulls; the segment split is what makes both levels cheap at once.)
 
 Reference parity: same physics contract as ops/pm.step_pm_ref /
 reference compute.wgsl integration (see ops/physics.py citations); the
@@ -95,20 +101,6 @@ SLACK_GAT = 16
 _SMEM_WORDS = 65536          # known-good scalar-prefetch budget (pick_chunk)
 
 
-def fine_slack(cfg: "P.PMConfig", cfg2) -> int:
-    """Per-chunk pair budget for the FINE level riding the coarse
-    persistent order. A coarse-sorted chunk localized to ~1 coarse cell
-    spans ~(ratio+1) fine z-slabs of GRID rows each (ratio = h1/h2 =
-    box/window), i.e. ~2*((ratio+1)*GRID/T_ROWS + 2) window memberships
-    across the two corner families; +8 is drift headroom matching the
-    coarse budgets' +-1-cell sizing. (A FINE-sorted order was tried and
-    measured worse: it scatters coarse rows across the window segment,
-    which inflates the coarse hulls of _window_ranges to every chunk —
-    the coarse level's budgets blow up instead.)"""
-    ratio = max(1, int(round(cfg.box_size / cfg2.window_size)))
-    return 2 * ((ratio + 1) * GRID // T_ROWS + 2) + 8
-
-
 def pick_chunk(n_pad: int) -> int:
     """Particles per kernel block: smallest supported chunk whose
     SLACK-scaled pair tables still fit the SMEM budget."""
@@ -137,39 +129,39 @@ def budgets(n_chunks: int) -> Tuple[int, int]:
             min(2 * SLACK_GAT * n_chunks + 2 * N_TILES + 2, _SMEM_WORDS))
 
 
-def pick_chunk_fine(n_pad: int, slack_f: int) -> int:
-    """Kernel block size for the FINE level: the LARGEST supported chunk
-    whose structural fine budget (slack_f per chunk) fits the SMEM word
-    budget. Window membership is scattered through the coarse order (the
-    window is a y/x sub-range of every coarse z-slab it meets), so fine
-    pair counts have a per-chunk floor and SHRINKING chunks explodes the
-    totals — measured at 16M/19%-window: 8050 pairs at 16384 vs 60870 at
-    2048, with deposit 39 ms vs 48 ms. Large chunks also keep the
-    structural budget under SMEM, preserving the repair guarantee."""
-    for c in (16384, 8192, 4096, 2048, 1024, 512):
-        if n_pad % c:
-            continue
-        if slack_f * (n_pad // c) + 4 * N_TILES + 2 <= _SMEM_WORDS:
-            return c
-    return 512 if n_pad % 512 == 0 else pick_chunk(n_pad)
+# sort-key classes of the SEGMENTED order (two-level mode): live
+# non-window particles sort by coarse key (< SENTINEL < _SEG_FLAG),
+# frozen-window-member particles by _SEG_FLAG + fine key, dead slots
+# last. fine_b = count of class-A slots = the frozen segment boundary.
+_SEG_FLAG = 1 << 22
+_DEAD_KEY = 1 << 23
 
 
 class SortedPMState(NamedTuple):
-    """Particle state in (approximately) cell-sorted storage order."""
+    """Particle state in (approximately) cell-sorted storage order.
+
+    ``fine_b`` (i32 scalar) is the two-level mode's frozen segment
+    boundary: slots [0, fine_b) hold non-window particles in coarse
+    cell order, slots [fine_b, N) hold the window(+park) members of the
+    last repair in FINE cell order (then dead slots). fine_b == N means
+    no fine segment (coarse-only states, fresh inits)."""
     pos: jax.Array              # f32 (3, N)
     vel: jax.Array              # f32 (3, N)
     ids: jax.Array              # i32 (N,) original identity of each slot
     masses: Optional[jax.Array]  # f32 (N,) source masses in slot order
     resorts: jax.Array          # i32 scalar: cumulative repair count
+    fine_b: Optional[jax.Array] = None   # i32 scalar segment boundary
 
 
-def _sort_state(key, pos, vel, ids, masses, resorts) -> SortedPMState:
+def _sort_state(key, pos, vel, ids, masses, resorts,
+                fine_b=None) -> SortedPMState:
     ops = (key, pos[0], pos[1], pos[2], vel[0], vel[1], vel[2], ids)
     if masses is not None:
         ops += (masses,)
     s = jax.lax.sort(ops, num_keys=1)
     return SortedPMState(jnp.stack(s[1:4]), jnp.stack(s[4:7]), s[7],
-                         s[8] if masses is not None else None, resorts)
+                         s[8] if masses is not None else None, resorts,
+                         fine_b)
 
 
 def init_sorted(pos_flat: jax.Array, n_active, cfg: "P.PMConfig",
@@ -177,8 +169,9 @@ def init_sorted(pos_flat: jax.Array, n_active, cfg: "P.PMConfig",
     """Full grouping sort of (pos, vel, identity[, masses]) into a fresh
     SortedPMState. ``n_active`` masks trailing padding slots (their keys
     become SENTINEL, so they sort to the tail with ids >= n_active).
-    The coarse cell order serves BOTH levels of the two-level mode (the
-    fine level rides it with masked spans — see accel_sorted)."""
+    The state starts coarse-only (fine_b == N); the two-level mode's
+    first accel_sorted call migrates it into the segmented order with
+    one repair (see accel_sorted)."""
     n = pos_flat.shape[1]
     if n % 512:
         raise ValueError(f"particle capacity {n} not a multiple of 512")
@@ -189,7 +182,8 @@ def init_sorted(pos_flat: jax.Array, n_active, cfg: "P.PMConfig",
     key, _ = pm_pallas.cell_key_frac(pos_flat, ids < n_active, cfg)
     vel_flat = (jnp.zeros_like(pos_flat) if vel_flat is None
                 else jnp.asarray(vel_flat))
-    return _sort_state(key, pos_flat, vel_flat, ids, masses, jnp.int32(0))
+    return _sort_state(key, pos_flat, vel_flat, ids, masses, jnp.int32(0),
+                       jnp.int32(n))
 
 
 def _chunk_spans(key: jax.Array, chunk: int):
@@ -206,29 +200,79 @@ def _chunk_spans(key: jax.Array, chunk: int):
     return rmin, rmax
 
 
-def _window_ranges(rmin, rmax, n_chunks: int):
-    """Per deposit window w = 2t + fam: (start chunk, count, empty mask).
+def _hull(rmin, rmax, n_chunks: int):
+    """(s_lo, s_hi) inclusive chunk hull per deposit window w = 2t + fam
+    (s_hi < s_lo = empty).
 
     Window w accepts base rows [lo_w, hi_w] (pm_pallas._deposit_table's
     ranges, here inclusive). min{s: rmax_s >= lo} equals the first index
     where the running prefix-max of rmax reaches lo, and
     max{s: rmin_s <= hi} the last index where the suffix-min of rmin
     stays <= hi — both monotone, so two binary searches give the EXACT
-    contiguous hull of intersecting chunks."""
+    contiguous hull of intersecting chunks. lo is clamped to 0 (no
+    negative rows exist) so EMPTY chunks (rmax == -1) can never satisfy
+    the lo test — required by the segmented tables, where a masked-out
+    segment's chunks must not leak into the other segment's hulls."""
     n_iters = max(n_chunks, 2).bit_length() + 1
     m_pre = jax.lax.cummax(rmax)                          # nondecreasing
     m_suf = jax.lax.cummin(rmin, reverse=True)            # nondecreasing
     w_idx = jnp.arange(2 * N_TILES, dtype=jnp.int32)
     t_w = w_idx >> 1
     fam_w = w_idx & 1
-    lo_r = t_w * T_ROWS - jnp.where(fam_w == 1, SPREAD, 1)
+    lo_r = jnp.maximum(
+        t_w * T_ROWS - jnp.where(fam_w == 1, SPREAD, 1), 0)
     hi_r = jnp.where(fam_w == 1, t_w - 1, t_w + 1) * T_ROWS - 1
     s_lo = _bin_search(m_pre, lo_r, side_right=False, n_iters=n_iters)
     s_hi = _bin_search(m_suf, hi_r, side_right=True, n_iters=n_iters) - 1
+    return s_lo.astype(jnp.int32), s_hi.astype(jnp.int32)
+
+
+def _window_ranges(rmin, rmax, n_chunks: int):
+    """Per deposit window: (start chunk, count, empty mask) — the
+    single-hull expansion (empty windows get one PAD entry so the fam-0
+    first-visit that zeroes each tile always exists)."""
+    s_lo, s_hi = _hull(rmin, rmax, n_chunks)
     empty = s_hi < s_lo
     c_w = jnp.where(empty, 1, s_hi - s_lo + 1).astype(jnp.int32)
     start = jnp.where(empty, n_chunks, s_lo).astype(jnp.int32)
     return start, c_w, empty
+
+
+def _seg_spans(key: jax.Array, chunk: int, fine_b):
+    """Per-segment chunk spans of the SEGMENTED order: slots < fine_b
+    (segment A, coarse-ordered) and slots >= fine_b (segment B,
+    fine-ordered window members + dead tail), masked per SLOT so the one
+    boundary chunk contributes its A-part to A and B-part to B."""
+    slot = jnp.arange(key.shape[0], dtype=jnp.int32)
+    key_a = jnp.where(slot < fine_b, key, SENTINEL)
+    key_b = jnp.where(slot < fine_b, SENTINEL, key)
+    return _chunk_spans(key_a, chunk), _chunk_spans(key_b, chunk)
+
+
+def _window_ranges_seg(spans_a, spans_b, n_chunks: int):
+    """Per deposit window: (startA, cA, startB, cB) — TWO hulls, one per
+    segment of the segmented order. A single global hull over the mixed
+    order would stretch from mid-A to the B tail for every window whose
+    rows intersect the physical refinement window, ballooning the pair
+    count ~O(n_chunks); per-segment hulls stay tight. The boundary chunk
+    can appear in both hulls (its A-part rows and B-part rows both
+    matching) — the duplicate is trimmed off B so no pair deposits
+    twice. Windows empty in both segments get one PAD entry in A (the
+    zeroing first-visit)."""
+    lo_a, hi_a = _hull(*spans_a, n_chunks)
+    lo_b, hi_b = _hull(*spans_b, n_chunks)
+    c_a = jnp.maximum(hi_a - lo_a + 1, 0)
+    c_b = jnp.maximum(hi_b - lo_b + 1, 0)
+    # overlap is structurally confined to the boundary chunk: hull A
+    # cannot extend past it (A spans above it are EMPTY), hull B cannot
+    # start before it
+    dup = ((c_a > 0) & (c_b > 0) & (hi_a >= lo_b)).astype(jnp.int32)
+    lo_b = lo_b + dup
+    c_b = c_b - dup
+    pad = (c_a + c_b) == 0
+    start_a = jnp.where(pad, n_chunks, lo_a).astype(jnp.int32)
+    c_a = jnp.where(pad, 1, c_a).astype(jnp.int32)
+    return start_a, c_a, lo_b.astype(jnp.int32), c_b.astype(jnp.int32)
 
 
 def _gather_tiles(rmin, rmax):
@@ -287,6 +331,47 @@ def _deposit_table_spans(rmin, rmax, n_chunks: int, c_max: int):
     fam_k = jnp.where(real, w_k & 1, 0)
     first_k = jnp.where(real, (kk == base[w_safe]) & (fam_k == 0), True)
     return _pack_pairs(t_k, fam_k, s_k, first_k)
+
+
+def _deposit_table_spans_seg(key: jax.Array, chunk: int, fine_b,
+                             n_chunks: int, c_max: int):
+    """Tile-major packed deposit pair table for the SEGMENTED order
+    (two-level mode): per window, segment A's hull entries then segment
+    B's (see _window_ranges_seg). Trash conventions as in
+    _deposit_table_spans."""
+    spans_a, spans_b = _seg_spans(key, chunk, fine_b)
+    start_a, c_a, lo_b, c_b = _window_ranges_seg(spans_a, spans_b,
+                                                 n_chunks)
+    base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(c_a + c_b).astype(jnp.int32)])
+    kk = jnp.arange(c_max, dtype=jnp.int32)
+    w_k = _rank_right_iota(base, c_max)
+    w_k = jnp.clip(w_k, 0, 2 * N_TILES)       # 2*N_TILES == trash
+    real = w_k < 2 * N_TILES
+    w_safe = jnp.minimum(w_k, 2 * N_TILES - 1)
+    off = kk - base[w_safe]
+    in_a = off < c_a[w_safe]
+    s_k = jnp.where(in_a, start_a[w_safe] + off,
+                    lo_b[w_safe] + off - c_a[w_safe])
+    s_k = jnp.clip(jnp.where(real, s_k, n_chunks), 0, n_chunks)
+    t_k = jnp.where(real, w_k >> 1, N_TILES)  # N_TILES == trash tile
+    fam_k = jnp.where(real, w_k & 1, 0)
+    first_k = jnp.where(real, (kk == base[w_safe]) & (fam_k == 0), True)
+    return _pack_pairs(t_k, fam_k, s_k, first_k)
+
+
+def _pair_totals_seg(key: jax.Array, chunk: int, fine_b):
+    """(dep_total, gat_total) for the segmented coarse tables — the
+    deposit total sums BOTH segments' hulls (matching
+    _deposit_table_spans_seg); the gather stays chunk-major over the
+    full spans (order-agnostic)."""
+    n_chunks = key.shape[0] // chunk
+    spans_a, spans_b = _seg_spans(key, chunk, fine_b)
+    _, c_a, _, c_b = _window_ranges_seg(spans_a, spans_b, n_chunks)
+    rmin, rmax = _chunk_spans(key, chunk)
+    t_lo, t_hi = _gather_tiles(rmin, rmax)
+    return (c_a + c_b).sum(), (2 * (t_hi - t_lo + 1)).sum()
 
 
 def _gather_table_spans(rmin, rmax, n_chunks: int, c_max: int):
@@ -348,22 +433,27 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
 
     ``cfg2`` (a pm2.PM2Config, with ``kernels`` from pm2.fine_kernels)
     adds the two-level refinement window on top, ALSO sort-free in the
-    steady state: the fine level builds masked span tables over the SAME
-    coarse persistent order (non-window particles' fine keys are
-    SENTINEL, so only window chunks carry fine spans, structurally
-    ~fine_slack memberships each) at its OWN smaller block size
-    (pick_chunk_fine). Fine overflow triggers a repair only while the
-    structural fine budget fits SMEM (repair then provably restores the
-    fit); past that clamp — or for pathological window/scene
-    combinations — a lax.cond falls back to the per-frame-sorted fine
-    path (pm2.fine_accel_fast) for that frame, so results are exact in
-    every regime. Membership churn between repairs is handled by the
-    mask alone: entrants carry valid fine keys from their coarse chunks
-    (masked spans cover them), leavers' keys go SENTINEL. Multi-chip
-    (psum_axis): the window origin is global (one 4-scalar psum), the
-    fine grid joins the coarse grid's psum coupling, and the fits-cond
-    is decided GLOBALLY (an all-shards psum-of-votes) so every shard
-    takes the same collective-bearing branch."""
+    steady state, via the SEGMENTED order: repairs sort by a class key —
+    non-window particles by coarse cell id, the window(+park) members of
+    THAT moment by FINE cell id (slots [fine_b, N)), dead slots last.
+    Window chunks are then fine-coherent, so the fine span tables are as
+    tight as the coarse ones (each fine pair's chunk is almost entirely
+    inside its window — the dominant 20x VPU waste of a coarse-ordered
+    fine table is gone), while segment B stays coarse-coherent too (fine
+    order is a monotone refinement of coarse order inside the window),
+    so the coarse level reads it through per-segment hulls
+    (_window_ranges_seg) at ordinary cost. Membership is FROZEN at
+    repair time behind a parking band (cfg2.park): leavers just stop
+    depositing (their source mask is zero), band-crossers are outside
+    the source set by construction, and a TRUE entrant — a frozen-A
+    particle reaching the source set — forces a repair that frame, so
+    physics is exact in every regime. A lax.cond additionally falls back
+    to the per-frame-sorted fine path (pm2.fine_accel_fast) should the
+    totals ever exceed the static capacities. Multi-chip (psum_axis):
+    the window origin is global (one 4-scalar psum), the fine grid joins
+    the coarse grid's psum coupling, and the fits-cond is decided
+    GLOBALLY (an all-shards psum-of-votes) so every shard takes the same
+    collective-bearing branch."""
     if cfg.auto_box:
         raise ValueError("persistent sorted mode needs a static box; "
                          "use pm_pallas.pm_accel for auto_box")
@@ -373,20 +463,13 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     n_chunks = n // chunk
     c_max_dep, c_max_gat = budgets(n_chunks)
     if cfg2 is not None:
-        # the fine level gets its OWN block size (largest that fits the
-        # SMEM budget — see pick_chunk_fine), decoupled from the coarse
-        # choice. Its capacities are the structural bound clamped to
-        # SMEM; in the rare case the clamp bites, fine overflow can no
-        # longer be repaired away, so it stops triggering repairs and
-        # the fits-cond below pays the sorted fine path on overflow
-        # frames instead.
-        slack_f = fine_slack(cfg, cfg2)
-        chunk_f = pick_chunk_fine(n, slack_f)
-        nc_f = n // chunk_f
-        fine_structural = slack_f * nc_f + 4 * N_TILES + 2
-        fine_repairable = fine_structural <= _SMEM_WORDS
-        c_max_dep2 = min(fine_structural, _SMEM_WORDS)
-        c_max_gat2 = min(slack_f * nc_f + 2 * N_TILES + 2, _SMEM_WORDS)
+        # segmented order: the fine level shares the coarse block size
+        # and budget sizing — a freshly segmented order's fine totals
+        # telescope like the coarse ones (segment B is fine-sorted)
+        c_max_dep2, c_max_gat2 = c_max_dep, c_max_gat
+        if st.fine_b is None:
+            raise ValueError("two-level persistent mode needs a state "
+                             "with fine_b (re-init via init_sorted)")
 
     # keys / fine inputs / totals are computed ONCE on the incoming
     # order; the repair branch recomputes them post-sort (repairs are
@@ -405,23 +488,50 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
 
     def _derive(s, live):
         k, f = pm_pallas.cell_key_frac(s.pos, live, cfg)
-        d1, g1 = _pair_totals(k, chunk)
         if cfg2 is None:
+            d1, g1 = _pair_totals(k, chunk)
             return k, f, d1, g1, ()
+        d1, g1 = _pair_totals_seg(k, chunk, s.fine_b)
         w, k2, f2 = _fine_inputs(s.pos, live, wmin, cfg, cfg2)
-        d2, g2 = _pair_totals(k2, chunk_f)
-        return k, f, d1, g1, (w, k2, f2, d2, g2)
+        # fine keys of frozen-A slots are masked out: post-repair no
+        # live A particle is in the source set (w == 0 there), so the
+        # mask is exact — it only silences PRE-repair entrants, whose
+        # presence sets the entrant flag below and forces the repair
+        seg_b = jnp.arange(k.shape[0], dtype=jnp.int32) >= s.fine_b
+        k2 = jnp.where(seg_b, k2, SENTINEL)
+        d2, g2 = _pair_totals(k2, chunk)
+        entrant = jnp.any(~seg_b & (w > 0.0))
+        return k, f, d1, g1, (w, k2, f2, d2, g2, entrant)
 
     key0, frac0, dep0, gat0, fine0 = _derive(st, live0)
     need = (dep0 > c_max_dep) | (gat0 > c_max_gat)
-    if cfg2 is not None and fine_repairable:
-        # a repair provably restores the fine totals under the (unclamped)
-        # structural budgets, so drift-inflated fine spans repair away
-        need = need | (fine0[3] > c_max_dep2) | (fine0[4] > c_max_gat2)
+    if cfg2 is not None:
+        need = (need | (fine0[3] > c_max_dep2) | (fine0[4] > c_max_gat2)
+                | fine0[5])
 
     def _repair(s):
-        s2 = _sort_state(key0, s.pos, s.vel, s.ids, s.masses,
-                         s.resorts + 1)
+        if cfg2 is None:
+            s2 = _sort_state(key0, s.pos, s.vel, s.ids, s.masses,
+                             s.resorts + 1, s.fine_b)
+        else:
+            # segmented class key: A = live non-members by coarse id,
+            # B = live window(+park) members of THIS moment by fine id,
+            # dead last. Membership includes the parking band so the
+            # source set cannot gain a frozen-A particle before the
+            # next band crossing (which re-triggers this repair).
+            from . import pm2 as _pm2w
+            h2 = cfg2.window_size / cfg.grid
+            coords2 = pm.cell_coords_dyn(s.pos, wmin, h2, cfg.grid)
+            class_b = _pm2w._in_window(
+                s.pos, wmin, cfg2.window_size,
+                cfg2.margin - cfg2.park) & live0
+            k2s, _ = pm_pallas.cell_key_frac(s.pos, class_b, cfg,
+                                             coords=coords2)
+            skey = jnp.where(class_b, _SEG_FLAG + k2s,
+                             jnp.where(live0, key0, _DEAD_KEY))
+            fb = jnp.sum(skey < _SEG_FLAG).astype(jnp.int32)
+            s2 = _sort_state(skey, s.pos, s.vel, s.ids, s.masses,
+                             s.resorts + 1, fb)
         return (s2,) + _derive(s2, s2.ids < n_active)
 
     st, key, frac, dep_total, gat_total, fine = jax.lax.cond(
@@ -433,7 +543,14 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     live = st.ids < n_active
     rmin, rmax = _chunk_spans(key, chunk)
 
-    dep_pairs = _deposit_table_spans(rmin, rmax, n_chunks, c_max_dep)
+    if cfg2 is None:
+        dep_pairs = _deposit_table_spans(rmin, rmax, n_chunks, c_max_dep)
+    else:
+        # segmented order: per-segment hulls (one global hull would
+        # stretch across the A/B boundary for every window whose rows
+        # intersect the refinement region)
+        dep_pairs = _deposit_table_spans_seg(key, chunk, st.fine_b,
+                                             n_chunks, c_max_dep)
     key_p = jnp.concatenate(
         [key, jnp.full((chunk,), SENTINEL, jnp.int32)]).reshape(1, -1)
     frac_p = jnp.concatenate(
@@ -467,7 +584,7 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
         # only trusted when the (post-repair) totals fit their static
         # capacities; otherwise the cond pays the sorted fine path, so
         # no pair is ever silently dropped.
-        w_src, key2, frac2, dep2_total, gat2_total = fine
+        w_src, key2, frac2, dep2_total, gat2_total, _ = fine
         fits = (dep2_total <= c_max_dep2) & (gat2_total <= c_max_gat2)
         if _force_fine_fallback:      # test hook: exercise the cond's
             fits = jnp.bool_(False)   # sorted-fallback plumbing
@@ -480,19 +597,19 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
                 jnp.int32(1), psum_axis)
 
         def _fine_spans(_):
-            rmin2, rmax2 = _chunk_spans(key2, chunk_f)
-            dep2_pairs = _deposit_table_spans(rmin2, rmax2, nc_f,
+            rmin2, rmax2 = _chunk_spans(key2, chunk)
+            dep2_pairs = _deposit_table_spans(rmin2, rmax2, n_chunks,
                                               c_max_dep2)
             key2_p = jnp.concatenate(
                 [key2,
-                 jnp.full((chunk_f,), SENTINEL, jnp.int32)]).reshape(1, -1)
+                 jnp.full((chunk,), SENTINEL, jnp.int32)]).reshape(1, -1)
             frac2_p = jnp.concatenate(
-                [frac2, jnp.zeros((chunk_f,), jnp.int32)]).reshape(1, -1)
+                [frac2, jnp.zeros((chunk,), jnp.int32)]).reshape(1, -1)
             m2 = w_src if st.masses is None else w_src * st.masses
             m2_p = jnp.concatenate(
-                [m2, jnp.zeros((chunk_f,), jnp.float32)]).reshape(1, -1)
+                [m2, jnp.zeros((chunk,), jnp.float32)]).reshape(1, -1)
             dep2 = pm_pallas._build_deposit_dyn(
-                chunk_f, c_max_dep2, interpret, True,
+                chunk, c_max_dep2, interpret, True,
                 jnp.minimum(dep2_total, c_max_dep2).astype(jnp.int32))
             rho2 = (dep2(dep2_pairs, key2_p, frac2_p, m2_p)[:N_TILES]
                     .reshape(GRID, GRID, GRID))
@@ -502,10 +619,10 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
             grids2 = pm.solve_accel_diff(rho2, cfg.grid, h2,
                                          cfg2.softening, cfg.softening,
                                          cfg2.gradient, kernels=kernels)
-            gat2_pairs = _gather_table_spans(rmin2, rmax2, nc_f,
+            gat2_pairs = _gather_table_spans(rmin2, rmax2, n_chunks,
                                              c_max_gat2)
             gat2 = pm_pallas._build_gather_dyn(
-                n, chunk_f, c_max_gat2, interpret,
+                n, chunk, c_max_gat2, interpret,
                 jnp.minimum(gat2_total, c_max_gat2).astype(jnp.int32))
             acc2 = gat2(gat2_pairs, key2.reshape(1, -1),
                         frac2.reshape(1, -1),

@@ -35,8 +35,10 @@ def _flat_spec() -> P:
 def make_persist_init(mesh: Mesh, cfg: "Pm.PMConfig", *,
                       with_masses: bool = False):
     """Jitted (pos f32[3,N], vel f32[3,N], n_active[, masses]) ->
-    (pos, vel, ids, resorts[, masses]) — per-shard local grouping sorts
-    into the persistent layout. N/n_dev must be a multiple of 512."""
+    (pos, vel, ids, resorts, fine_b[, masses]) — per-shard local
+    grouping sorts into the persistent layout (fine_b i32[n_dev]: each
+    shard's frozen fine-segment boundary, local_n = none yet). N/n_dev
+    must be a multiple of 512."""
     n_dev = mesh.devices.size
 
     def local(pos, vel, n_active, masses=None):
@@ -45,15 +47,17 @@ def make_persist_init(mesh: Mesh, cfg: "Pm.PMConfig", *,
         ids = base + jnp.arange(local_n, dtype=jnp.int32)
         key, _ = pm_pallas.cell_key_frac(pos, ids < n_active, cfg)
         st = pm_persist._sort_state(key, pos, vel, ids, masses,
-                                    jnp.zeros((1,), jnp.int32))
-        out = (st.pos, st.vel, st.ids, st.resorts)
+                                    jnp.zeros((1,), jnp.int32),
+                                    jnp.full((1,), local_n, jnp.int32))
+        out = (st.pos, st.vel, st.ids, st.resorts, st.fine_b)
         return out + ((st.masses,) if masses is not None else ())
 
     mass_in = (P(DP_AXIS),) if with_masses else ()
     return jax.jit(shard_map(
         local, mesh=mesh,
         in_specs=(_flat_spec(), _flat_spec(), P()) + mass_in,
-        out_specs=(_flat_spec(), _flat_spec(), P(DP_AXIS), P(DP_AXIS))
+        out_specs=(_flat_spec(), _flat_spec(), P(DP_AXIS), P(DP_AXIS),
+                   P(DP_AXIS))
         + ((P(DP_AXIS),) if with_masses else ()),
         check_vma=False,  # cell_key_frac mixes literal iotas into varying
     ))                    # data (see parallel/dp.py for the JAX 0.9 note)
@@ -62,8 +66,9 @@ def make_persist_init(mesh: Mesh, cfg: "Pm.PMConfig", *,
 def make_persist_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *,
                          interpret: bool = False, chunk: int = 0,
                          with_masses: bool = False, cfg2=None):
-    """Jitted (pos, vel, ids, resorts, param_vec, pair_vec, n_active
-    [, masses][, kernels]) -> (pos, vel, ids, resorts[, masses]): one
+    """Jitted (pos, vel, ids, resorts, fine_b, param_vec, pair_vec,
+    n_active[, masses][, kernels]) -> (pos, vel, ids, resorts, fine_b
+    [, masses]): one
     persistent-PM frame over the dp mesh. Arrays as in
     make_persist_init; n_active is the GLOBAL active count (ids are
     global, so ``ids < n_active`` masks correctly on every shard with no
@@ -72,15 +77,17 @@ def make_persist_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *,
     coupling and the window origin is global (ops/pm_persist.py
     accel_sorted docstring); pass pm2.fine_kernels(cfg, cfg2) as the
     trailing ``kernels`` argument (replicated)."""
-    def local(pos, vel, ids, resorts, pv, pairv, n_active, *rest):
+    def local(pos, vel, ids, resorts, fine_b, pv, pairv, n_active,
+              *rest):
         masses = rest[0] if with_masses else None
         kernels = rest[-1] if cfg2 is not None else None
-        st = pm_persist.SortedPMState(pos, vel, ids, masses, resorts[0])
+        st = pm_persist.SortedPMState(pos, vel, ids, masses, resorts[0],
+                                      fine_b[0])
         st = pm_persist.step_sorted(st, pv, pairv, n_active, cfg,
                                     interpret=interpret, chunk=chunk,
                                     psum_axis=DP_AXIS, cfg2=cfg2,
                                     kernels=kernels)
-        out = (st.pos, st.vel, st.ids, st.resorts[None])
+        out = (st.pos, st.vel, st.ids, st.resorts[None], st.fine_b[None])
         return out + ((st.masses,) if masses is not None else ())
 
     mass_in = (P(DP_AXIS),) if with_masses else ()
@@ -88,8 +95,9 @@ def make_persist_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *,
     sharded = shard_map(
         local, mesh=mesh,
         in_specs=(_flat_spec(), _flat_spec(), P(DP_AXIS), P(DP_AXIS),
-                  P(), P(), P()) + mass_in + ker_in,
-        out_specs=(_flat_spec(), _flat_spec(), P(DP_AXIS), P(DP_AXIS))
+                  P(DP_AXIS), P(), P(), P()) + mass_in + ker_in,
+        out_specs=(_flat_spec(), _flat_spec(), P(DP_AXIS), P(DP_AXIS),
+                   P(DP_AXIS))
         + ((P(DP_AXIS),) if with_masses else ()),
         check_vma=False,  # Pallas kernel bodies (see parallel/dp.py)
     )

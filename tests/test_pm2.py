@@ -237,11 +237,12 @@ def test_engine_integration():
                pm2=CFG2)
 
 
-def test_persist_fine_spans_no_repair():
-    """On a freshly coarse-sorted state the fine level's masked span
-    tables fit their ratio-scaled budgets (fine_slack): the two-level
-    frame runs with ZERO repairs — the sort-free steady state — and
-    matches the identity-order fast path."""
+def test_persist_fine_segmented_steady_state():
+    """The first two-level call migrates a fresh coarse-only state into
+    the SEGMENTED order (exactly one repair); the second call is the
+    sort-free steady state (zero additional repairs), its fine span
+    totals fit the shared budgets, and both calls match the
+    identity-order fast path."""
     from particle_sim_tpu.ops import pm_persist
 
     pos_np, pos, n_act = _scene(21)
@@ -250,30 +251,34 @@ def test_persist_fine_spans_no_repair():
     a_id = np.asarray(pm2.pm2_accel(pos, n_act, 1.0, CFG, CFG2,
                                     kernels=ker, interpret=True))[:, :n]
     st = pm_persist.init_sorted(pos, n_act, CFG)
-    st2, a_slot = pm_persist.accel_sorted(st, jnp.float32(1.0), CFG,
+    st1, a1 = pm_persist.accel_sorted(st, jnp.float32(1.0), CFG,
+                                      n_active=n_act, interpret=True,
+                                      cfg2=CFG2, kernels=ker)
+    assert int(st1.resorts) == 1          # migration into segments
+    assert 0 < int(st1.fine_b) < st1.pos.shape[1]
+    st2, a_slot = pm_persist.accel_sorted(st1, jnp.float32(1.0), CFG,
                                           n_active=n_act, interpret=True,
                                           cfg2=CFG2, kernels=ker)
-    assert int(st2.resorts) == 0
-    # and the span tables actually fit (the cond took the sort-free leg)
-    chunk_f = pm_persist.pick_chunk_fine(st2.pos.shape[1],
-                                         pm_persist.fine_slack(CFG, CFG2))
-    nc_f = st2.pos.shape[1] // chunk_f
+    assert int(st2.resorts) == 1          # steady: no additional repair
+    # the fine span tables fit the shared budgets (sort-free leg taken)
+    cap = st2.pos.shape[1]
+    chunk = pm_persist.pick_chunk(cap)
+    cd, cg = pm_persist.budgets(cap // chunk)
     wmin = pm2.window_min(st2.pos, None, CFG2, None,
                           live=st2.ids < n_act)
     _, key2, _ = pm_persist._fine_inputs(
         st2.pos, st2.ids < n_act, wmin, CFG, CFG2)
-    dep2, gat2 = pm_persist._pair_totals(key2, chunk_f)
-    slack = pm_persist.fine_slack(CFG, CFG2)
-    from particle_sim_tpu.ops.pm_pallas import N_TILES
-    assert int(dep2) <= min(slack * nc_f + 4 * N_TILES + 2,
-                            pm_persist._SMEM_WORDS)
-    assert int(gat2) <= min(slack * nc_f + 2 * N_TILES + 2,
-                            pm_persist._SMEM_WORDS)
-    ids = np.asarray(st2.ids)
-    a_back = np.zeros_like(np.asarray(a_slot))
-    a_back[:, ids] = np.asarray(a_slot)
-    scale = np.abs(a_id).max()
-    assert np.abs(a_back[:, :n] - a_id).max() < 5e-3 * scale
+    key2 = jnp.where(jnp.arange(cap) >= st2.fine_b, key2,
+                     pm_persist.SENTINEL)
+    dep2, gat2 = pm_persist._pair_totals(key2, chunk)
+    assert int(dep2) <= cd
+    assert int(gat2) <= cg
+    for sti, ai in ((st1, a1), (st2, a_slot)):
+        ids = np.asarray(sti.ids)
+        a_back = np.zeros_like(np.asarray(ai))
+        a_back[:, ids] = np.asarray(ai)
+        scale = np.abs(a_id).max()
+        assert np.abs(a_back[:, :n] - a_id).max() < 5e-3 * scale
 
 
 def test_persist_fine_fallback_parity():
@@ -301,18 +306,19 @@ def test_persist_fine_fallback_parity():
 
 
 def test_persist_composite_edge_churn_exact():
-    """Particles crossing the window edge BETWEEN repairs stay exact:
-    entrants carry valid fine keys from whatever chunk they sit in
-    (masked spans cover them); leavers' fine keys go SENTINEL. A drift
-    that pushes a band of particles across the boundary must keep
-    parity with the identity-order fast path at zero repairs."""
+    """Window-edge churn BETWEEN repairs stays exact with the FROZEN
+    segmented membership: leavers stop depositing (zero source mask) and
+    park-band crossers were already in segment B at the last repair — a
+    drift pushing bands across the window faces keeps parity with the
+    identity-order fast path at zero additional repairs."""
     from particle_sim_tpu.ops import pm_persist
 
     pos_np, pos, n_act = _scene(22)
     n = int(n_act)
     # plant bands straddling the window x-faces so the drift is
     # guaranteed to churn membership: 40 leavers just inside x=+16,
-    # 40 entrants just outside x=-16
+    # 40 entrants just outside x=-16 (inside the parking band, so they
+    # are segment-B members from the migration repair onward)
     rng = np.random.default_rng(220)
     yz = rng.uniform(-10, 10, size=(80, 2)).astype(np.float32)
     pos_np[100:140, 0] = rng.uniform(15.3, 15.9, 40).astype(np.float32)
@@ -322,15 +328,19 @@ def test_persist_composite_edge_churn_exact():
     pos = pos.at[:, 100:180].set(jnp.asarray(pos_np[100:180].T))
     ker = pm2.fine_kernels(CFG, CFG2)
     st = pm_persist.init_sorted(pos, n_act, CFG)
+    st, _ = pm_persist.accel_sorted(st, jnp.float32(1.0), CFG,
+                                    n_active=n_act, interpret=True,
+                                    cfg2=CFG2, kernels=ker)
+    assert int(st.resorts) == 1           # migration into segments
     # coherent drift: everything slides +0.9 world units along x, so
     # particles near both x-faces of the window change membership while
-    # spans stay tight (no repair)
+    # staying inside their frozen classes (park absorbs the entrants)
     pos2 = st.pos + jnp.asarray([[0.9], [0.0], [0.0]], jnp.float32)
     st = st._replace(pos=pos2)
     st2, a_slot = pm_persist.accel_sorted(st, jnp.float32(1.0), CFG,
                                           n_active=n_act, interpret=True,
                                           cfg2=CFG2, kernels=ker)
-    assert int(st2.resorts) == 0
+    assert int(st2.resorts) == 1          # no additional repair
     ids = np.asarray(st2.ids)
     inv = np.argsort(ids)
     a_id = np.asarray(pm2.pm2_accel(
@@ -340,10 +350,48 @@ def test_persist_composite_edge_churn_exact():
     scale = np.abs(a_id).max()
     assert np.abs(a_back[:, :n] - a_id).max() < 5e-3 * scale
     # sanity: the drift actually churned membership
-    w0 = np.all((pos_np >= -16) & (pos_np < 16), axis=1)
+    p1 = np.asarray(pos)[:, :n].T
+    w0 = np.all((p1 >= -16) & (p1 < 16), axis=1)
     p2 = np.asarray(st2.pos)[:, inv][:, :n].T
     w1 = np.all((p2 >= -16) & (p2 < 16), axis=1)
     assert (w0 != w1).sum() > 20
+
+
+def test_persist_true_entrant_forces_repair():
+    """A particle crossing the WHOLE parking band into the source set
+    between repairs must force a repair that frame (frozen membership
+    would otherwise exclude its fine contribution) — and the result
+    stays exact."""
+    from particle_sim_tpu.ops import pm_persist
+
+    pos_np, pos, n_act = _scene(25)
+    n = int(n_act)
+    # plant particles just beyond the park band (window -16, park 1.0):
+    # x in [-17.6, -17.1); a +1.3 drift lands them INSIDE the window
+    rng = np.random.default_rng(250)
+    pos_np[50:70, 0] = rng.uniform(-17.6, -17.1, 20).astype(np.float32)
+    pos_np[50:70, 1:] = rng.uniform(-8, 8, (20, 2)).astype(np.float32)
+    pos = pos.at[:, 50:70].set(jnp.asarray(pos_np[50:70].T))
+    ker = pm2.fine_kernels(CFG, CFG2)
+    st = pm_persist.init_sorted(pos, n_act, CFG)
+    st, _ = pm_persist.accel_sorted(st, jnp.float32(1.0), CFG,
+                                    n_active=n_act, interpret=True,
+                                    cfg2=CFG2, kernels=ker)
+    assert int(st.resorts) == 1
+    pos2 = st.pos + jnp.asarray([[1.3], [0.0], [0.0]], jnp.float32)
+    st = st._replace(pos=pos2)
+    st2, a_slot = pm_persist.accel_sorted(st, jnp.float32(1.0), CFG,
+                                          n_active=n_act, interpret=True,
+                                          cfg2=CFG2, kernels=ker)
+    assert int(st2.resorts) == 2          # entrant forced the repair
+    ids = np.asarray(st2.ids)
+    inv = np.argsort(ids)
+    a_id = np.asarray(pm2.pm2_accel(
+        jnp.asarray(np.asarray(st2.pos)[:, inv]), n_act, 1.0, CFG, CFG2,
+        kernels=ker, interpret=True))[:, :n]
+    a_back = np.asarray(a_slot)[:, inv]
+    scale = np.abs(a_id).max()
+    assert np.abs(a_back[:, :n] - a_id).max() < 5e-3 * scale
 
 
 def test_persist_composite_centroid_window():

@@ -47,15 +47,17 @@ def test_sharded_persist_matches_single_device():
     pp = jnp.asarray(PairwiseParams(1.0, CFG.softening).pack())
 
     init = pm_persist_dp.make_persist_init(mesh, CFG)
-    sp, sv, ids, resorts = init(pos, vel, n_active)
+    sp, sv, ids, resorts, fine_b = init(pos, vel, n_active)
     # per-shard local sorts: ids stay on their home shard
     local_n = pos.shape[1] // n_dev
     ids_np = np.asarray(ids)
     assert np.array_equal(ids_np // local_n,
                           np.repeat(np.arange(n_dev), local_n))
+    assert np.asarray(fine_b).tolist() == [local_n] * n_dev
 
     step = pm_persist_dp.make_persist_pm_step(mesh, CFG, interpret=True)
-    sp2, sv2, ids2, resorts2 = step(sp, sv, ids, resorts, pv, pp, n_active)
+    sp2, sv2, ids2, resorts2, _ = step(sp, sv, ids, resorts, fine_b,
+                                       pv, pp, n_active)
     assert np.asarray(resorts2).sum() == 0  # fresh sort: no repair
 
     st = pm_persist.init_sorted(pos, n_active, CFG, vel_flat=vel)
@@ -87,7 +89,7 @@ def test_sharded_persist_multi_frame_finite():
     step = pm_persist_dp.make_persist_pm_step(mesh, CFG, interpret=True)
     for _ in range(3):
         carry = step(*carry, pv, pp, n_active)
-    sp, sv, ids, resorts = carry
+    sp, sv, ids, resorts, _ = carry
     assert bool(jnp.isfinite(sp).all() & jnp.isfinite(sv).all())
     assert np.array_equal(np.sort(np.asarray(ids)),
                           np.arange(pos.shape[1]))
@@ -105,14 +107,14 @@ def test_sharded_persist_with_masses():
     pp = jnp.asarray(PairwiseParams(1.0, CFG.softening).pack())
 
     init = pm_persist_dp.make_persist_init(mesh, CFG, with_masses=True)
-    sp, sv, ids, resorts, sm = init(pos, vel, n_active, masses)
+    sp, sv, ids, resorts, fine_b, sm = init(pos, vel, n_active, masses)
     np.testing.assert_array_equal(
         _identity_order(ids, np.asarray(sm)), np.asarray(masses))
 
     step = pm_persist_dp.make_persist_pm_step(mesh, CFG, interpret=True,
                                               with_masses=True)
-    sp2, sv2, ids2, _, sm2 = step(sp, sv, ids, resorts, pv, pp,
-                                  n_active, sm)
+    sp2, sv2, ids2, _, _, sm2 = step(sp, sv, ids, resorts, fine_b, pv, pp,
+                                     n_active, sm)
 
     st = pm_persist.init_sorted(pos, n_active, CFG, vel_flat=vel,
                                 masses=masses)
@@ -139,12 +141,14 @@ def test_sharded_persist_two_level():
     pp = jnp.asarray(PairwiseParams(1.0, CFG.softening).pack())
 
     init = pm_persist_dp.make_persist_init(mesh, CFG)
-    sp, sv, ids, resorts = init(pos, vel, n_active)
+    sp, sv, ids, resorts, fine_b = init(pos, vel, n_active)
     step = pm_persist_dp.make_persist_pm_step(mesh, CFG, interpret=True,
                                               cfg2=cfg2)
-    sp2, sv2, ids2, resorts2 = step(sp, sv, ids, resorts, pv, pp,
-                                    n_active, ker)
-    assert np.asarray(resorts2).sum() == 0
+    sp2, sv2, ids2, resorts2, fb2 = step(sp, sv, ids, resorts, fine_b,
+                                         pv, pp, n_active, ker)
+    # first two-level frame migrates shards WITH window members into the
+    # segmented order (one repair each); empty shards stay put
+    assert 0 < np.asarray(resorts2).sum() <= n_dev
 
     st = pm_persist.init_sorted(pos, n_active, CFG, vel_flat=vel)
     st1 = pm_persist.step_sorted(st, pv, pp, n_active, CFG,
