@@ -466,7 +466,18 @@ def main() -> None:
                "detail": detail})
 
     res = {"value": None, "detail": {"errors": {}}}
-    worker = threading.Thread(target=_measure, args=(res,), daemon=True)
+
+    def _measure_guarded(res):
+        # the headline stage ran unguarded before: a failure there (OOM
+        # in generate, a compile error) died silently with errors == {},
+        # indistinguishable from a wedge — record it by name instead
+        try:
+            _measure(res)
+        except BaseException as e:  # noqa: BLE001 — record, then emit
+            res["detail"]["errors"]["headline"] = repr(e)[:300]
+
+    worker = threading.Thread(target=_measure_guarded, args=(res,),
+                              daemon=True)
     t_start = time.time()
     worker.start()
     worker.join(WORKER_DEADLINE_S)

@@ -153,6 +153,10 @@ def main(argv=None) -> int:
                 mesh = mesh_lib.make_mesh()
                 print(f"mesh: dp over {mesh.devices.size} devices",
                       file=sys.stderr)
+        # --pm-persist / --pm2-size are PM solver modes: imply --pm (the
+        # server does the same, app/server.py want_pm)
+        if args.pm_persist or args.pm2_size > 0.0:
+            args.pm = True
         pm_cfg = None
         if args.pm:
             pm_cfg = PMConfig(

@@ -93,9 +93,9 @@ class Engine:
         ``pm2``: a pm2.PM2Config refinement window — two-level PM
         (ops/pm2.py): fine-softened forces inside the (possibly
         centroid-tracking) window, the coarse field elsewhere. Requires
-        ``pm``; single-device only. Composes with ``pm_persist``: the
-        coarse level then runs sort-free on the persistent order while
-        the fine level pays its own per-frame sort in slot order.
+        ``pm``; single-device only. Composes with ``pm_persist``: BOTH
+        levels then run sort-free on the segmented persistent order
+        (ops/pm_persist.py accel_sorted docstring).
 
         ``pm_persist``: run the PM solver on the persistent cell-sorted
         state (ops/pm_persist.py): the frame pays zero sorts in steady
@@ -182,12 +182,29 @@ class Engine:
 
     # -- properties -----------------------------------------------------------
     @property
+    def state(self) -> "ParticleState":
+        """Identity-order state planes. In persist mode the planes are
+        rebuilt from the sorted carry transparently on FIRST read after
+        a step (paid per consumed frame, never per simulated frame) —
+        direct ``engine.state`` reads are never stale."""
+        if self._identity_dirty:
+            self.ensure_identity_order()
+        return self._state
+
+    @state.setter
+    def state(self, value: "ParticleState") -> None:
+        # externally assigned planes supersede any persistent carry
+        self._state = value
+        self._persist = None
+        self._identity_dirty = False
+
+    @property
     def particle_count(self) -> int:
-        return int(self.state.n_active)
+        return int(self._state.n_active)
 
     @property
     def capacity(self) -> int:
-        return self.state.capacity
+        return self._state.capacity
 
     # -- masses -----------------------------------------------------------------
     @property
@@ -381,24 +398,28 @@ class Engine:
     def _step_persist(self, pv, pp) -> None:
         from ..ops import pm_persist as pper
         cfg = self.pm
-        n_act = self.state.n_active
+        n_act = self._state.n_active
         masses = self._masses_for_capacity()
+        # the persist path is Pallas-only: run the kernels in interpret
+        # mode off-TPU regardless of Method (a Method.JNP engine resumed
+        # from a pm_persist checkpoint on a CPU box must not crash)
+        interpret = self._interpret or jax.default_backend() != "tpu"
         if self.mesh is not None:
             from ..parallel import pm_persist_dp
             key = ("persist_dp", cfg, masses is not None, self.substeps,
-                   self._interpret)
+                   interpret)
             fns = self._jit_cache.get(key)
             if fns is None:
                 fns = (pm_persist_dp.make_persist_init(
                            self.mesh, cfg, with_masses=masses is not None),
                        pm_persist_dp.make_persist_pm_step(
-                           self.mesh, cfg, interpret=self._interpret,
+                           self.mesh, cfg, interpret=interpret,
                            with_masses=masses is not None))
                 self._jit_cache[key] = fns
             init, pstep = fns
             if self._persist is None:
-                args = (self.state.pos.reshape(3, -1),
-                        self.state.vel.reshape(3, -1), n_act)
+                args = (self._state.pos.reshape(3, -1),
+                        self._state.vel.reshape(3, -1), n_act)
                 self._persist = init(*args + ((masses,)
                                               if masses is not None else ()))
             for _ in range(self.substeps):
@@ -409,8 +430,8 @@ class Engine:
         else:
             if self._persist is None:
                 self._persist = pper.init_sorted(
-                    self.state.pos.reshape(3, -1), n_act, cfg,
-                    vel_flat=self.state.vel.reshape(3, -1), masses=masses)
+                    self._state.pos.reshape(3, -1), n_act, cfg,
+                    vel_flat=self._state.vel.reshape(3, -1), masses=masses)
             cfg2 = self.pm2
             ker = None
             if cfg2 is not None:
@@ -419,7 +440,7 @@ class Engine:
             for _ in range(self.substeps):
                 self._persist = pper.step_sorted_jit(
                     self._persist, pv, pp, n_act, cfg,
-                    interpret=self._interpret, cfg2=cfg2, kernels=ker)
+                    interpret=interpret, cfg2=cfg2, kernels=ker)
         self._identity_dirty = True
 
     def ensure_identity_order(self) -> None:
@@ -441,11 +462,11 @@ class Engine:
             fn = jax.jit(lambda s: pper.unsort(s, (s.pos, s.vel)))
             self._jit_cache[key] = fn
         pos_f, vel_f = fn(st)
-        shape = self.state.pos.shape
-        self.state = ParticleState(pos=pos_f.reshape(shape),
-                                   vel=vel_f.reshape(shape),
-                                   init_color=self.state.init_color,
-                                   n_active=self.state.n_active)
+        shape = self._state.pos.shape
+        self._state = ParticleState(pos=pos_f.reshape(shape),
+                                    vel=vel_f.reshape(shape),
+                                    init_color=self._state.init_color,
+                                    n_active=self._state.n_active)
         self._identity_dirty = False
 
     def _drop_persist(self) -> None:
@@ -480,17 +501,24 @@ class Engine:
                       else self._persist[:2])
                 p = st.pos if self.mesh is None else st[0]
                 v = st.vel if self.mesh is None else st[1]
-                validate_state(p.reshape(self.state.pos.shape),
-                               v.reshape(self.state.vel.shape))
+                validate_state(p.reshape(self._state.pos.shape),
+                               v.reshape(self._state.vel.shape))
             else:
-                validate_state(self.state.pos, self.state.vel)
+                validate_state(self._state.pos, self._state.vel)
 
     def step_synced(self, params: Union[SimParams, np.ndarray]) -> None:
         """step() + device sync, recording honest device time."""
         t0 = time.perf_counter()
         self.step(params)
-        # readback sync (block_until_ready is a no-op on the axon platform)
-        np.asarray(self.state.pos.ravel()[0:1])
+        # readback sync (block_until_ready is a no-op on the axon
+        # platform); in persist mode sync on the live carry — rebuilding
+        # identity order is a consumer cost, not part of the frame
+        if self._identity_dirty:
+            carry = self._persist
+            leaf = carry.pos if self.mesh is None else carry[0]
+        else:
+            leaf = self._state.pos
+        np.asarray(leaf.ravel()[0:1])
         self.stats.record_update(time.perf_counter() - t0, device=True)
 
     # -- lifecycle (reference trait surface, mod.rs:21-50) --------------------

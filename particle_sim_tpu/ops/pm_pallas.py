@@ -268,12 +268,6 @@ def _make_deposit(chunk: int, c_max: int, interpret: bool,
     )
 
 
-@functools.lru_cache(maxsize=None)
-def _build_deposit(chunk: int, c_max: int, interpret: bool,
-                   has_mass: bool = False):
-    return _make_deposit(chunk, c_max, interpret, has_mass, c_max)
-
-
 def _build_deposit_dyn(chunk: int, c_max: int, interpret: bool,
                        has_mass: bool, grid_n):
     """Deposit with a TRACED grid size ``grid_n`` (i32 scalar <= c_max):
@@ -323,11 +317,6 @@ def _make_gather(n_pad: int, chunk: int, c_max: int, interpret: bool,
             transcendentals=0,
         ),
     )
-
-
-@functools.lru_cache(maxsize=None)
-def _build_gather(n_pad: int, chunk: int, c_max: int, interpret: bool):
-    return _make_gather(n_pad, chunk, c_max, interpret, c_max)
 
 
 def _build_gather_dyn(n_pad: int, chunk: int, c_max: int, interpret: bool,

@@ -24,14 +24,24 @@ def _engine(persist, **kw):
 def test_trajectory_matches_sorted_path():
     e_ref = _engine(False)
     e_per = _engine(True)
+    p0 = e_per.state.positions().copy()
     for _ in range(3):
         e_ref.step(PARAMS)
         e_per.step(PARAMS)
     p_ref = e_ref.state.positions()
-    p_per = e_per.state.positions()  # accessor must rebuild identity order
+    p_per = e_per.state.positions()  # property rebuilds identity order
+    # guard against the vacuous-pass failure mode: the persist engine
+    # must have actually MOVED (a stale-state read would return p0), and
+    # its motion must match the reference's much more closely than the
+    # motion magnitude itself
+    moved = np.abs(p_ref - p0).max()
+    assert moved > 0.0
     # same kernels; persist skips the un-sort 40-bit pack quantization,
     # which bounds the divergence per kick
-    np.testing.assert_allclose(p_per, p_ref, rtol=0, atol=5e-3)
+    err = np.abs(p_per - p_ref).max()
+    assert err < 5e-3
+    assert err < 0.25 * moved
+    assert np.abs(p_per - p0).max() > 0.5 * moved
 
 
 def test_frame_arrays_identity_order():
@@ -115,3 +125,27 @@ def test_persist_with_mesh():
         e_ref.step(PARAMS)
     np.testing.assert_allclose(e.state.positions(),
                                e_ref.state.positions(), rtol=0, atol=5e-3)
+
+
+def test_jnp_method_persist_runs_off_tpu():
+    """A Method.JNP engine with pm_persist (e.g. a checkpoint resumed on
+    a CPU box) must step: the Pallas-only persist path switches to
+    interpret mode off-TPU instead of crashing."""
+    from particle_sim_tpu.core.params import Method
+
+    e = Engine(particle_count=900, method=Method.JNP, pm=CFG,
+               pm_persist=True)
+    e.step(PARAMS)
+    e.step(PARAMS)
+    assert bool(jnp.isfinite(e.state.pos).all())
+    assert e._persist is not None
+
+
+def test_cli_pm_persist_implies_pm(tmp_path):
+    """--pm-persist without --pm must run (the flag implies the PM
+    solver, matching the server's behavior) instead of crashing."""
+    from particle_sim_tpu.app.cli import main
+
+    rc = main(["--count", "600", "--steps", "2", "--method", "jnp",
+               "--pm-persist", "--stats-every", "0"])
+    assert rc == 0
