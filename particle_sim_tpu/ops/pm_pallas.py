@@ -194,7 +194,8 @@ def _deposit_kernel_mass(p_ref, key_ref, frac_ref, mass_ref, out_ref):
                   mass=mass_ref[...])
 
 
-def _gather_kernel(n_chunks, p_ref, key_ref, frac_ref, a_ref, out_ref):
+def _gather_kernel(n_chunks, p_ref, key_ref, frac_ref, a_ref, out_ref,
+                   l_ref):
     i = pl.program_id(0)
     word = p_ref[i]
     s = word & _S_MASK
@@ -208,17 +209,26 @@ def _gather_kernel(n_chunks, p_ref, key_ref, frac_ref, a_ref, out_ref):
         fam = (word >> _S_BITS) & 1
         key = key_ref[...]
         row = key >> 7
-        x = key & (LANE - 1)
         fx, fy, fz = _unpack_fracs(frac_ref[...])
         wz = jnp.where(fam == 1, fz, 1.0 - fz)
         R, liota = _family_onehot(row + fam * GRID - t * T_ROWS, fy, wz,
                                   jnp.bfloat16)
+
+        # the lane one-hot depends only on the CHUNK, and the table is
+        # chunk-major — build L once on each chunk's first entry (the
+        # ``first`` bit marks exactly that) and serve its siblings from
+        # VMEM scratch
+        @pl.when(word < 0)
+        def _():
+            x = key & (LANE - 1)
+            l_ref[...] = _lane_onehot(liota, x, fx, jnp.bfloat16)
+
         # contract the LANE axis on the MXU first (K = 128, twice the
         # utilization of K = T_ROWS) and apply the row factor as a
         # half-size VPU reduction: C[c, r, p] = sum_l A[c, r, l] L[l, p]
-        L = _lane_onehot(liota, x, fx, jnp.bfloat16)
         C = jax.lax.dot_general(
-            a_ref[...], L, dimension_numbers=(((2,), (0,)), ((), ())),
+            a_ref[...], l_ref[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)   # (3, T_ROWS, chunk)
         # R and L carry the SAME bf16-rounded weight VALUES as the
         # deposit's one-hots or the kick loses deposit/gather antisymmetry
@@ -304,6 +314,7 @@ def _make_gather(n_pad: int, chunk: int, c_max: int, interpret: bool,
         ],
         out_specs=pl.BlockSpec((3, chunk), lambda i, p: (0, p[i] & _S_MASK),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((LANE, chunk), jnp.bfloat16)],
     )
     return pl.pallas_call(
         functools.partial(_gather_kernel, n_pad // chunk),
