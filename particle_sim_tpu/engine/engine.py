@@ -93,9 +93,10 @@ class Engine:
         ``pm2``: a pm2.PM2Config refinement window — two-level PM
         (ops/pm2.py): fine-softened forces inside the (possibly
         centroid-tracking) window, the coarse field elsewhere. Requires
-        ``pm``; single-device only. Composes with ``pm_persist``: BOTH
-        levels then run sort-free on the segmented persistent order
-        (ops/pm_persist.py accel_sorted docstring).
+        ``pm``. Composes with ``pm_persist``: BOTH levels then run
+        sort-free on the segmented persistent order (ops/pm_persist.py
+        accel_sorted docstring); that composition is also the multi-chip
+        pm2 path (with ``mesh``, pm2 requires pm_persist).
 
         ``pm_persist``: run the PM solver on the persistent cell-sorted
         state (ops/pm_persist.py): the frame pays zero sorts in steady
@@ -138,8 +139,10 @@ class Engine:
         if pm2 is not None:
             if pm is None:
                 raise ValueError("pm2 requires a coarse PMConfig (pm=...)")
-            if mesh is not None:
-                raise ValueError("pm2 is single-device for now")
+            if mesh is not None and not pm_persist:
+                raise ValueError("multi-chip pm2 requires pm_persist "
+                                 "(parallel/pm_persist_dp.py is the "
+                                 "sharded two-level path)")
         self.pm2 = pm2
         self.pm_persist = pm_persist
         self._persist = None          # SortedPMState / dp carry, lazy
@@ -406,15 +409,20 @@ class Engine:
         interpret = self._interpret or jax.default_backend() != "tpu"
         if self.mesh is not None:
             from ..parallel import pm_persist_dp
-            key = ("persist_dp", cfg, masses is not None, self.substeps,
-                   interpret)
+            cfg2 = self.pm2
+            ker = ()
+            if cfg2 is not None:
+                from ..ops import pm2 as pm2_mod
+                ker = (pm2_mod.fine_kernels(cfg, cfg2),)
+            key = ("persist_dp", cfg, cfg2, masses is not None,
+                   self.substeps, interpret)
             fns = self._jit_cache.get(key)
             if fns is None:
                 fns = (pm_persist_dp.make_persist_init(
                            self.mesh, cfg, with_masses=masses is not None),
                        pm_persist_dp.make_persist_pm_step(
                            self.mesh, cfg, interpret=interpret,
-                           with_masses=masses is not None))
+                           with_masses=masses is not None, cfg2=cfg2))
                 self._jit_cache[key] = fns
             init, pstep = fns
             if self._persist is None:
@@ -424,9 +432,10 @@ class Engine:
                                               if masses is not None else ()))
             for _ in range(self.substeps):
                 # carry = (pos, vel, ids, resorts, fine_b[, masses]);
-                # the step takes masses AFTER (pv, pairv, n_active)
+                # the step takes masses AFTER (pv, pairv, n_active) and
+                # the (replicated) fine kernels last
                 c = self._persist
-                self._persist = pstep(*c[:5], pv, pp, n_act, *c[5:])
+                self._persist = pstep(*c[:5], pv, pp, n_act, *c[5:], *ker)
         else:
             if self._persist is None:
                 self._persist = pper.init_sorted(

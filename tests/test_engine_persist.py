@@ -149,3 +149,39 @@ def test_cli_pm_persist_implies_pm(tmp_path):
     rc = main(["--count", "600", "--steps", "2", "--method", "jnp",
                "--pm-persist", "--stats-every", "0"])
     assert rc == 0
+
+
+def test_persist_with_mesh_two_level():
+    """Multi-chip pm2 rides the persist path: engine(mesh, pm_persist,
+    pm2) steps and tracks the single-device two-level persist engine."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device platform")
+    from particle_sim_tpu.ops import pm2 as pm2_mod
+    from particle_sim_tpu.parallel import mesh as mesh_lib
+
+    cfg2 = pm2_mod.PM2Config(window_min=None, window_size=32.0,
+                             softening=1.0)
+    mesh = mesh_lib.make_mesh()
+    n = mesh.devices.size * 1024
+    e = Engine(particle_count=n, method=Method.PALLAS, pm=CFG,
+               interpret=True, pm_persist=True, mesh=mesh, pm2=cfg2)
+    e_ref = Engine(particle_count=n, method=Method.PALLAS, pm=CFG,
+                   interpret=True, pm_persist=True, pm2=cfg2)
+    for _ in range(2):
+        e.step(PARAMS)
+        e_ref.step(PARAMS)
+    np.testing.assert_allclose(e.state.positions(),
+                               e_ref.state.positions(), rtol=0, atol=5e-3)
+
+
+def test_mesh_pm2_without_persist_rejected():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device platform")
+    from particle_sim_tpu.ops import pm2 as pm2_mod
+    from particle_sim_tpu.parallel import mesh as mesh_lib
+
+    cfg2 = pm2_mod.PM2Config(window_min=None, window_size=32.0,
+                             softening=1.0)
+    with pytest.raises(ValueError, match="pm_persist"):
+        Engine(particle_count=2048, method=Method.PALLAS, pm=CFG,
+               interpret=True, mesh=mesh_lib.make_mesh(), pm2=cfg2)
