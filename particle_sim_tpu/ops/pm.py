@@ -310,6 +310,29 @@ def _fd_gradient(phi: jax.Array, h: float) -> jax.Array:
     return jnp.stack([diff(2), diff(1), diff(0)])
 
 
+def solve_accel_pair(rho: jax.Array, rho2: jax.Array, cfg: "P.PMConfig",
+                     softening, kernels2) -> tuple:
+    """(grids, grids2) f32[3, G, G, G] each — the ISOLATED exact-gradient
+    coarse solve and the fine difference-kernel solve (two-level PM)
+    batched through ONE transform set: both levels share the Hockney
+    doubled-grid shape, so their forward rfftns batch to 2 and the six
+    gradient-component inverses ride one _irfftn_octant_batch instead of
+    two threes. ``kernels2`` = pm2.fine_kernels(...) device pairs.
+    Caller gates on boundary == 'isolated' and both gradients 'exact'."""
+    g = cfg.grid
+    ks1 = _isolated_kernels_host(g, cfg.cell_size, float(softening),
+                                 "exact")
+    pad = ((0, 0), (0, g), (0, g), (0, g))
+    rp = jnp.pad(jnp.stack([rho, rho2]), pad)
+    rhat = jnp.fft.rfftn(rp, axes=(1, 2, 3))
+    ks2 = [r + 1j * i for r, i in kernels2]
+    specs = jnp.concatenate([
+        rhat[0][None] * jnp.stack([jnp.asarray(k) for k in ks1]),
+        rhat[1][None] * jnp.stack(ks2)])
+    out = _irfftn_octant_batch(specs, g).astype(jnp.float32)
+    return out[:3], out[3:]
+
+
 def solve_accel(rho: jax.Array, cfg: "P.PMConfig",
                 softening, cell_size=None) -> jax.Array:
     """f32[3, G, G, G] acceleration grids (unit G_const) from the mass grid.

@@ -568,15 +568,19 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     if psum_axis is not None:
         rho = jax.lax.psum(rho, psum_axis)
 
-    grids = pm.solve_accel(rho, cfg, cfg.softening)     # (3, G, G, G)
-
     gat_pairs = _gather_table_spans(rmin, rmax, n_chunks, c_max_gat)
-    gat = pm_pallas._build_gather_dyn(
-        n, chunk, c_max_gat, interpret,
-        jnp.minimum(gat_total, c_max_gat).astype(jnp.int32))
-    acc = gat(gat_pairs, key.reshape(1, -1), frac.reshape(1, -1),
-              grids.reshape(3, ROWS_TOTAL, LANE).astype(jnp.bfloat16))[:, :n]
-    if cfg2 is not None:
+
+    def coarse_gather(grids):
+        gat = pm_pallas._build_gather_dyn(
+            n, chunk, c_max_gat, interpret,
+            jnp.minimum(gat_total, c_max_gat).astype(jnp.int32))
+        return gat(gat_pairs, key.reshape(1, -1), frac.reshape(1, -1),
+                   grids.reshape(3, ROWS_TOTAL, LANE)
+                   .astype(jnp.bfloat16))[:, :n]
+
+    if cfg2 is None:
+        acc = coarse_gather(pm.solve_accel(rho, cfg, cfg.softening))
+    else:
         # fine level on the SAME persistent order: masked spans over the
         # fine keys (SENTINEL outside the window) bound the tables, the
         # window mask rides as the deposit mass, and the gather lands in
@@ -589,12 +593,18 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
         if _force_fine_fallback:      # test hook: exercise the cond's
             fits = jnp.bool_(False)   # sorted-fallback plumbing
         if psum_axis is not None:
-            # both branches carry a collective (the rho2 psum), so the
+            # both branches carry collectives (the grid psums), so the
             # branch choice must be GLOBAL: any shard's overflow sends
             # everyone down the sorted path for the frame
             fits = jax.lax.psum(
                 fits.astype(jnp.int32), psum_axis) == jax.lax.psum(
                 jnp.int32(1), psum_axis)
+        # both solves share the Hockney doubled-grid shape, so the spans
+        # branch batches them through one FFT set when configs allow
+        batchable = (cfg.boundary == "isolated"
+                     and cfg.gradient == "exact"
+                     and cfg2.gradient == "exact" and kernels is not None)
+        h2 = cfg2.window_size / cfg.grid
 
         def _fine_spans(_):
             rmin2, rmax2 = _chunk_spans(key2, chunk)
@@ -615,10 +625,14 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
                     .reshape(GRID, GRID, GRID))
             if psum_axis is not None:
                 rho2 = jax.lax.psum(rho2, psum_axis)
-            h2 = cfg2.window_size / cfg.grid
-            grids2 = pm.solve_accel_diff(rho2, cfg.grid, h2,
-                                         cfg2.softening, cfg.softening,
-                                         cfg2.gradient, kernels=kernels)
+            if batchable:
+                grids, grids2 = pm.solve_accel_pair(rho, rho2, cfg,
+                                                    cfg.softening, kernels)
+            else:
+                grids = pm.solve_accel(rho, cfg, cfg.softening)
+                grids2 = pm.solve_accel_diff(rho2, cfg.grid, h2,
+                                             cfg2.softening, cfg.softening,
+                                             cfg2.gradient, kernels=kernels)
             gat2_pairs = _gather_table_spans(rmin2, rmax2, n_chunks,
                                              c_max_gat2)
             gat2 = pm_pallas._build_gather_dyn(
@@ -629,16 +643,16 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
                         grids2.reshape(3, ROWS_TOTAL, LANE)
                         .astype(jnp.bfloat16))[:, :n]
             # receivers == sources: window-internal pairs (antisymmetric)
-            return acc2 * w_src[None]
+            return coarse_gather(grids) + acc2 * w_src[None]
 
         def _fine_sorted(_):
             from . import pm2 as _pm2
-            return _pm2.fine_accel_fast(st.pos, live, cfg, cfg2,
-                                        masses=st.masses, kernels=kernels,
-                                        interpret=interpret, wmin=wmin,
-                                        psum_axis=psum_axis)
+            acc_c = coarse_gather(pm.solve_accel(rho, cfg, cfg.softening))
+            return acc_c + _pm2.fine_accel_fast(
+                st.pos, live, cfg, cfg2, masses=st.masses, kernels=kernels,
+                interpret=interpret, wmin=wmin, psum_axis=psum_axis)
 
-        acc = acc + jax.lax.cond(fits, _fine_spans, _fine_sorted, None)
+        acc = jax.lax.cond(fits, _fine_spans, _fine_sorted, None)
     acc = _momentum_clean_live(acc, live.astype(jnp.float32), st.masses,
                                psum_axis=psum_axis)
     return st, g_const * acc
