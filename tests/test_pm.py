@@ -276,3 +276,26 @@ def test_accuracy_sweep(case):
     # the composition stays within the sum of both budgets
     rms_fd = np.sqrt((np.linalg.norm(a_fast - a_dir, axis=0) ** 2).mean())
     assert rms_fd < (direct_tol + 0.005) * dir_mag
+
+
+def test_solve_accel_pair_matches_separate():
+    """The batched coarse+fine solve equals the two separate solves."""
+    import numpy as np
+    from particle_sim_tpu.ops import pm2
+
+    cfg = PMConfig(softening=3.0, boundary="isolated", gradient="exact")
+    cfg2 = pm2.PM2Config(window_min=(-16.0,) * 3, window_size=32.0,
+                         softening=0.75)
+    ker = pm2.fine_kernels(cfg, cfg2)
+    rng = np.random.default_rng(9)
+    rho = jnp.asarray(rng.random((128, 128, 128), np.float32))
+    rho2 = jnp.asarray(rng.random((128, 128, 128), np.float32))
+    g1, g2 = pm.solve_accel_pair(rho, rho2, cfg, cfg.softening, ker)
+    h2 = cfg2.window_size / cfg.grid
+    g1_ref = pm.solve_accel(rho, cfg, cfg.softening)
+    g2_ref = pm.solve_accel_diff(rho2, cfg.grid, h2, cfg2.softening,
+                                 cfg.softening, cfg2.gradient, kernels=ker)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g1_ref),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g2_ref),
+                               atol=1e-4)
