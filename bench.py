@@ -245,6 +245,25 @@ def _measure(res: dict) -> None:
             _sync(w)
             best = min(best, (time.perf_counter() - t0 - t2) / 10)
         detail["pm_self_gravity_1m_frame_ms"] = round(best * 1e3, 3)
+        # persistent-sorted mode at 1M — the realistic interactive
+        # self-gravity configuration (Engine --pm-persist)
+        try:
+            from particle_sim_tpu.ops import pm_persist as _pmp1
+
+            st1 = _pmp1.init_sorted(state.pos.reshape(3, -1),
+                                    jnp.asarray(cap, jnp.int32), cfg)
+            s1 = jax.jit(lambda s: _pmp1.step_sorted(
+                s, pv, pp_vec, jnp.asarray(cap, jnp.int32), cfg))
+            st1 = s1(st1)
+            _sync(st1.pos)
+            t0 = time.perf_counter()
+            for _ in range(10):
+                st1 = s1(st1)
+            _sync(st1.pos)
+            detail["pm_persistent_1m_frame_ms"] = round(
+                (time.perf_counter() - t0) / 10 * 1e3, 3)
+        except Exception as e:
+            errors["pm_persist_1m"] = repr(e)[:200]
     except Exception as e:
         errors["pm_1m"] = repr(e)[:200]
 
