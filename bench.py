@@ -331,6 +331,9 @@ def _measure(res: dict) -> None:
                 acc_p2 = jax.jit(lambda s, k: (lambda s2, a: (s2, a.sum()))(
                     *_pmper.accel_sorted(s, jnp.float32(1.0), cfg16,
                                          cfg2=cfg2p, kernels=k)))
+                # two warmups: the first migrates into the segmented
+                # order (one repair), the second settles steady state
+                st_p, tot = acc_p2(st_p, ker2p)
                 st_p, tot = acc_p2(st_p, ker2p)
                 _sync(tot)
                 t0 = time.perf_counter()
