@@ -235,3 +235,73 @@ def test_budgets_clamped_and_sufficient():
         dt, gt = pm_persist._pair_totals(key, c)
         assert int(dt) <= cd
         assert int(gt) <= cg
+
+
+def test_segmented_deposit_table_properties():
+    """Brute-force check of _deposit_table_spans_seg over random
+    segmented orders: (1) every true (window, chunk) incidence of either
+    segment part is in the table, (2) no (window, chunk) pair appears
+    twice (the boundary-chunk dedupe), (3) entries are tile-major with
+    each tile's first fam-0 entry carrying the zero bit, (4) every tile
+    has a fam-0 first-visit."""
+    from particle_sim_tpu.ops import pm_persist as pp
+    from particle_sim_tpu.ops.pm_pallas import (
+        N_TILES, SENTINEL, SPREAD, T_ROWS, _S_BITS, _S_MASK, _T_MASK,
+        _T_SHIFT)
+
+    rng = np.random.default_rng(77)
+    n, chunk = 8192, 512
+    nc = n // chunk
+    for trial in range(4):
+        # clustered keys with dead slots, sorted per segment like a real
+        # repair would produce
+        fine_b = int(rng.integers(1, n))
+        keys = rng.integers(0, SENTINEL, size=n).astype(np.int64)
+        keys[rng.random(n) < 0.1] = SENTINEL
+        a = np.sort(keys[:fine_b])
+        b = np.sort(keys[fine_b:])
+        key = jnp.asarray(np.concatenate([a, b]).astype(np.int32))
+        c_max = 4096
+        pairs = np.asarray(pp._deposit_table_spans_seg(
+            key, chunk, jnp.int32(fine_b), nc, c_max)).astype(np.int64)
+        s_k = pairs & _S_MASK
+        fam_k = (pairs >> _S_BITS) & 1
+        t_k = (pairs >> _T_SHIFT) & _T_MASK
+        first_k = (pairs < 0).astype(np.int64)   # bit 31 == int32 sign
+        real = t_k < N_TILES
+
+        # (2) no duplicates among real entries
+        seen = set()
+        for w, s in zip((2 * t_k + fam_k)[real], s_k[real]):
+            if s < nc:                      # PAD entries may repeat
+                assert (w, s) not in seen, (trial, w, s)
+                seen.add((w, s))
+
+        # (1) completeness: every per-part incidence present
+        kk = np.concatenate([a, b]).astype(np.int64)
+        rows = kk >> 7
+        slot = np.arange(n)
+        for part, mask in (("A", slot < fine_b), ("B", slot >= fine_b)):
+            for s in range(nc):
+                m = mask[s * chunk:(s + 1) * chunk] & (
+                    kk[s * chunk:(s + 1) * chunk] < SENTINEL)
+                if not m.any():
+                    continue
+                r = rows[s * chunk:(s + 1) * chunk][m]
+                rmin, rmax = r.min(), r.max()
+                for w in range(2 * N_TILES):
+                    t, fam = w >> 1, w & 1
+                    lo = max(t * T_ROWS - (SPREAD if fam else 1), 0)
+                    hi = ((t - 1 if fam else t + 1) * T_ROWS) - 1
+                    if rmax >= lo and rmin <= hi:
+                        assert (w, s) in seen, (trial, part, w, s)
+
+        # (3) tile-major order + (4) per-tile fam-0 first visit
+        t_real = t_k[real]
+        assert (np.diff(t_real) >= 0).all()
+        for t in range(N_TILES):
+            idx = np.where((t_k == t))[0]
+            assert idx.size > 0
+            f0 = idx[0]
+            assert fam_k[f0] == 0 and first_k[f0] == 1, (trial, t)
+            assert first_k[idx[1:]].sum() == 0
