@@ -305,3 +305,56 @@ def test_segmented_deposit_table_properties():
             f0 = idx[0]
             assert fam_k[f0] == 0 and first_k[f0] == 1, (trial, t)
             assert first_k[idx[1:]].sum() == 0
+
+
+def test_gather_table_spans_properties():
+    """Brute-force check of _gather_table_spans over random spans:
+    (1) every chunk's corner tile range is fully covered per family (an
+    out-of-range fam-1 tile redirects to the provably-empty (0, 1)),
+    (2) entries are chunk-major with each chunk's first entry carrying
+    the zero bit, (3) every chunk gets a first visit."""
+    from particle_sim_tpu.ops import pm_persist as pp
+    from particle_sim_tpu.ops.pm_pallas import (
+        GRID, N_TILES, SENTINEL, T_ROWS, _S_BITS, _S_MASK, _T_MASK,
+        _T_SHIFT)
+
+    rng = np.random.default_rng(78)
+    n, chunk = 8192, 512
+    nc = n // chunk
+    for trial in range(4):
+        keys = rng.integers(0, SENTINEL, size=n).astype(np.int64)
+        keys[rng.random(n) < 0.15] = SENTINEL
+        key = jnp.asarray(np.sort(keys).astype(np.int32))
+        rmin, rmax = pp._chunk_spans(key, chunk)
+        c_max = 4096
+        pairs = np.asarray(pp._gather_table_spans(
+            rmin, rmax, nc, c_max)).astype(np.int64)
+        s_k = pairs & _S_MASK
+        fam_k = (pairs >> _S_BITS) & 1
+        t_k = (pairs >> _T_SHIFT) & _T_MASK
+        first_k = (pairs < 0).astype(np.int64)
+        real = s_k < nc
+
+        rmin_np, rmax_np = np.asarray(rmin), np.asarray(rmax)
+        got = set(zip(s_k[real], t_k[real], fam_k[real]))
+        for s in range(nc):
+            if rmax_np[s] < rmin_np[s]:
+                continue                       # dead chunk: skip coverage
+            t_lo = min(max(rmin_np[s] // T_ROWS, 0), N_TILES - 1)
+            t_hi = max(min((rmax_np[s] + 1) // T_ROWS, N_TILES - 1), t_lo)
+            fam_shift = GRID // T_ROWS         # fam-1 rows sit +GRID rows
+            for t in range(t_lo, t_hi + 1):
+                assert (s, t, 0) in got, (trial, s, t)
+                t1 = t + fam_shift
+                want1 = ((s, t1, 1) if t1 <= N_TILES - 1 else (s, 0, 1))
+                assert want1 in got, (trial, s, t1)
+
+        # chunk-major + per-chunk zeroing first visit (every chunk owns
+        # an output block, dead or not)
+        s_real = s_k[real]
+        assert (np.diff(s_real) >= 0).all()
+        for s in range(nc):
+            idx = np.where(s_k == s)[0]
+            assert idx.size > 0, (trial, s)
+            assert first_k[idx[0]] == 1
+            assert first_k[idx[1:]].sum() == 0
