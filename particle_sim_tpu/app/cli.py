@@ -78,16 +78,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="track the cloud with a traced box every step "
                         "(auto-zoom; --pm-softening is then in CELL units)")
     p.add_argument("--pm-gradient", choices=["exact", "fd"], default="exact")
-    p.add_argument("--pm2-size", type=float, default=0.0,
+    p.add_argument("--pm2-size", type=float, nargs="+", default=[0.0],
                    help="two-level PM: refinement window extent (enables "
                         "the fine level; window follows the mass centroid "
-                        "unless --pm2-window is given)")
+                        "unless --pm2-window is given). SEVERAL values "
+                        "(outermost first) nest a MULTI-level solver "
+                        "(pm2.pmn_accel), each window tracking the "
+                        "centroid of the level above's members")
     p.add_argument("--pm2-window", type=float, nargs=3, default=None,
                    metavar=("X", "Y", "Z"),
-                   help="two-level PM: static window origin")
-    p.add_argument("--pm2-softening", type=float, default=0.5,
+                   help="two-level PM: static origin of the OUTERMOST "
+                        "window (deeper levels always auto-track)")
+    p.add_argument("--pm2-softening", type=float, nargs="+", default=[0.5],
                    help="fine-level Plummer softening (resolve >= "
-                        "~2.5 * pm2-size/128)")
+                        "~2.5 * pm2-size/128); one value per --pm2-size "
+                        "level when multi-level")
     p.add_argument("--pm2-margin", type=float, default=0.0)
     p.add_argument("--pm-persist", action="store_true",
                    help="persistent cell-sorted PM state (sort-free "
@@ -155,7 +160,7 @@ def main(argv=None) -> int:
                       file=sys.stderr)
         # --pm-persist / --pm2-size are PM solver modes: imply --pm (the
         # server does the same, app/server.py want_pm)
-        if args.pm_persist or args.pm2_size > 0.0:
+        if args.pm_persist or args.pm2_size[0] > 0.0:
             args.pm = True
         pm_cfg = None
         if args.pm:
@@ -166,13 +171,23 @@ def main(argv=None) -> int:
                 boundary=args.pm_boundary, gradient=args.pm_gradient,
                 auto_box=args.pm_auto_box)
         pm2_cfg = None
-        if args.pm2_size > 0.0:
+        if args.pm2_size[0] > 0.0:
             from ..ops.pm2 import PM2Config
-            pm2_cfg = PM2Config(
+            sizes = args.pm2_size
+            softs = args.pm2_softening
+            if len(sizes) > 1 and len(softs) != len(sizes):
+                p_err = ("--pm2-softening needs one value per --pm2-size "
+                         f"level ({len(sizes)} sizes, {len(softs)} "
+                         "softenings)")
+                raise SystemExit(p_err)
+            levels = tuple(PM2Config(
                 window_min=(tuple(args.pm2_window)
-                            if args.pm2_window else None),
-                window_size=args.pm2_size,
-                softening=args.pm2_softening, margin=args.pm2_margin)
+                            if k == 0 and args.pm2_window else None),
+                window_size=sz,
+                softening=softs[min(k, len(softs) - 1)],
+                margin=args.pm2_margin)
+                for k, sz in enumerate(sizes))
+            pm2_cfg = levels if len(levels) > 1 else levels[0]
         engine = Engine(
             particle_count=args.count,
             method=method,

@@ -96,7 +96,10 @@ class Engine:
         ``pm``. Composes with ``pm_persist``: BOTH levels then run
         sort-free on the segmented persistent order (ops/pm_persist.py
         accel_sorted docstring); that composition is also the multi-chip
-        pm2 path (with ``mesh``, pm2 requires pm_persist).
+        pm2 path (with ``mesh``, pm2 requires pm_persist). A SEQUENCE
+        of PM2Configs (outermost first) runs the MULTI-level nested
+        solver (pm2.pmn_accel, telescoping difference kernels;
+        per-frame-sorted path only).
 
         ``pm_persist``: run the PM solver on the persistent cell-sorted
         state (ops/pm_persist.py): the frame pays zero sorts in steady
@@ -143,6 +146,18 @@ class Engine:
                 raise ValueError("multi-chip pm2 requires pm_persist "
                                  "(parallel/pm_persist_dp.py is the "
                                  "sharded two-level path)")
+            # a sequence of PM2Configs = MULTI-level nesting (pmn_accel);
+            # normalize a 1-tuple back to the plain two-level mode
+            if isinstance(pm2, (tuple, list)):
+                pm2 = tuple(pm2)
+                if len(pm2) == 1:
+                    pm2 = pm2[0]
+                elif pm_persist or mesh is not None:
+                    raise ValueError(
+                        "multi-level pm2 (>1 refinement level) runs the "
+                        "per-frame-sorted path only — not pm_persist or "
+                        "multi-chip (the segmented persistent order "
+                        "carries exactly one fine segment)")
         self.pm2 = pm2
         self.pm_persist = pm_persist
         self._persist = None          # SortedPMState / dp carry, lazy
@@ -271,6 +286,20 @@ class Engine:
                         and cfg.grid == pm_pallas.GRID)
             # fine kernels ride as jit arguments (device buffers), not
             # baked-in constants — see pm.diff_kernels_device
+            if isinstance(cfg2, tuple):          # multi-level nesting
+                kers = pm2_mod.levels_kernels(cfg, cfg2)
+
+                def fn(pos, vel, pv, pp, n):
+                    for _ in range(substeps):
+                        pos, vel = pm2_mod.step_pmn_jit(
+                            pos, vel, pv, pp, n, cfg, cfg2,
+                            use_fast=use_fast, interpret=interpret,
+                            masses=self._masses_for_capacity(),
+                            kernels=kers)
+                    return pos, vel
+
+                self._jit_cache[key] = fn
+                return fn
             ker = pm2_mod.fine_kernels(cfg, cfg2)
 
             def fn(pos, vel, pv, pp, n):

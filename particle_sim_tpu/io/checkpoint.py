@@ -41,8 +41,12 @@ def save(path: str, engine: Engine, step_index: int = 0) -> None:
             if engine.pairwise else None),
         "pm": dataclasses.asdict(engine.pm) if engine.pm else None,
         "pm_persist": bool(getattr(engine, "pm_persist", False)),
-        "pm2": (dataclasses.asdict(engine.pm2)
-                if getattr(engine, "pm2", None) else None),
+        # single PM2Config -> dict; multi-level tuple -> list of dicts
+        "pm2": (
+            [dataclasses.asdict(c) for c in engine.pm2]
+            if isinstance(getattr(engine, "pm2", None), tuple)
+            else dataclasses.asdict(engine.pm2)
+            if getattr(engine, "pm2", None) else None),
     }
     arrays = dict(
         positions=state.positions(),
@@ -86,9 +90,14 @@ def load(path: str, method: Optional[Method] = None,
     pm2_meta = meta.get("pm2")
     if pm2_meta:
         from ..ops.pm2 import PM2Config
-        if pm2_meta.get("window_min") is not None:
-            pm2_meta["window_min"] = tuple(pm2_meta["window_min"])
-        pm2_cfg = PM2Config(**pm2_meta)
+
+        def _one(d):
+            if d.get("window_min") is not None:
+                d["window_min"] = tuple(d["window_min"])
+            return PM2Config(**d)
+
+        pm2_cfg = (tuple(_one(d) for d in pm2_meta)
+                   if isinstance(pm2_meta, list) else _one(pm2_meta))
     engine = Engine(
         particle_count=1,  # placeholder; state is replaced below
         method=method if method is not None else Method(meta["method"]),
