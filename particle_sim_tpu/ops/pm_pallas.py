@@ -63,8 +63,17 @@ from . import physics, pm
 GRID = 128
 LANE = 128
 ROWS_TOTAL = GRID * GRID * GRID // LANE     # 16384 (row = z*128 + y)
-T_ROWS = 64                                  # grid-tile rows per kernel block
+T_ROWS = 64                                  # deposit-tile rows per block
 N_TILES = ROWS_TOTAL // T_ROWS               # 256
+# The gather blocks the acceleration grids on its own, smaller row tile:
+# its MXU work is (3*rows stream) x (LANE contract) x (chunk) per tile
+# visit while a chunk's row span (~16 rows at 16M) stays well under
+# either tile size, so visits barely grow as the tile shrinks — total
+# streamed rows scale ~(span + rows), i.e. 32-row tiles cut the gather's
+# MXU and one-hot work ~40% vs 64 (measured; see docs/DESIGN.md). 512
+# tile ids still fit the packed word's 9-bit tile field.
+T_ROWS_G = 32                                # gather-tile rows per block
+N_TILES_G = ROWS_TOTAL // T_ROWS_G           # 512
 MIN_CHUNK = 512                              # smallest supported block
 SPREAD = GRID + 1                            # max corner row offset (z+1,y+1)
 SENTINEL = GRID * GRID * GRID                # id past the last cell
@@ -111,8 +120,8 @@ def pick_chunk(n_pad: int) -> int:
     raise ValueError(f"capacity {n_pad} not a multiple of 512")
 
 
-def _family_onehot(lrow, fy, wz, dtype):
-    """(R (T_ROWS, chunk), liota (LANE, chunk)) one CIC corner family.
+def _family_onehot(lrow, fy, wz, dtype, rows=T_ROWS):
+    """(R (rows, chunk), liota (LANE, chunk)) one CIC corner family.
 
     A particle's 8 CIC corners split into two row families exactly GRID
     rows apart (rows r,r+1 weight 1-fz; rows r+GRID,r+GRID+1 weight fz);
@@ -124,8 +133,8 @@ def _family_onehot(lrow, fy, wz, dtype):
     bf16's (16,128)) and cast after.
     """
     chunk = lrow.shape[1]
-    riota = jax.lax.broadcasted_iota(jnp.int32, (T_ROWS, chunk), 0)
-    zero = jnp.zeros((T_ROWS, chunk), jnp.float32)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 0)
+    zero = jnp.zeros((rows, chunk), jnp.float32)
     R = (jnp.where(riota == lrow, (1.0 - fy) * wz, zero)
          + jnp.where(riota == lrow + 1, fy * wz, zero))
     liota = jax.lax.broadcasted_iota(jnp.int32, (LANE, chunk), 0)
@@ -211,8 +220,8 @@ def _gather_kernel(n_chunks, p_ref, key_ref, frac_ref, a_ref, out_ref,
         row = key >> 7
         fx, fy, fz = _unpack_fracs(frac_ref[...])
         wz = jnp.where(fam == 1, fz, 1.0 - fz)
-        R, liota = _family_onehot(row + fam * GRID - t * T_ROWS, fy, wz,
-                                  jnp.bfloat16)
+        R, liota = _family_onehot(row + fam * GRID - t * T_ROWS_G, fy, wz,
+                                  jnp.bfloat16, rows=T_ROWS_G)
 
         # the lane one-hot depends only on the CHUNK, and the table is
         # chunk-major — build L once on each chunk's first entry (the
@@ -229,7 +238,7 @@ def _gather_kernel(n_chunks, p_ref, key_ref, frac_ref, a_ref, out_ref,
         C = jax.lax.dot_general(
             a_ref[...], l_ref[...],
             dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)   # (3, T_ROWS, chunk)
+            preferred_element_type=jnp.float32)   # (3, T_ROWS_G, chunk)
         # R and L carry the SAME bf16-rounded weight VALUES as the
         # deposit's one-hots or the kick loses deposit/gather antisymmetry
         # (a 0.4% weight mismatch compounds into a systematic momentum
@@ -308,7 +317,7 @@ def _make_gather(n_pad: int, chunk: int, c_max: int, interpret: bool,
         in_specs=[
             pl.BlockSpec((1, chunk), in_s, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk), in_s, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, T_ROWS, LANE),
+            pl.BlockSpec((3, T_ROWS_G, LANE),
                          lambda i, p: (0, (p[i] >> _T_SHIFT) & _T_MASK, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -322,9 +331,9 @@ def _make_gather(n_pad: int, chunk: int, c_max: int, interpret: bool,
         out_shape=jax.ShapeDtypeStruct((3, n_pad + chunk), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=c_max * (2 * 3 * T_ROWS * chunk * LANE
+            flops=c_max * (2 * 3 * T_ROWS_G * chunk * LANE
                            + 3 * chunk * LANE),
-            bytes_accessed=c_max * (chunk * 16 + 3 * T_ROWS * LANE * 2),
+            bytes_accessed=c_max * (chunk * 16 + 3 * T_ROWS_G * LANE * 2),
             transcendentals=0,
         ),
     )
@@ -396,16 +405,17 @@ def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
 
     For each chunk-aligned slice: the range of grid tiles its fam-0
     corner rows (r, r+1) touch, then the fam-1 range (r+GRID, r+GRID+1 —
-    the same range shifted +GRID/T_ROWS = 2 tiles). Splitting skips the
+    the same range shifted +GRID/T_ROWS_G tiles). Splitting skips the
     dead tiles between the two corner-row pairs of row-compact (dense)
     slices. Slice-major order keeps the output block index non-decreasing
     (required for revisit accumulation)."""
     n_chunks = n_pad // chunk
     row_first = key_s[0::chunk] >> 7                       # (n_chunks,)
     row_last = key_s[chunk - 1::chunk] >> 7
-    t_lo = jnp.clip(row_first // T_ROWS, 0, N_TILES - 1).astype(jnp.int32)
-    t_hi = jnp.clip((row_last + 1) // T_ROWS, 0,
-                    N_TILES - 1).astype(jnp.int32)
+    t_lo = jnp.clip(row_first // T_ROWS_G, 0,
+                    N_TILES_G - 1).astype(jnp.int32)
+    t_hi = jnp.clip((row_last + 1) // T_ROWS_G, 0,
+                    N_TILES_G - 1).astype(jnp.int32)
     t_hi = jnp.maximum(t_hi, t_lo)
     c_fam = (t_hi - t_lo + 1).astype(jnp.int32)            # per family
     base = jnp.concatenate(
@@ -414,8 +424,8 @@ def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
     total = base[-1]
     # per family: spans telescope (keys sorted: first(s+1) >= last(s), so
     # consecutive spans overlap <= 1 tile) => sum c_fam <= 2*n_chunks +
-    # N_TILES; two families double it
-    c_max = 4 * n_chunks + 2 * N_TILES + 2
+    # N_TILES_G; two families double it
+    c_max = 4 * n_chunks + 2 * N_TILES_G + 2
     kk = jnp.arange(c_max, dtype=jnp.int32)
     s_k = _rank_right_iota(base, c_max)
     s_k = jnp.clip(s_k, 0, n_chunks)          # n_chunks == trash block
@@ -423,14 +433,15 @@ def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
     s_safe = jnp.minimum(s_k, n_chunks - 1)
     off = kk - base[s_safe]
     fam_k = jnp.where(real & (off >= c_fam[s_safe]), 1, 0)
-    t_raw = t_lo[s_safe] + off - fam_k * (c_fam[s_safe] - 2)
-    # fam-1 tiles t_lo+2..t_hi+2 overflow past the last tile for slices
-    # whose clipped fam-0 span already ends at N_TILES-1 (sentinel rows).
-    # Clipping would duplicate tile N_TILES-1 and double-count its
+    t_raw = (t_lo[s_safe] + off
+             - fam_k * (c_fam[s_safe] - GRID // T_ROWS_G))
+    # fam-1 tiles t_lo+4..t_hi+4 overflow past the last tile for slices
+    # whose clipped fam-0 span already ends at N_TILES_G-1 (sentinel rows).
+    # Clipping would duplicate tile N_TILES_G-1 and double-count its
     # corners; redirect overflow to (tile 0, fam 1) instead — that window
-    # wants base rows in [-GRID, T_ROWS-GRID), which no particle has, so
-    # the pair contributes exactly nothing.
-    overflow = t_raw > N_TILES - 1
+    # wants base rows in [-GRID, T_ROWS_G-GRID), which no particle has,
+    # so the pair contributes exactly nothing.
+    overflow = t_raw > N_TILES_G - 1
     t_k = jnp.where(real & ~overflow, t_raw, 0)
     fam_k = jnp.where(overflow, 1, fam_k)
     s_k = jnp.where(real, s_k, n_chunks)

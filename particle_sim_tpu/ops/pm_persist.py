@@ -78,8 +78,8 @@ from ..core import params as P
 from ..utils.search import bin_search as _bin_search
 from ..utils.search import rank_right_iota as _rank_right_iota
 from . import physics, pm, pm_pallas
-from .pm_pallas import (GRID, LANE, N_TILES, ROWS_TOTAL, SENTINEL, SPREAD,
-                        T_ROWS, _pack_pairs)
+from .pm_pallas import (GRID, LANE, N_TILES, N_TILES_G, ROWS_TOTAL,
+                        SENTINEL, SPREAD, T_ROWS, T_ROWS_G, _pack_pairs)
 
 # Pair budgets, in window-memberships (deposit) / tile-visits x2 (gather)
 # per chunk. Freshly repaired order needs <= 4 + o(1) of either (the
@@ -88,16 +88,17 @@ from .pm_pallas import (GRID, LANE, N_TILES, ROWS_TOTAL, SENTINEL, SPREAD,
 # particle crossing a z-cell boundary widens its whole chunk's row span
 # by GRID = 128 rows (~2 extra 64-row windows per side per family), so a
 # useful budget must absorb at least +-1 z-cell of outlier drift —
-# ~6 extra memberships/chunk deposit-side, ~8 tile-visits gather-side —
+# ~6 extra memberships/chunk deposit-side, ~2*2*(GRID/T_ROWS_G) = 16
+# tile-visits gather-side in the gather's 32-row blocking —
 # or dense states repair almost every frame (measured: SLACK 8 at 16M
 # repaired 14 of 21 dynamic frames; drift per frame is only ~0.04 cells,
 # so a +-1-cell budget pushes repairs out by an order of magnitude).
-# Going LOOSER loses (measured, 16M collapse, 31 frames): 28/24 and
-# 31/31 cut repairs 8->6 but the extra tolerated span width makes every
-# inter-repair frame costlier — 174/164 ms avg vs 132 at 20/16. Early
-# repair keeps frames near the 58.5 ms steady floor.
+# Going LOOSER loses (measured, 16M collapse, 31 frames, T_ROWS_G=64
+# era): 28/24 and 31/31 cut repairs 8->6 but the extra tolerated span
+# width makes every inter-repair frame costlier — 174/164 ms avg vs 132
+# at 20/16. Early repair keeps frames near the steady floor.
 SLACK_DEP = 20
-SLACK_GAT = 16
+SLACK_GAT = 24
 _SMEM_WORDS = 65536          # known-good scalar-prefetch budget (pick_chunk)
 
 
@@ -109,7 +110,7 @@ def pick_chunk(n_pad: int) -> int:
             continue
         nc = n_pad // c
         worst = max(SLACK_DEP * nc + 4 * N_TILES,
-                    SLACK_GAT * nc + 2 * N_TILES) + 2
+                    SLACK_GAT * nc + 2 * N_TILES_G) + 2
         if worst <= _SMEM_WORDS:
             return c
     raise ValueError(f"capacity {n_pad} not a multiple of 512, or too "
@@ -126,7 +127,7 @@ def budgets(n_chunks: int) -> Tuple[int, int]:
     guarantee is untouched: a fresh sort's totals sit at the telescoping
     bound (~SLACK/2 per chunk), far below either capacity."""
     return (min(2 * SLACK_DEP * n_chunks + 4 * N_TILES + 2, _SMEM_WORDS),
-            min(2 * SLACK_GAT * n_chunks + 2 * N_TILES + 2, _SMEM_WORDS))
+            min(2 * SLACK_GAT * n_chunks + 2 * N_TILES_G + 2, _SMEM_WORDS))
 
 
 # sort-key classes of the SEGMENTED order (two-level mode): live
@@ -277,9 +278,11 @@ def _window_ranges_seg(spans_a, spans_b, n_chunks: int):
 
 def _gather_tiles(rmin, rmax):
     """(t_lo, t_hi) inclusive fam-0 tile range per chunk (corner rows are
-    r and r+1, so the top tile comes from rmax + 1)."""
-    t_lo = jnp.clip(rmin // T_ROWS, 0, N_TILES - 1).astype(jnp.int32)
-    t_hi = jnp.clip((rmax + 1) // T_ROWS, 0, N_TILES - 1).astype(jnp.int32)
+    r and r+1, so the top tile comes from rmax + 1) — in the gather's OWN
+    row blocking (T_ROWS_G)."""
+    t_lo = jnp.clip(rmin // T_ROWS_G, 0, N_TILES_G - 1).astype(jnp.int32)
+    t_hi = jnp.clip((rmax + 1) // T_ROWS_G, 0,
+                    N_TILES_G - 1).astype(jnp.int32)
     return t_lo, jnp.maximum(t_hi, t_lo)
 
 
@@ -391,8 +394,9 @@ def _gather_table_spans(rmin, rmax, n_chunks: int, c_max: int):
     s_safe = jnp.minimum(s_k, n_chunks - 1)
     off = kk - base[s_safe]
     fam_k = jnp.where(real & (off >= c_fam[s_safe]), 1, 0)
-    t_raw = t_lo[s_safe] + off - fam_k * (c_fam[s_safe] - 2)
-    overflow = t_raw > N_TILES - 1
+    t_raw = (t_lo[s_safe] + off
+             - fam_k * (c_fam[s_safe] - GRID // T_ROWS_G))
+    overflow = t_raw > N_TILES_G - 1
     t_k = jnp.where(real & ~overflow, t_raw, 0)
     fam_k = jnp.where(overflow, 1, fam_k)
     s_k = jnp.where(real, s_k, n_chunks)

@@ -214,7 +214,7 @@ def test_pick_chunk_budget():
         assert n % c == 0
         nc = n // c
         assert (max(pm_persist.SLACK_DEP * nc + 4 * pm_pallas.N_TILES,
-                    pm_persist.SLACK_GAT * nc + 2 * pm_pallas.N_TILES)
+                    pm_persist.SLACK_GAT * nc + 2 * pm_pallas.N_TILES_G)
                 + 2 <= 65536)
 
 
@@ -315,8 +315,9 @@ def test_gather_table_spans_properties():
     the zero bit, (3) every chunk gets a first visit."""
     from particle_sim_tpu.ops import pm_persist as pp
     from particle_sim_tpu.ops.pm_pallas import (
-        GRID, N_TILES, SENTINEL, T_ROWS, _S_BITS, _S_MASK, _T_MASK,
-        _T_SHIFT)
+        GRID, SENTINEL, _S_BITS, _S_MASK, _T_MASK, _T_SHIFT)
+    from particle_sim_tpu.ops.pm_pallas import (
+        N_TILES_G as N_TILES, T_ROWS_G as T_ROWS)
 
     rng = np.random.default_rng(78)
     n, chunk = 8192, 512
