@@ -12,11 +12,12 @@ steps with the sorted one-hot-matmul machinery proven by the rasterizer
      R[r,p] (y/z weights) and a lane one-hot L[l,p] (2 terms: x weights),
      so a chunk's deposit is ONE MXU matmul  D = R @ L^T  into a
      (T_ROWS, 128) grid tile. The z-offset between a particle's lower and
-     upper corner rows is exactly GRID = 2 tiles, so the row one-hot is
-     split into two FAMILIES — lower-z corners (rows r, r+1, weight 1-fz)
-     and upper-z corners (rows r+128, r+129, weight fz) — each a 2-term
-     one-hot. Pairing tiles with chunk slices per family (two 65-row
-     windows instead of one contiguous 193-row window spanning both)
+     upper corner rows is exactly GRID rows (a whole number of tiles), so
+     the row one-hot is split into two FAMILIES — lower-z corners (rows
+     r, r+1, weight 1-fz) and upper-z corners (rows r+128, r+129, weight
+     fz) — each a 2-term one-hot. Pairing tiles with chunk slices per
+     family (two (T_ROWS+1)-row windows instead of one contiguous
+     (GRID+T_ROWS+1)-row window spanning both)
      skips the ~1-tile dead zone between the corner pairs (~25-30% fewer
      MXU matmuls at realistic densities) and halves the one-hot
      construction cost. Corner spill across tile boundaries is handled
@@ -63,17 +64,17 @@ from . import physics, pm
 GRID = 128
 LANE = 128
 ROWS_TOTAL = GRID * GRID * GRID // LANE     # 16384 (row = z*128 + y)
-T_ROWS = 64                                  # deposit-tile rows per block
-N_TILES = ROWS_TOTAL // T_ROWS               # 256
-# The gather blocks the acceleration grids on its own, smaller row tile:
-# its MXU work is (3*rows stream) x (LANE contract) x (chunk) per tile
-# visit while a chunk's row span (~16 rows at 16M) stays well under
-# either tile size, so visits barely grow as the tile shrinks — total
-# streamed rows scale ~(span + rows), i.e. 32-row tiles cut the gather's
-# MXU and one-hot work ~40% vs 64 (measured; see docs/DESIGN.md). 512
-# tile ids still fit the packed word's 9-bit tile field.
-T_ROWS_G = 32                                # gather-tile rows per block
-N_TILES_G = ROWS_TOTAL // T_ROWS_G           # 512
+# Deposit and gather block the grid on their own row-tile sizes. A
+# chunk's row span (~8-16 rows at 16M) sits well under either tile, so
+# per-chunk tile visits barely grow as tiles shrink while the per-visit
+# streamed rows / one-hot / MXU work scales with the tile: total work
+# goes ~(span + rows) per chunk and family — smaller tiles win until
+# the visit overhead (input re-streaming, revisit flushes) catches up
+# (measured best: deposit 32, gather 16; see docs/DESIGN.md).
+T_ROWS = 32                                  # deposit-tile rows per block
+N_TILES = ROWS_TOTAL // T_ROWS               # 512
+T_ROWS_G = 16                                # gather-tile rows per block
+N_TILES_G = ROWS_TOTAL // T_ROWS_G           # 1024
 MIN_CHUNK = 512                              # smallest supported block
 SPREAD = GRID + 1                            # max corner row offset (z+1,y+1)
 SENTINEL = GRID * GRID * GRID                # id past the last cell
@@ -84,21 +85,25 @@ SENTINEL = GRID * GRID * GRID                # id past the last cell
 # ---------------------------------------------------------------------------
 #
 # Pair tables are packed into ONE i32 scalar-prefetch word per grid step —
-# bits [0,21) slice block, bit 21 corner family, [22,31) grid tile, bit 31
+# bits [0,20) slice block, bit 20 corner family, [21,31) grid tile, bit 31
 # first-visit — because scalar prefetch arrays live in SMEM (~1 MB): three
 # separate i32[c_max] arrays blow it at 16M particles. CHUNK adapts to N
 # for the same reason (pick_chunk), keeping c_max*4B comfortably inside
-# SMEM. (Family+tile are one 10-bit window id w = 2*tile + fam at bit 21,
-# so the tile is still a single shift+mask: (word >> 22) & 0x1FF.)
+# SMEM. (Family+tile are one 11-bit window id w = 2*tile + fam at bit 20,
+# so the tile is still a single shift+mask: (word >> 21) & 0x3FF. The
+# 10-bit tile field holds the deposit's trash tile id N_TILES == 512 and
+# the gather's 1024 tiles; 20 slice bits still allow 2^20 chunks — 512M
+# particles at the smallest chunk, far past the SMEM-bound pick_chunk
+# range.)
 
 _FQ_BITS = 10
 _FQ_MAX = 1023
 _FQ_MASK = (1 << _FQ_BITS) - 1
 
-_S_BITS = 21
+_S_BITS = 20
 _S_MASK = (1 << _S_BITS) - 1
-_T_SHIFT = 22
-_T_MASK = 0x1FF
+_T_SHIFT = 21
+_T_MASK = 0x3FF
 
 
 def _pack_pairs(t, fam, s, first):
@@ -360,8 +365,8 @@ def _deposit_table(key_s: jax.Array, n_pad: int, chunk: int):
     Per tile t, TWO windows (one per corner family), window id w = 2t+fam:
     fam 0 (rows r, r+1) receives particles with base row in
     [t*T_ROWS - 1, (t+1)*T_ROWS); fam 1 (rows r+GRID, r+GRID+1) receives
-    base rows in [t*T_ROWS - SPREAD, (t-1)*T_ROWS) — i.e. the fam-0 window
-    shifted down GRID rows. Splitting skips the dead zone between the two
+    base rows in [t*T_ROWS - SPREAD, (t+1)*T_ROWS - GRID) — i.e. the
+    fam-0 window shifted down GRID rows. Splitting skips the dead zone between the two
     corner-row pairs that a single contiguous window would cover. Base
     cell id range = [lo*LANE, hi*LANE). Each window keeps >= 1 entry so
     the fam-0 first-visit always exists to zero the tile.
@@ -372,7 +377,7 @@ def _deposit_table(key_s: jax.Array, n_pad: int, chunk: int):
     t_w = w_idx >> 1
     fam_w = w_idx & 1
     lo_r = t_w * T_ROWS - jnp.where(fam_w == 1, SPREAD, 1)
-    hi_r = jnp.where(fam_w == 1, t_w - 1, t_w + 1) * T_ROWS
+    hi_r = (t_w + 1) * T_ROWS - jnp.where(fam_w == 1, GRID, 0)
     lo = jnp.clip(lo_r, 0, ROWS_TOTAL) * LANE
     hi = jnp.maximum(jnp.clip(hi_r, 0, ROWS_TOTAL) * LANE, lo)
     o = _bin_search(key_s, lo, side_right=False, n_iters=n_iters)
@@ -381,8 +386,9 @@ def _deposit_table(key_s: jax.Array, n_pad: int, chunk: int):
     c_w = jnp.maximum(-(-(end - a_blk * chunk) // chunk), 1).astype(jnp.int32)
     base = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(c_w).astype(jnp.int32)])
-    # static bound: a particle lands in <= 2 windows per family (65-row
-    # windows overlap 1 row), + ceil/alignment slack of 2 per window
+    # static bound: a particle lands in <= 2 windows per family (the
+    # (T_ROWS+1)-row windows overlap 1 row), + ceil/alignment slack of 2
+    # per window
     c_max = 4 * n_chunks + 4 * N_TILES + 2
     kk = jnp.arange(c_max, dtype=jnp.int32)
     w_k = _rank_right_iota(base, c_max)
@@ -435,7 +441,8 @@ def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
     fam_k = jnp.where(real & (off >= c_fam[s_safe]), 1, 0)
     t_raw = (t_lo[s_safe] + off
              - fam_k * (c_fam[s_safe] - GRID // T_ROWS_G))
-    # fam-1 tiles t_lo+4..t_hi+4 overflow past the last tile for slices
+    # fam-1 tiles (t_lo..t_hi shifted +GRID/T_ROWS_G) overflow past the
+    # last tile for slices
     # whose clipped fam-0 span already ends at N_TILES_G-1 (sentinel rows).
     # Clipping would duplicate tile N_TILES_G-1 and double-count its
     # corners; redirect overflow to (tile 0, fam 1) instead — that window

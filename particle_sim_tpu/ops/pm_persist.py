@@ -86,17 +86,19 @@ from .pm_pallas import (GRID, LANE, N_TILES, N_TILES_G, ROWS_TOTAL,
 # telescoping bounds in pm_pallas); the headroom above that is how much
 # drift a state absorbs before the next forced repair. Sizing: ONE
 # particle crossing a z-cell boundary widens its whole chunk's row span
-# by GRID = 128 rows (~2 extra 64-row windows per side per family), so a
-# useful budget must absorb at least +-1 z-cell of outlier drift —
-# ~6 extra memberships/chunk deposit-side, ~2*2*(GRID/T_ROWS_G) = 16
-# tile-visits gather-side in the gather's 32-row blocking —
-# or dense states repair almost every frame (measured: SLACK 8 at 16M
-# repaired 14 of 21 dynamic frames; drift per frame is only ~0.04 cells,
-# so a +-1-cell budget pushes repairs out by an order of magnitude).
-# Going LOOSER loses (measured, 16M collapse, 31 frames, T_ROWS_G=64
-# era): 28/24 and 31/31 cut repairs 8->6 but the extra tolerated span
-# width makes every inter-repair frame costlier — 174/164 ms avg vs 132
-# at 20/16. Early repair keeps frames near the steady floor.
+# by GRID = 128 rows (GRID/T_ROWS extra windows per side per family), so
+# a useful budget must absorb at least +-1 z-cell of outlier drift —
+# ~2*(GRID/T_ROWS) = 8 extra memberships/chunk deposit-side,
+# ~2*2*(GRID/T_ROWS_G) = 32 tile-visits gather-side at the current
+# 32/16-row blockings (the x2 budgets() doubling supplies the
+# both-sides worst case) — or dense states repair almost every frame
+# (measured: SLACK 8 at 16M repaired 14 of 21 dynamic frames; drift per
+# frame is only ~0.04 cells, so a +-1-cell budget pushes repairs out by
+# an order of magnitude). Going LOOSER loses (measured, 16M collapse,
+# 31 frames, T_ROWS_G=64 era): 28/24 and 31/31 cut repairs 8->6 but the
+# extra tolerated span width makes every inter-repair frame costlier —
+# 174/164 ms avg vs 132 at 20/16. Early repair keeps frames near the
+# steady floor.
 SLACK_DEP = 20
 SLACK_GAT = 24
 _SMEM_WORDS = 65536          # known-good scalar-prefetch budget (pick_chunk)
@@ -222,7 +224,7 @@ def _hull(rmin, rmax, n_chunks: int):
     fam_w = w_idx & 1
     lo_r = jnp.maximum(
         t_w * T_ROWS - jnp.where(fam_w == 1, SPREAD, 1), 0)
-    hi_r = jnp.where(fam_w == 1, t_w - 1, t_w + 1) * T_ROWS - 1
+    hi_r = (t_w + 1) * T_ROWS - jnp.where(fam_w == 1, GRID, 0) - 1
     s_lo = _bin_search(m_pre, lo_r, side_right=False, n_iters=n_iters)
     s_hi = _bin_search(m_suf, hi_r, side_right=True, n_iters=n_iters) - 1
     return s_lo.astype(jnp.int32), s_hi.astype(jnp.int32)

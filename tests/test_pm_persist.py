@@ -246,8 +246,8 @@ def test_segmented_deposit_table_properties():
     has a fam-0 first-visit."""
     from particle_sim_tpu.ops import pm_persist as pp
     from particle_sim_tpu.ops.pm_pallas import (
-        N_TILES, SENTINEL, SPREAD, T_ROWS, _S_BITS, _S_MASK, _T_MASK,
-        _T_SHIFT)
+        GRID, N_TILES, SENTINEL, SPREAD, T_ROWS, _S_BITS, _S_MASK,
+        _T_MASK, _T_SHIFT)
 
     rng = np.random.default_rng(77)
     n, chunk = 8192, 512
@@ -292,7 +292,7 @@ def test_segmented_deposit_table_properties():
                 for w in range(2 * N_TILES):
                     t, fam = w >> 1, w & 1
                     lo = max(t * T_ROWS - (SPREAD if fam else 1), 0)
-                    hi = ((t - 1 if fam else t + 1) * T_ROWS) - 1
+                    hi = (t + 1) * T_ROWS - (GRID if fam else 0) - 1
                     if rmax >= lo and rmin <= hi:
                         assert (w, s) in seen, (trial, part, w, s)
 
