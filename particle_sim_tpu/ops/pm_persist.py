@@ -101,7 +101,14 @@ from .pm_pallas import (GRID, LANE, N_TILES, N_TILES_G, ROWS_TOTAL,
 # steady floor.
 SLACK_DEP = 20
 SLACK_GAT = 24
-_SMEM_WORDS = 65536          # known-good scalar-prefetch budget (pick_chunk)
+# Scalar-prefetch table capacity clamp. NOT a hardware ceiling: 100k-word
+# tables compile and run (measured, 16M chunk-8192 probe) — 64Ki is the
+# measured PERFORMANCE optimum. Raising it to 128Ki costs +0.6 ms of
+# steady table build and LOSES on dynamic scenes (16M collapse: 191.6 ms
+# avg / 7 repairs vs 180.4 / 10 at 64Ki) for the same reason looser SLACK
+# loses: wider tolerated spans make every inter-repair frame costlier
+# than the repairs saved.
+_SMEM_WORDS = 65536
 
 
 def pick_chunk(n_pad: int) -> int:
