@@ -14,13 +14,20 @@ re-packs the latest frame; per-client writer threads push the newest frame
 AutoVsync analog).
 
 Wire protocol (binary server->client):
-    u32 magic 'PSIM' | u32 mode (0 planar-f32, 1 compact-f16) | u32 count
-    | u32 frame_id | u32 total_particles | f32 fps | f32 update_ms
-    | u32 reflected_seq | f32 input_to_frame_ms
+    u32 magic 'PSIM' | u32 mode (0 planar-f32, 1 compact-f16, 2 raster)
+    | u32 count | u32 frame_id | u32 total_particles | f32 fps
+    | f32 update_ms | u32 reflected_seq | f32 input_to_frame_ms
     | payload (mode 0: pos f32[3*count] then rgba u8[4*count];
-               mode 1: 10-byte records — see io/packer.py)
+               mode 1: 10-byte records — see io/packer.py;
+               mode 2: u32 width | u32 height | rgba u8[4*width*height],
+                       count = width*height — the frame is RENDERED ON
+                       DEVICE (render/raster_sorted.py) so the wire cost
+                       is resolution-bound, not N-bound: a 16M-particle
+                       cloud streams as cheaply as a 10k one. The client
+                       sends "camera" events instead of rendering.)
 Client->server JSON events: params / mouse / pause / reset / resize /
-method / generation / view — mirroring the egui panel (app.rs:320-518).
+method / generation / view / camera — mirroring the egui panel
+(app.rs:320-518).
 Events may carry a client ``seq``; ``reflected_seq`` is the newest event
 sequence whose effect the frame's sim state includes, and
 ``input_to_frame_ms`` the server-side event-arrival -> frame-built time
@@ -49,6 +56,7 @@ from ..core.params import (
 )
 from ..engine import Engine
 from ..io import packer
+from ..render.camera import Camera
 
 MAGIC = 0x4D495350  # 'PSIM' little-endian
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
@@ -128,7 +136,10 @@ class StreamServer:
         self.cond = threading.Condition()
         self.lock = threading.Lock()       # guards engine + params mutations
         self.max_points = 250_000
-        self.wire_mode = 0                 # 0 planar f32, 1 compact f16
+        self.wire_mode = 0                 # 0 planar f32, 1 compact f16,
+        #                                    2 server-side raster (RGBA8)
+        self.raster_size = (1280, 720)     # mode-2 framebuffer (w, h)
+        self.camera = Camera(aspect=1280.0 / 720.0)  # mode-2 viewpoint
         self.running = False
         self._state_version = 0
         # input->frame latency bookkeeping (all under self.lock):
@@ -196,8 +207,41 @@ class StreamServer:
                     pass
             elif t == "view":
                 self.max_points = int(ev.get("max_points", self.max_points))
-                self.wire_mode = {"planar": 0, "compact": 1}.get(
+                self.wire_mode = {"planar": 0, "compact": 1,
+                                  "raster": 2}.get(
                     ev.get("mode", ""), self.wire_mode)
+                if "width" in ev or "height" in ev:
+                    w, h = self.raster_size
+                    w = int(ev.get("width", w))
+                    h = int(ev.get("height", h))
+                    # clamp + snap to the raster tile grid (8 rows; widths
+                    # that are multiples of 128 keep the Pallas fast path)
+                    w = max(64, min(3840, w)) // 8 * 8
+                    h = max(64, min(2160, h)) // 8 * 8
+                    self.raster_size = (w, h)
+                    self.camera.aspect = w / h
+            elif t == "camera":
+                # mode-2 viewpoint: the thin client owns the free-fly
+                # camera math (its JS port of render/camera.py) and ships
+                # the resulting pose; the server only validates it
+                def _f(v):
+                    v = float(v)
+                    if not np.isfinite(v):   # fail fast: a NaN pose would
+                        raise ValueError(v)  # silently render black frames
+                    return v
+
+                cam = self.camera
+                if "pos" in ev:
+                    x, y, z = ev["pos"]
+                    cam.position = np.array([_f(x), _f(y), _f(z)])
+                if "yaw" in ev:
+                    cam.yaw = _f(ev["yaw"])
+                if "pitch" in ev:
+                    lim = np.pi / 2.0 - 0.01   # camera.rs:168-174 clamp
+                    cam.pitch = min(lim, max(-lim, _f(ev["pitch"])))
+                if "fov" in ev:
+                    cam.fov = min(np.pi * 2 / 3,
+                                  max(np.pi / 18, _f(ev["fov"])))
             elif t == "solver":
                 # runtime self-gravity switch: off / particle-mesh / direct.
                 # Solver name and G changes reuse compiled steps (G is
@@ -228,21 +272,33 @@ class StreamServer:
         # concurrent donating steps), fetch to host outside it so the sim
         # thread never waits on the transfer
         with self.lock:
-            pos_dev, rgba_dev = self.engine.frame_arrays_device(
-                self.params, self.max_points)
+            mode = self.wire_mode  # read once: header must match payload
+            if mode == 2:
+                w, h = self.raster_size
+                fb_dev = self.engine.render_frame_device(
+                    self.camera, self.params, width=w, height=h)
+            else:
+                pos_dev, rgba_dev = self.engine.frame_arrays_device(
+                    self.params, self.max_points)
             total = self.engine.particle_count
             stats = self.engine.stats
             rseq, rt = self._reflected_seq, self._reflected_t
-        pos = np.asarray(pos_dev)
-        rgba = np.asarray(rgba_dev)
+        if mode == 2:
+            fb = np.asarray(fb_dev)          # fetch outside the lock
+        else:
+            pos = np.asarray(pos_dev)
+            rgba = np.asarray(rgba_dev)
         if rseq > self._latency_seq:
             # first frame reflecting event rseq: freeze its end-to-end
             # server latency (arrival -> payload fetched); later frames
             # re-report the same number instead of a growing stale one
             self._latency_seq = rseq
             self._latency_ms = (time.perf_counter() - rt) * 1e3
-        mode = self.wire_mode  # read once: header must match the payload
-        if mode == 1:
+        if mode == 2:
+            h, w = fb.shape[0], fb.shape[1]
+            count = w * h
+            payload = struct.pack("<II", w, h) + fb.tobytes()
+        elif mode == 1:
             payload = packer.pack_f16(pos, rgba).tobytes()
             count = len(payload) // packer.RECORD_BYTES
         else:
@@ -471,6 +527,15 @@ def main(argv=None) -> int:
     ap.add_argument("--port", type=int, default=8787)
     ap.add_argument("--fps", type=float, default=60.0)
     ap.add_argument("--max-points", type=int, default=250_000)
+    ap.add_argument("--view-mode", choices=["planar", "compact", "raster"],
+                    default="planar",
+                    help="wire mode: stream points (planar/compact) or "
+                    "render on device and stream the framebuffer (raster "
+                    "— resolution-bound wire cost, use for huge N)")
+    ap.add_argument("--raster-size", default="1280x720",
+                    help="raster-mode framebuffer, WxH (snapped to the "
+                    "8-px tile grid; widths that are multiples of 128 "
+                    "keep the Pallas fast path)")
     ap.add_argument("--pm", action="store_true",
                     help="start with particle-mesh self-gravity on")
     ap.add_argument("--pm-persist", action="store_true",
@@ -491,6 +556,9 @@ def main(argv=None) -> int:
     server = StreamServer(engine, host=args.host, port=args.port,
                           target_fps=args.fps)
     server.max_points = args.max_points
+    w, _, h = args.raster_size.partition("x")
+    server.handle_event({"type": "view", "mode": args.view_mode,
+                         "width": int(w), "height": int(h)})
     server.serve_forever()
     return 0
 

@@ -696,22 +696,47 @@ class Engine:
         out_n = -(-max(n, 1) // stride)
         return pos_dev[:, :out_n], rgba_dev[:out_n]
 
-    def render_frame(
+    def render_frame_device(
         self, camera: Camera, params: Union[SimParams, np.ndarray],
         width: int = 1920, height: int = 1080, renderer: str = "auto",
-    ) -> np.ndarray:
-        """uint8[H, W, 4] frame via the headless rasterizer.
+    ):
+        """Dispatch the headless rasterizer; return the uint8[H, W, 4]
+        frame as a DEVICE array (no host transfer forced — callers holding
+        a lock can release it before the slow fetch; see server.py).
 
         renderer: "scatter" (XLA .at[].add — works everywhere),
         "sorted" (Pallas sorted-deposit, ~15x faster at 1M@1080p on TPU),
         or "auto" (sorted when eligible: TPU backend, tile-aligned
         resolution, large point count).
         """
+        from ..core.params import P_COLOR_MODE
         from ..render import raster_sorted
 
-        self.ensure_identity_order()
-        pv = jnp.asarray(params.pack() if isinstance(params, SimParams)
-                         else params)
+        if isinstance(params, SimParams):
+            cmode = int(params.color_mode)
+            pv = jnp.asarray(params.pack())
+        else:
+            cmode = int(np.asarray(params)[P_COLOR_MODE])
+            pv = jnp.asarray(params)
+        if (self._identity_dirty and cmode != ColorMode.ORIGINAL
+                and self.mesh is None and self._persist is not None):
+            # The raster is order-independent (commutative additive
+            # blend) and only color mode 0 pairs points with init_color:
+            # for velocity/position colors render straight from the
+            # persistent SORTED planes and skip the identity un-sort
+            # entirely (active slots are a storage prefix: trash keys are
+            # SENTINEL so every repair sorts them to the tail, and slots
+            # do not move between repairs). init_color still flows as an
+            # operand (the color select is traced) but its pairing is
+            # never observed.
+            shape = self._state.pos.shape
+            st_pos = self._persist.pos.reshape(shape)
+            st_vel = self._persist.vel.reshape(shape)
+            st_col = self._state.init_color
+        else:
+            self.ensure_identity_order()
+            st_pos, st_vel = self._state.pos, self._state.vel
+            st_col = self._state.init_color
         vp = jnp.asarray(camera.view_proj())
         eligible = (
             jax.default_backend() == "tpu"
@@ -721,6 +746,15 @@ class Engine:
             and self.capacity >= 200_000)
         use_sorted = renderer == "sorted" or (renderer == "auto" and eligible)
         fn = raster_sorted.render_jit if use_sorted else raster.render_jit
-        fb = fn(self.state.pos, self.state.vel, self.state.init_color, pv,
-                vp, self.state.n_active, width=width, height=height)
-        return np.asarray(raster.to_rgba8(fb))
+        fb = fn(st_pos, st_vel, st_col, pv,
+                vp, self._state.n_active, width=width, height=height)
+        return raster.to_rgba8(fb)
+
+    def render_frame(
+        self, camera: Camera, params: Union[SimParams, np.ndarray],
+        width: int = 1920, height: int = 1080, renderer: str = "auto",
+    ) -> np.ndarray:
+        """uint8[H, W, 4] frame via the headless rasterizer (host array).
+        See render_frame_device for the renderer selection rules."""
+        return np.asarray(self.render_frame_device(
+            camera, params, width=width, height=height, renderer=renderer))

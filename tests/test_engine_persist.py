@@ -185,3 +185,38 @@ def test_mesh_pm2_without_persist_rejected():
     with pytest.raises(ValueError, match="pm_persist"):
         Engine(particle_count=2048, method=Method.PALLAS, pm=CFG,
                interpret=True, mesh=mesh_lib.make_mesh(), pm2=cfg2)
+
+
+def test_render_from_sorted_planes_skips_unsort():
+    """Velocity/position color modes rasterize straight from the sorted
+    planes (the raster is order-independent); the frame must match the
+    identity-order render, and the identity mirror must stay dirty (no
+    un-sort paid). Mode 0 still rebuilds identity order."""
+    from particle_sim_tpu.render.camera import Camera
+
+    cam = Camera(aspect=1.0)
+    pv_vel = SimParams(delta_time=0.016, gravity=0.0, color_mode=1)
+    e = _engine(True)
+    for _ in range(2):
+        e.step(pv_vel)
+    assert e._identity_dirty
+    img_fast = e.render_frame(cam, pv_vel, width=64, height=64)
+    assert e._identity_dirty          # sorted-plane path: no un-sort
+    # reference: force the identity rebuild, render the same frame
+    e.ensure_identity_order()
+    assert not e._identity_dirty
+    img_ref = e.render_frame(cam, pv_vel, width=64, height=64)
+    # commutative additive blend: only summation order differs
+    assert abs(img_fast.astype(int) - img_ref.astype(int)).max() <= 1
+    # mode 0 pairs points with init_color -> must rebuild identity order
+    e2 = _engine(True)
+    e2.step(pv_vel)
+    assert e2._identity_dirty
+    pv0 = SimParams(delta_time=0.016, gravity=0.0, color_mode=0)
+    img0 = e2.render_frame(cam, pv0, width=64, height=64)
+    assert not e2._identity_dirty     # un-sort was paid exactly here
+    e3 = _engine(False)
+    for _ in range(1):
+        e3.step(pv_vel)
+    img0_ref = e3.render_frame(cam, pv0, width=64, height=64)
+    assert abs(img0.astype(int) - img0_ref.astype(int)).max() <= 2

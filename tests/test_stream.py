@@ -368,3 +368,82 @@ class TestSolverEvents:
         pos, rgba = engine.frame_arrays(SimParams(), max_points=50)
         assert pos.shape[1] <= 50
         assert rgba.shape[0] == pos.shape[1]
+
+    def test_raster_wire_mode(self, server):
+        """Wire mode 2: the server renders on device and streams the
+        RGBA8 framebuffer — wire cost is resolution-bound, not N-bound
+        (the 16M-viewing path). Sizes snap to the 8-px tile grid."""
+        s = ws_connect("127.0.0.1", server.port)
+        ws_recv_binary(s)
+        # fragment brightness is min(2|v|,1) (particle.wgsl:41-44): a
+        # freshly generated cloud is static and renders black — turn on
+        # gravity so the particles pick up speed and light up
+        ws_send_text(s, {"type": "params", "gravity": 5.0})
+        ws_send_text(s, {"type": "view", "mode": "raster",
+                         "width": 70, "height": 67})
+        deadline = time.time() + 10
+        mode = 0
+        while time.time() < deadline:
+            _, frame = ws_recv_binary(s)
+            mode = struct.unpack("<I", frame[4:8])[0]
+            w, h = (struct.unpack("<II", frame[36:44])
+                    if mode == 2 else (0, 0))
+            if mode == 2 and np.frombuffer(
+                    frame, np.uint8, offset=44).reshape(
+                    h, w, 4)[..., :3].max() > 0:
+                break
+        assert mode == 2
+        count = struct.unpack("<I", frame[8:12])[0]
+        assert (w, h) == (64, 64)          # 70x67 snapped down to /8
+        assert count == w * h
+        assert len(frame) == 36 + 8 + 4 * w * h
+        pix = np.frombuffer(frame, np.uint8, offset=44).reshape(h, w, 4)
+        assert int(pix[..., :3].max()) > 0  # falling sphere is visible
+        # camera events steer the server-side viewpoint
+        ws_send_text(s, {"type": "camera", "pos": [0, 0, 300.0],
+                         "yaw": -1.5707963, "pitch": 0.05, "fov": 1.0})
+        deadline = time.time() + 5
+        while time.time() < deadline and server.camera.fov != 1.0:
+            time.sleep(0.05)
+        assert server.camera.fov == 1.0
+        assert server.camera.position[2] == 300.0
+        # back to point streaming
+        ws_send_text(s, {"type": "view", "mode": "planar"})
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            _, frame = ws_recv_binary(s)
+            if struct.unpack("<I", frame[4:8])[0] == 0:
+                break
+        assert struct.unpack("<I", frame[4:8])[0] == 0
+        s.close()
+
+    def test_camera_event_rejects_non_finite(self):
+        """A NaN pose must fail at event time (reader drops it), not
+        render black frames forever."""
+        from particle_sim_tpu.app.server import StreamServer
+        from particle_sim_tpu.core.params import Method
+
+        engine = Engine(particle_count=1000, method=Method.JNP)
+        srv = StreamServer(engine, port=0)
+        yaw_before = srv.camera.yaw
+        for ev in ({"type": "camera", "yaw": float("nan")},
+                   {"type": "camera", "pos": [0.0, float("inf"), 0.0]},
+                   {"type": "camera", "fov": "wide"}):
+            with pytest.raises(ValueError):
+                srv.handle_event(ev)
+        assert srv.camera.yaw == yaw_before
+
+    def test_render_frame_device_matches_host(self):
+        """Engine.render_frame == fetched render_frame_device (the server
+        splits dispatch from fetch to keep the transfer out of the lock)."""
+        from particle_sim_tpu.core.params import Method
+        from particle_sim_tpu.render.camera import Camera
+
+        engine = Engine(particle_count=1000, method=Method.JNP)
+        cam = Camera(aspect=1.0)
+        p = SimParams()
+        a = engine.render_frame(cam, p, width=64, height=64)
+        b = np.asarray(engine.render_frame_device(cam, p, width=64,
+                                                  height=64))
+        assert a.shape == (64, 64, 4) and a.dtype == np.uint8
+        np.testing.assert_array_equal(a, b)
