@@ -154,34 +154,50 @@ class SortedPMState(NamedTuple):
     boundary: slots [0, fine_b) hold non-window particles in coarse
     cell order, slots [fine_b, N) hold the window(+park) members of the
     last repair in FINE cell order (then dead slots). fine_b == N means
-    no fine segment (coarse-only states, fresh inits)."""
+    no fine segment (coarse-only states, fresh inits).
+
+    ``col24`` (optional i32 (N,), 8:8:8-packed generation color in slot
+    order) lets every DISPLAY consumer — rasterizer, stream packer —
+    serve color mode 0 (ORIGINAL, the reference default,
+    compute.wgsl:75-77) straight from the sorted planes: without it the
+    default-color interactive frame pays a full identity-order rebuild
+    per consumed frame (measured 2.7 s scatter / 135 ms sort at 16M —
+    vs ~14 ms/repair for carrying one extra sort operand). u8 per
+    channel matches the wire format's own color quantization."""
     pos: jax.Array              # f32 (3, N)
     vel: jax.Array              # f32 (3, N)
     ids: jax.Array              # i32 (N,) original identity of each slot
     masses: Optional[jax.Array]  # f32 (N,) source masses in slot order
     resorts: jax.Array          # i32 scalar: cumulative repair count
     fine_b: Optional[jax.Array] = None   # i32 scalar segment boundary
+    col24: Optional[jax.Array] = None    # i32 (N,) packed display color
 
 
 def _sort_state(key, pos, vel, ids, masses, resorts,
-                fine_b=None) -> SortedPMState:
+                fine_b=None, col24=None) -> SortedPMState:
     ops = (key, pos[0], pos[1], pos[2], vel[0], vel[1], vel[2], ids)
     if masses is not None:
         ops += (masses,)
+    if col24 is not None:
+        ops += (col24,)
     s = jax.lax.sort(ops, num_keys=1)
+    k = 8
+    m_s = s[k] if masses is not None else None
+    k += masses is not None
+    c_s = s[k] if col24 is not None else None
     return SortedPMState(jnp.stack(s[1:4]), jnp.stack(s[4:7]), s[7],
-                         s[8] if masses is not None else None, resorts,
-                         fine_b)
+                         m_s, resorts, fine_b, c_s)
 
 
 def init_sorted(pos_flat: jax.Array, n_active, cfg: "P.PMConfig",
-                vel_flat=None, masses=None) -> SortedPMState:
-    """Full grouping sort of (pos, vel, identity[, masses]) into a fresh
-    SortedPMState. ``n_active`` masks trailing padding slots (their keys
-    become SENTINEL, so they sort to the tail with ids >= n_active).
-    The state starts coarse-only (fine_b == N); the two-level mode's
-    first accel_sorted call migrates it into the segmented order with
-    one repair (see accel_sorted)."""
+                vel_flat=None, masses=None, col24=None) -> SortedPMState:
+    """Full grouping sort of (pos, vel, identity[, masses][, col24])
+    into a fresh SortedPMState. ``n_active`` masks trailing padding
+    slots (their keys become SENTINEL, so they sort to the tail with
+    ids >= n_active). The state starts coarse-only (fine_b == N); the
+    two-level mode's first accel_sorted call migrates it into the
+    segmented order with one repair (see accel_sorted). ``col24`` is
+    the optional packed display color (see SortedPMState)."""
     n = pos_flat.shape[1]
     if n % 512:
         raise ValueError(f"particle capacity {n} not a multiple of 512")
@@ -193,7 +209,7 @@ def init_sorted(pos_flat: jax.Array, n_active, cfg: "P.PMConfig",
     vel_flat = (jnp.zeros_like(pos_flat) if vel_flat is None
                 else jnp.asarray(vel_flat))
     return _sort_state(key, pos_flat, vel_flat, ids, masses, jnp.int32(0),
-                       jnp.int32(n))
+                       jnp.int32(n), col24)
 
 
 def _chunk_spans(key: jax.Array, chunk: int):
@@ -525,7 +541,7 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     def _repair(s):
         if cfg2 is None:
             s2 = _sort_state(key0, s.pos, s.vel, s.ids, s.masses,
-                             s.resorts + 1, s.fine_b)
+                             s.resorts + 1, s.fine_b, s.col24)
         else:
             # segmented class key: A = live non-members by coarse id,
             # B = live window(+park) members of THIS moment by fine id,
@@ -544,7 +560,7 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
                              jnp.where(live0, key0, _DEAD_KEY))
             fb = jnp.sum(skey < _SEG_FLAG).astype(jnp.int32)
             s2 = _sort_state(skey, s.pos, s.vel, s.ids, s.masses,
-                             s.resorts + 1, fb)
+                             s.resorts + 1, fb, s.col24)
         return (s2,) + _derive(s2, s2.ids < n_active)
 
     st, key, frac, dep_total, gat_total, fine = jax.lax.cond(
@@ -702,10 +718,24 @@ def step_sorted_jit(st, param_vec, pair_vec, n_active, cfg,
 def unsort(st: SortedPMState, arrays) -> tuple:
     """Return ``arrays`` (each (..., N) in slot order) re-ordered to
     identity order — the consumer-side bridge for colors / streaming /
-    checkpoints. A scatter by ids, paid only when identity order is
-    actually needed (never inside the frame)."""
-    out = []
+    checkpoints. Paid only when identity order is actually needed (never
+    inside the frame).
+
+    Implemented as ONE ``lax.sort`` keyed on ``ids`` (a permutation of
+    0..N-1, so sorting by it IS the inverse permutation) with every
+    component row as a payload — the same trick as pm_pallas's un-sort.
+    Measured at 16M: the scatter this replaces (``at[..., ids].set``)
+    takes 2700 ms (XLA TPU scatter is serial); the 7-operand sort is
+    ~135 ms (41 ms comparator network + ~13.5 ms/operand)."""
+    rows = []
+    specs = []
     for a in arrays:
-        o = jnp.zeros_like(a)
-        out.append(o.at[..., st.ids].set(a))
+        flat = a.reshape(-1, a.shape[-1])
+        specs.append((a.shape, flat.shape[0]))
+        rows.extend(flat[i] for i in range(flat.shape[0]))
+    s = jax.lax.sort((st.ids,) + tuple(rows), num_keys=1)
+    out, k = [], 1
+    for shape, nr in specs:
+        out.append(jnp.stack(s[k:k + nr]).reshape(shape))
+        k += nr
     return tuple(out)

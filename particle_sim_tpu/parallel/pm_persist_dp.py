@@ -33,42 +33,49 @@ def _flat_spec() -> P:
 
 
 def make_persist_init(mesh: Mesh, cfg: "Pm.PMConfig", *,
-                      with_masses: bool = False):
-    """Jitted (pos f32[3,N], vel f32[3,N], n_active[, masses]) ->
-    (pos, vel, ids, resorts, fine_b[, masses]) — per-shard local
-    grouping sorts into the persistent layout (fine_b i32[n_dev]: each
-    shard's frozen fine-segment boundary, local_n = none yet). N/n_dev
-    must be a multiple of 512."""
+                      with_masses: bool = False, with_col: bool = False):
+    """Jitted (pos f32[3,N], vel f32[3,N], n_active[, masses][, col24])
+    -> (pos, vel, ids, resorts, fine_b[, masses][, col24]) — per-shard
+    local grouping sorts into the persistent layout (fine_b i32[n_dev]:
+    each shard's frozen fine-segment boundary, local_n = none yet).
+    N/n_dev must be a multiple of 512. ``col24`` is the packed display
+    color (pm_persist.SortedPMState), sharded like masses."""
     n_dev = mesh.devices.size
 
-    def local(pos, vel, n_active, masses=None):
+    def local(pos, vel, n_active, *rest):
+        masses = rest[0] if with_masses else None
+        col24 = rest[-1] if with_col else None
         local_n = pos.shape[1]
         base = jax.lax.axis_index(DP_AXIS) * local_n
         ids = base + jnp.arange(local_n, dtype=jnp.int32)
         key, _ = pm_pallas.cell_key_frac(pos, ids < n_active, cfg)
         st = pm_persist._sort_state(key, pos, vel, ids, masses,
                                     jnp.zeros((1,), jnp.int32),
-                                    jnp.full((1,), local_n, jnp.int32))
+                                    jnp.full((1,), local_n, jnp.int32),
+                                    col24)
         out = (st.pos, st.vel, st.ids, st.resorts, st.fine_b)
-        return out + ((st.masses,) if masses is not None else ())
+        out += (st.masses,) if masses is not None else ()
+        return out + ((st.col24,) if col24 is not None else ())
 
-    mass_in = (P(DP_AXIS),) if with_masses else ()
+    extra_in = ((P(DP_AXIS),) if with_masses else ()) + (
+        (P(DP_AXIS),) if with_col else ())
+    extra_out = extra_in
     return jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(_flat_spec(), _flat_spec(), P()) + mass_in,
+        in_specs=(_flat_spec(), _flat_spec(), P()) + extra_in,
         out_specs=(_flat_spec(), _flat_spec(), P(DP_AXIS), P(DP_AXIS),
-                   P(DP_AXIS))
-        + ((P(DP_AXIS),) if with_masses else ()),
+                   P(DP_AXIS)) + extra_out,
         check_vma=False,  # cell_key_frac mixes literal iotas into varying
     ))                    # data (see parallel/dp.py for the JAX 0.9 note)
 
 
 def make_persist_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *,
                          interpret: bool = False, chunk: int = 0,
-                         with_masses: bool = False, cfg2=None):
+                         with_masses: bool = False, with_col: bool = False,
+                         cfg2=None):
     """Jitted (pos, vel, ids, resorts, fine_b, param_vec, pair_vec,
-    n_active[, masses][, kernels]) -> (pos, vel, ids, resorts, fine_b
-    [, masses]): one
+    n_active[, masses][, col24][, kernels]) -> (pos, vel, ids, resorts,
+    fine_b[, masses][, col24]): one
     persistent-PM frame over the dp mesh. Arrays as in
     make_persist_init; n_active is the GLOBAL active count (ids are
     global, so ``ids < n_active`` masks correctly on every shard with no
@@ -80,25 +87,27 @@ def make_persist_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *,
     def local(pos, vel, ids, resorts, fine_b, pv, pairv, n_active,
               *rest):
         masses = rest[0] if with_masses else None
+        col24 = rest[int(with_masses)] if with_col else None
         kernels = rest[-1] if cfg2 is not None else None
         st = pm_persist.SortedPMState(pos, vel, ids, masses, resorts[0],
-                                      fine_b[0])
+                                      fine_b[0], col24)
         st = pm_persist.step_sorted(st, pv, pairv, n_active, cfg,
                                     interpret=interpret, chunk=chunk,
                                     psum_axis=DP_AXIS, cfg2=cfg2,
                                     kernels=kernels)
         out = (st.pos, st.vel, st.ids, st.resorts[None], st.fine_b[None])
-        return out + ((st.masses,) if masses is not None else ())
+        out += (st.masses,) if masses is not None else ()
+        return out + ((st.col24,) if col24 is not None else ())
 
-    mass_in = (P(DP_AXIS),) if with_masses else ()
+    extra = ((P(DP_AXIS),) if with_masses else ()) + (
+        (P(DP_AXIS),) if with_col else ())
     ker_in = (P(),) if cfg2 is not None else ()
     sharded = shard_map(
         local, mesh=mesh,
         in_specs=(_flat_spec(), _flat_spec(), P(DP_AXIS), P(DP_AXIS),
-                  P(DP_AXIS), P(), P(), P()) + mass_in + ker_in,
+                  P(DP_AXIS), P(), P(), P()) + extra + ker_in,
         out_specs=(_flat_spec(), _flat_spec(), P(DP_AXIS), P(DP_AXIS),
-                   P(DP_AXIS))
-        + ((P(DP_AXIS),) if with_masses else ()),
+                   P(DP_AXIS)) + extra,
         check_vma=False,  # Pallas kernel bodies (see parallel/dp.py)
     )
     return jax.jit(sharded, donate_argnums=(0, 1))

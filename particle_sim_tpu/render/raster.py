@@ -141,6 +141,20 @@ def pack_points_jit(pos, vel, init_color, param_vec, n_stop, stride: int = 1):
                         jnp.asarray(n_stop, jnp.int32), stride=stride)
 
 
+def pack_col24(col_flat: jax.Array) -> jax.Array:
+    """f32[3, N] in [0,1] -> i32[N] 8:8:8-packed display color — the
+    codec for pm_persist.SortedPMState.col24 (u8 per channel matches the
+    wire format's rgba8 quantization, io/packer.py)."""
+    c8 = (jnp.clip(col_flat, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.int32)
+    return c8[0] | (c8[1] << 8) | (c8[2] << 16)
+
+
+def unpack_col24(col24: jax.Array) -> jax.Array:
+    """i32[N] packed display color -> f32[3, N] in [0,1]."""
+    return jnp.stack([((col24 >> s) & 0xFF)
+                      for s in (0, 8, 16)]).astype(jnp.float32) / 255.0
+
+
 def to_rgba8(fb: jax.Array) -> jax.Array:
     """f32[H,W,3] -> u8[H,W,4] (alpha 255)."""
     rgb8 = (jnp.clip(fb, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)

@@ -44,17 +44,29 @@ def test_trajectory_matches_sorted_path():
     assert np.abs(p_per - p0).max() > 0.5 * moved
 
 
-def test_frame_arrays_identity_order():
-    """Streaming output must be identity-ordered (colors pair with their
-    original particles) even while the internal state is sorted."""
+def test_frame_arrays_pairing():
+    """Streamed points may arrive in ANY order (the client draws an
+    order-independent point cloud; the persist engine serves the stream
+    straight from the sorted planes to skip the per-frame identity
+    un-sort), but each point's color must still pair with its OWN
+    particle: un-permute by the persist state's ids and compare against
+    the reference engine's identity-ordered stream."""
     e_per = _engine(True)
     e_ref = _engine(False)
     e_per.step(PARAMS)
     e_ref.step(PARAMS)
     pos_p, rgba_p = e_per.frame_arrays(PARAMS)
     pos_r, rgba_r = e_ref.frame_arrays(PARAMS)
-    np.testing.assert_allclose(pos_p, pos_r, rtol=0, atol=5e-3)
-    assert abs(rgba_p.astype(int) - rgba_r.astype(int)).max() <= 1
+    n = pos_p.shape[1]
+    assert e_per._identity_dirty  # the stream must NOT have paid un-sort
+    ids = np.asarray(e_per._persist.ids)[:n]
+    assert sorted(ids) == list(range(n))  # live slots are a prefix
+    pos_pi = np.zeros_like(pos_p)
+    pos_pi[:, ids] = pos_p
+    rgba_pi = np.zeros_like(rgba_p)
+    rgba_pi[ids] = rgba_p
+    np.testing.assert_allclose(pos_pi, pos_r, rtol=0, atol=5e-3)
+    assert abs(rgba_pi.astype(int) - rgba_r.astype(int)).max() <= 1
 
 
 def test_resize_and_reset_invalidate_mirror():
@@ -95,6 +107,30 @@ def test_checkpoint_roundtrip_identity(tmp_path):
     assert e2.pm_persist  # solver mode survives the roundtrip
     np.testing.assert_allclose(e2.state.positions(),
                                e.state.positions(), atol=1e-6)
+
+
+def test_pm_persist_auto_crossover(monkeypatch):
+    """pm_persist="auto" (the default) resolves from the count — off
+    below the measured crossover, on above — and re-resolves on resize,
+    so a no-flags PM engine gets the best mode at every size."""
+    from particle_sim_tpu.engine import engine as eng_mod
+
+    e = Engine(particle_count=2000, method=Method.PALLAS, pm=CFG,
+               interpret=True)
+    assert e.pm_persist == "auto"
+    assert not e.persist_resolved()          # 2000 << real crossover
+    e.step(PARAMS)
+    assert e._persist is None                # per-frame-sorted path ran
+    # shrink the crossover under the test size instead of allocating 4M
+    monkeypatch.setattr(eng_mod, "PERSIST_AUTO_MIN_N", 1500)
+    assert e.persist_resolved()
+    e.step(PARAMS)
+    assert e._persist is not None            # persistent path ran
+    e.resize(1024)                           # below the crossover again
+    assert not e.persist_resolved()
+    e.step(PARAMS)
+    assert e._persist is None
+    assert bool(jnp.isfinite(e.state.pos).all())
 
 
 def test_rejects_bad_config():
@@ -208,15 +244,19 @@ def test_render_from_sorted_planes_skips_unsort():
     img_ref = e.render_frame(cam, pv_vel, width=64, height=64)
     # commutative additive blend: only summation order differs
     assert abs(img_fast.astype(int) - img_ref.astype(int)).max() <= 1
-    # mode 0 pairs points with init_color -> must rebuild identity order
+    # mode 0 (ORIGINAL — the reference default) pairs points with
+    # init_color; the persist state carries it pre-paired as col24, so
+    # the DEFAULT config is ALSO sort-free (round-2 verdict item 1b).
+    # Divergence budget: u8 col24 quantization (<=0.5/255 per point,
+    # pre-brightness) on top of the additive blend.
     e2 = _engine(True)
     e2.step(pv_vel)
     assert e2._identity_dirty
     pv0 = SimParams(delta_time=0.016, gravity=0.0, color_mode=0)
     img0 = e2.render_frame(cam, pv0, width=64, height=64)
-    assert not e2._identity_dirty     # un-sort was paid exactly here
+    assert e2._identity_dirty         # col24 made mode 0 sort-free too
     e3 = _engine(False)
     for _ in range(1):
         e3.step(pv_vel)
     img0_ref = e3.render_frame(cam, pv0, width=64, height=64)
-    assert abs(img0.astype(int) - img0_ref.astype(int)).max() <= 2
+    assert abs(img0.astype(int) - img0_ref.astype(int)).max() <= 3
