@@ -31,6 +31,7 @@ recompiles when the capacity bucket actually changes.
 from __future__ import annotations
 
 import functools
+import logging
 import time
 from typing import Optional, Union
 
@@ -51,6 +52,15 @@ from .stats import FrameStats
 
 DEFAULT_COUNT_JNP = 100_000      # app.rs:108 (CPU backend default)
 DEFAULT_COUNT_PALLAS = 1_000_000  # app.rs:117 (compute backend default)
+
+logger = logging.getLogger("particle_sim_tpu.engine")
+
+# pm_persist="auto" crossover: the persistent cell-sorted mode LOSES below
+# a few million particles (measured on v5e, BENCH_r02: 21.7 ms persistent
+# vs 12.9 per-frame-sorted at 1M; wins 34.9 vs 138 at 16M — the repair
+# machinery's fixed table/span costs only amortize once the per-frame
+# sorts it removes are expensive enough)
+PERSIST_AUTO_MIN_N = 4_000_000
 
 
 def available_methods(interpret: bool = False) -> list:
@@ -74,7 +84,7 @@ class Engine:
         substeps: int = 1,
         debug_checks: bool = False,
         mesh=None,
-        pm_persist: bool = False,
+        pm_persist: Union[bool, str] = "auto",
         pm2=None,
     ):
         """``mesh``: a 1-D jax.sharding.Mesh (parallel.mesh.make_mesh) to
@@ -105,7 +115,11 @@ class Engine:
         state (ops/pm_persist.py): the frame pays zero sorts in steady
         state; identity order (colors, streaming, checkpoints) is
         rebuilt lazily only when an output accessor needs it. Requires
-        ``pm`` with grid 128 and a static box (no auto_box).
+        ``pm`` with grid 128 and a static box (no auto_box). The default
+        "auto" picks the mode from the particle count (persistent above
+        PERSIST_AUTO_MIN_N — below the measured crossover the per-frame
+        sorted path is faster), re-evaluated on every resize; True/False
+        force it (True raises if the config can't support it).
 
         ``masses``: f32[particle_count] per-particle SOURCE masses for
         the gravity solvers (heavy central bodies, multi-species scenes;
@@ -130,8 +144,8 @@ class Engine:
         self.method = method
         self.generation_mode = generation_mode
         self.pm = pm
-        if pm_persist:
-            from ..ops import pm_pallas as _pp
+        if pm_persist is True:   # an explicit force must fail loudly;
+            from ..ops import pm_pallas as _pp   # "auto" just resolves off
             if pm is None:
                 raise ValueError("pm_persist requires a PMConfig")
             if pm.auto_box or pm.grid != _pp.GRID:
@@ -142,22 +156,32 @@ class Engine:
         if pm2 is not None:
             if pm is None:
                 raise ValueError("pm2 requires a coarse PMConfig (pm=...)")
-            if mesh is not None and not pm_persist:
-                raise ValueError("multi-chip pm2 requires pm_persist "
-                                 "(parallel/pm_persist_dp.py is the "
-                                 "sharded two-level path)")
+            if mesh is not None:
+                if pm_persist == "auto" and not isinstance(pm2, (tuple, list)):
+                    from ..ops import pm_pallas as _pp
+                    if pm.auto_box or pm.grid != _pp.GRID:
+                        raise ValueError(
+                            "multi-chip pm2 rides the persist path, which "
+                            f"needs a static box and grid {_pp.GRID}")
+                    pm_persist = True   # the only sharded two-level path
+                if pm_persist is not True:
+                    raise ValueError("multi-chip pm2 requires pm_persist "
+                                     "(parallel/pm_persist_dp.py is the "
+                                     "sharded two-level path)")
             # a sequence of PM2Configs = MULTI-level nesting (pmn_accel);
             # normalize a 1-tuple back to the plain two-level mode
             if isinstance(pm2, (tuple, list)):
                 pm2 = tuple(pm2)
                 if len(pm2) == 1:
                     pm2 = pm2[0]
-                elif pm_persist or mesh is not None:
+                elif pm_persist is True or mesh is not None:
                     raise ValueError(
                         "multi-level pm2 (>1 refinement level) runs the "
                         "per-frame-sorted path only — not pm_persist or "
                         "multi-chip (the segmented persistent order "
                         "carries exactly one fine segment)")
+                else:
+                    pm_persist = False   # auto resolves off for multi-level
         self.pm2 = pm2
         self.pm_persist = pm_persist
         self._persist = None          # SortedPMState / dp carry, lazy
@@ -284,6 +308,11 @@ class Engine:
             cfg, cfg2 = self.pm, self.pm2
             use_fast = (self.method == Method.PALLAS
                         and cfg.grid == pm_pallas.GRID)
+            if self.method == Method.PALLAS and not use_fast:
+                logger.warning(
+                    "PM grid %d has no Pallas fast path (grid %d only): "
+                    "falling back to the jnp reference solver — expect "
+                    "much slower frames", cfg.grid, pm_pallas.GRID)
             # fine kernels ride as jit arguments (device buffers), not
             # baked-in constants — see pm.diff_kernels_device
             if isinstance(cfg2, tuple):          # multi-level nesting
@@ -320,6 +349,11 @@ class Engine:
             cfg = self.pm
             use_fast = (self.method == Method.PALLAS
                         and cfg.grid == pm_pallas.GRID)
+            if self.method == Method.PALLAS and not use_fast:
+                logger.warning(
+                    "PM grid %d has no Pallas fast path (grid %d only): "
+                    "falling back to the jnp reference solver — expect "
+                    "much slower frames", cfg.grid, pm_pallas.GRID)
             if self.mesh is not None:
                 from ..parallel import pm_dp
 
@@ -420,12 +454,24 @@ class Engine:
         return fn
 
     # -- persistent-sorted PM mode (ops/pm_persist.py) ------------------------
+    def persist_resolved(self) -> bool:
+        """The pm_persist mode resolved for the CURRENT configuration and
+        count — what a step right now would actually run. "auto" turns
+        persistent on above PERSIST_AUTO_MIN_N (the measured crossover;
+        below it the per-frame-sorted path wins), re-evaluated on every
+        resize; True/False force (True still needs an eligible config —
+        solver events may have swapped the PMConfig out from under it,
+        fall back gracefully)."""
+        return self._persist_eligible()
+
     def _persist_eligible(self) -> bool:
-        """Persist mode can run right now (solver events may have swapped
-        the PMConfig out from under it — fall back gracefully)."""
         from ..ops import pm_pallas as _pp
-        return (self.pm_persist and self.pm is not None
-                and not self.pm.auto_box and self.pm.grid == _pp.GRID)
+        cfg_ok = (self.pm is not None and not self.pm.auto_box
+                  and self.pm.grid == _pp.GRID)
+        if self.pm_persist == "auto":
+            return (cfg_ok and self.pm2 is None
+                    and self.particle_count >= PERSIST_AUTO_MIN_N)
+        return bool(self.pm_persist) and cfg_ok
 
     def _step_persist(self, pv, pp) -> None:
         from ..ops import pm_persist as pper
@@ -448,28 +494,34 @@ class Engine:
             fns = self._jit_cache.get(key)
             if fns is None:
                 fns = (pm_persist_dp.make_persist_init(
-                           self.mesh, cfg, with_masses=masses is not None),
+                           self.mesh, cfg, with_masses=masses is not None,
+                           with_col=True),
                        pm_persist_dp.make_persist_pm_step(
                            self.mesh, cfg, interpret=interpret,
-                           with_masses=masses is not None, cfg2=cfg2))
+                           with_masses=masses is not None, with_col=True,
+                           cfg2=cfg2))
                 self._jit_cache[key] = fns
             init, pstep = fns
             if self._persist is None:
+                col24 = raster.pack_col24(
+                    self._state.init_color.reshape(3, -1))
                 args = (self._state.pos.reshape(3, -1),
                         self._state.vel.reshape(3, -1), n_act)
-                self._persist = init(*args + ((masses,)
-                                              if masses is not None else ()))
+                args += (masses,) if masses is not None else ()
+                self._persist = init(*args + (col24,))
             for _ in range(self.substeps):
-                # carry = (pos, vel, ids, resorts, fine_b[, masses]);
-                # the step takes masses AFTER (pv, pairv, n_active) and
-                # the (replicated) fine kernels last
+                # carry = (pos, vel, ids, resorts, fine_b[, masses],
+                # col24); the step takes masses/col24 AFTER (pv, pairv,
+                # n_active) and the (replicated) fine kernels last
                 c = self._persist
                 self._persist = pstep(*c[:5], pv, pp, n_act, *c[5:], *ker)
         else:
             if self._persist is None:
                 self._persist = pper.init_sorted(
                     self._state.pos.reshape(3, -1), n_act, cfg,
-                    vel_flat=self._state.vel.reshape(3, -1), masses=masses)
+                    vel_flat=self._state.vel.reshape(3, -1), masses=masses,
+                    col24=raster.pack_col24(
+                        self._state.init_color.reshape(3, -1)))
             cfg2 = self.pm2
             ker = None
             if cfg2 is not None:
@@ -680,17 +732,41 @@ class Engine:
     ) -> tuple:
         """Device-array variant of frame_arrays: dispatches the pack and
         returns without forcing the device->host transfer, so a caller can
-        release locks before the (slow) fetch."""
-        self.ensure_identity_order()
+        release locks before the (slow) fetch.
+
+        In persist mode the pack is served straight from the SORTED
+        planes when the state carries its display color (col24): point
+        clouds are order-independent to draw, and a strided subsample of
+        the cell-sorted order is spatially uniform. The subsample's
+        MEMBERS can change when a repair reorders slots (rare; a brief
+        shimmer at worst) — the alternative is a 135 ms identity un-sort
+        per consumed frame at 16M."""
         pv = jnp.asarray(params.pack() if isinstance(params, SimParams)
                          else params)
         n = self.particle_count
+        if (self._identity_dirty and self.mesh is None
+                and self._persist is not None
+                and self._persist.col24 is not None):
+            shape = self._state.pos.shape
+            src_pos = self._persist.pos.reshape(shape)
+            src_vel = self._persist.vel.reshape(shape)
+            src_col = (raster.unpack_col24(self._persist.col24)
+                       .reshape(self._state.init_color.shape))
+            # active slots are NOT a storage prefix guarantee for the
+            # pack's ``arange < n_stop`` mask — dead slots sort to the
+            # tail only at repairs — but between repairs slots do not
+            # move and dead slots stay at the tail, so the prefix mask
+            # holds for any state initialized at the current count
+            # (resize/reset re-init the persist state).
+        else:
+            self.ensure_identity_order()
+            src_pos, src_vel = self.state.pos, self.state.vel
+            src_col = self.state.init_color
         stride = 1
         if max_points and n > max_points:
             stride = -(-n // max_points)
         pos_dev, rgba_dev = raster.pack_points_jit(
-            self.state.pos, self.state.vel, self.state.init_color, pv,
-            n_stop=n, stride=stride)
+            src_pos, src_vel, src_col, pv, n_stop=n, stride=stride)
         # the pack strides the PADDED capacity; slice to the live range so
         # the payload honors max_points even when capacity >> n_active
         out_n = -(-max(n, 1) // stride)
@@ -706,11 +782,13 @@ class Engine:
 
         renderer: "scatter" (XLA .at[].add — works everywhere),
         "sorted" (Pallas sorted-deposit, ~15x faster at 1M@1080p on TPU),
-        or "auto" (sorted when eligible: TPU backend, tile-aligned
-        resolution, large point count).
+        "compact" (render/raster_compact.py: visibility compaction +
+        segmented sort — the 16M interactive path), or "auto" (compact
+        when eligible: TPU backend, tile-aligned resolution, large point
+        count).
         """
         from ..core.params import P_COLOR_MODE
-        from ..render import raster_sorted
+        from ..render import raster_compact, raster_sorted
 
         if isinstance(params, SimParams):
             cmode = int(params.color_mode)
@@ -718,21 +796,33 @@ class Engine:
         else:
             cmode = int(np.asarray(params)[P_COLOR_MODE])
             pv = jnp.asarray(params)
-        if (self._identity_dirty and cmode != ColorMode.ORIGINAL
-                and self.mesh is None and self._persist is not None):
+        if self.mesh is not None and renderer != "scatter":
+            fb = self._render_frame_dp(pv, camera, width, height)
+            if fb is not None:
+                return raster.to_rgba8(fb)
+        persist_ok = (self._identity_dirty and self.mesh is None
+                      and self._persist is not None
+                      and (cmode != ColorMode.ORIGINAL
+                           or self._persist.col24 is not None))
+        if persist_ok:
             # The raster is order-independent (commutative additive
-            # blend) and only color mode 0 pairs points with init_color:
-            # for velocity/position colors render straight from the
-            # persistent SORTED planes and skip the identity un-sort
-            # entirely (active slots are a storage prefix: trash keys are
-            # SENTINEL so every repair sorts them to the tail, and slots
-            # do not move between repairs). init_color still flows as an
-            # operand (the color select is traced) but its pairing is
-            # never observed.
+            # blend), so render straight from the persistent SORTED
+            # planes and skip the identity un-sort entirely (active
+            # slots are a storage prefix: trash keys are SENTINEL so
+            # every repair sorts them to the tail, and slots do not
+            # move between repairs). Color mode 0 (ORIGINAL — the
+            # reference default) pairs points with init_color; the
+            # persist state carries it pre-paired as ``col24``
+            # (SortedPMState docstring), so even the DEFAULT config
+            # renders sort-free. Legacy col24-less states (old
+            # checkpoints) keep the un-sort for mode 0 only.
             shape = self._state.pos.shape
             st_pos = self._persist.pos.reshape(shape)
             st_vel = self._persist.vel.reshape(shape)
-            st_col = self._state.init_color
+            st_col = (raster.unpack_col24(self._persist.col24)
+                      .reshape(self._state.init_color.shape)
+                      if self._persist.col24 is not None
+                      else self._state.init_color)
         else:
             self.ensure_identity_order()
             st_pos, st_vel = self._state.pos, self._state.vel
@@ -744,11 +834,53 @@ class Engine:
             and height % raster_sorted.TILE_H == 0
             and self.capacity % raster_sorted.CHUNK == 0
             and self.capacity >= 200_000)
-        use_sorted = renderer == "sorted" or (renderer == "auto" and eligible)
-        fn = raster_sorted.render_jit if use_sorted else raster.render_jit
-        fb = fn(st_pos, st_vel, st_col, pv,
-                vp, self._state.n_active, width=width, height=height)
+        if renderer == "compact" or (renderer == "auto" and eligible):
+            fb = raster_compact.render_jit(
+                st_pos, st_vel, st_col, pv, vp, self._state.n_active,
+                width=width, height=height,
+                interpret=self._interpret or jax.default_backend() != "tpu")
+        elif renderer == "sorted":
+            fb = raster_sorted.render_jit(
+                st_pos, st_vel, st_col, pv, vp, self._state.n_active,
+                width=width, height=height)
+        else:
+            fb = raster.render_jit(st_pos, st_vel, st_col, pv, vp,
+                                   self._state.n_active,
+                                   width=width, height=height)
         return raster.to_rgba8(fb)
+
+    def _render_frame_dp(self, pv, camera: Camera, width: int, height: int):
+        """Multi-chip render: per-shard rasterization + one framebuffer
+        psum (parallel/render_dp.py) — no particle gather, communication
+        is resolution-bound. Returns the replicated f32 framebuffer, or
+        None when the resolution / per-shard capacity can't tile (caller
+        falls back to the gather + single-device path). In persist mode
+        it renders straight from the sharded sorted carry (positions,
+        velocities, carried col24 display color), so the flagship
+        multi-chip frame never rebuilds identity order."""
+        from ..render import raster_compact
+        from ..parallel.render_dp import make_render_dp
+
+        local_cap = self.capacity // int(self.mesh.devices.size)
+        if (width % raster_compact.TILE_W or height % raster_compact.TILE_H
+                or local_cap % raster_compact.CHUNK):
+            return None
+        interp = self._interpret or jax.default_backend() != "tpu"
+        carry = self._persist if self._identity_dirty else None
+        flat = carry is not None
+        key = ("render_dp", width, height, flat, interp)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = make_render_dp(self.mesh, width=width, height=height,
+                                interpret=interp, flat=flat)
+            self._jit_cache[key] = fn
+        vp = jnp.asarray(camera.view_proj())
+        if flat:
+            # carry = (pos, vel, ids, resorts, fine_b[, masses], col24)
+            return fn(carry[0], carry[1], raster.unpack_col24(carry[-1]),
+                      pv, vp, self._state.n_active)
+        st = self.state
+        return fn(st.pos, st.vel, st.init_color, pv, vp, st.n_active)
 
     def render_frame(
         self, camera: Camera, params: Union[SimParams, np.ndarray],

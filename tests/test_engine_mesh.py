@@ -99,3 +99,54 @@ def test_mesh_render_and_stream():
     assert img.shape == (720, 1280, 4) and (img[..., :3] > 0).any()
     pos, rgba = e.frame_arrays(p, max_points=500)
     assert pos.shape[0] == 3 and rgba.shape[1] == 4
+
+
+def test_mesh_render_psum_composite():
+    """Multi-chip sorted rendering: each shard rasterizes its rows and
+    ONE framebuffer psum composites (parallel/render_dp.py) — no
+    particle gather. Must match the single-device render within the
+    additive blend's fp/bf16 tolerance."""
+    import particle_sim_tpu as psim
+    from particle_sim_tpu.render.camera import Camera
+
+    mesh = mesh_lib.make_mesh()
+    n = mesh.devices.size * 1024
+    single = Engine(particle_count=n, method=Method.JNP)
+    sharded = Engine(particle_count=n, method=Method.JNP, mesh=mesh)
+    p = psim.SimParams(color_mode=1, gravity=1.0)
+    for _ in range(2):
+        single.step(p)
+        sharded.step(p)
+    cam = Camera(aspect=2.0)
+    img_s = sharded.render_frame(cam, p, width=256, height=128)
+    img_1 = single.render_frame(cam, p, width=256, height=128,
+                                renderer="compact")
+    assert (img_s[..., :3] > 0).any()
+    assert abs(img_s.astype(int) - img_1.astype(int)).max() <= 2
+
+
+def test_mesh_persist_render_from_carry():
+    """Persist + mesh: the frame renders from the SHARDED sorted carry
+    (positions + carried col24) without rebuilding identity order, and
+    matches the identity-order scatter render."""
+    import particle_sim_tpu as psim
+    from particle_sim_tpu.core.params import PMConfig
+    from particle_sim_tpu.render.camera import Camera
+
+    mesh = mesh_lib.make_mesh()
+    n = mesh.devices.size * 1024
+    cfg = PMConfig(softening=4.0)
+    e = Engine(particle_count=n, method=Method.PALLAS, interpret=True,
+               pm=cfg, pm_persist=True, mesh=mesh)
+    p = psim.SimParams(color_mode=0, gravity=0.0, delta_time=0.016)
+    for _ in range(2):
+        e.step(p)
+    assert e._identity_dirty
+    cam = Camera(aspect=2.0)
+    img = e.render_frame(cam, p, width=256, height=128)
+    assert e._identity_dirty            # no identity rebuild was paid
+    img_ref = e.render_frame(cam, p, width=256, height=128,
+                             renderer="scatter")
+    assert not e._identity_dirty        # the scatter path rebuilds
+    assert (img[..., :3] > 0).any()
+    assert abs(img.astype(int) - img_ref.astype(int)).max() <= 3
