@@ -201,7 +201,9 @@ def main(argv=None) -> int:
             pm=pm_cfg,
             substeps=args.substeps,
             mesh=mesh,
-            pm_persist=args.pm_persist,
+            # bare --pm keeps "auto": per-frame sorted vs persistent is
+            # picked from the count (engine.PERSIST_AUTO_MIN_N crossover)
+            pm_persist=True if args.pm_persist else "auto",
             pm2=pm2_cfg,
         )
 

@@ -40,7 +40,9 @@ def save(path: str, engine: Engine, step_index: int = 0) -> None:
             [engine.pairwise.gravitational_constant, engine.pairwise.softening]
             if engine.pairwise else None),
         "pm": dataclasses.asdict(engine.pm) if engine.pm else None,
-        "pm_persist": bool(getattr(engine, "pm_persist", False)),
+        # the raw MODE ("auto" | True | False), not its current resolution:
+        # an auto engine resumed at a different count must re-resolve
+        "pm_persist": getattr(engine, "pm_persist", False),
         # single PM2Config -> dict; multi-level tuple -> list of dicts
         "pm2": (
             [dataclasses.asdict(c) for c in engine.pm2]
@@ -106,7 +108,7 @@ def load(path: str, method: Optional[Method] = None,
         pm=PMConfig(**pm_meta) if pm_meta else None,
         interpret=interpret,
         substeps=meta.get("substeps", 1),
-        pm_persist=bool(meta.get("pm_persist", False)),
+        pm_persist=meta.get("pm_persist", False),
         pm2=pm2_cfg,
     )
     engine.state = ParticleState.from_arrays(positions, velocities, init_colors)
