@@ -17,6 +17,9 @@ Wire protocol (binary server->client):
     u32 magic 'PSIM' | u32 mode (0 planar-f32, 1 compact-f16, 2 raster)
     | u32 count | u32 frame_id | u32 total_particles | f32 fps
     | f32 update_ms | u32 reflected_seq | f32 input_to_frame_ms
+    | u32 flags (bit 0: paused — authoritative app state in the frame
+                 header so EVERY client's pause button tracks a toggle
+                 from any client, the app.rs:179,197-199 analog)
     | payload (mode 0: pos f32[3*count] then rgba u8[4*count];
                mode 1: 10-byte records — see io/packer.py;
                mode 2: u32 width | u32 height | rgba u8[4*width*height],
@@ -59,6 +62,9 @@ from ..io import packer
 from ..render.camera import Camera
 
 MAGIC = 0x4D495350  # 'PSIM' little-endian
+HEADER_FMT = "<IIIIIffIfI"   # see the wire-protocol docstring above
+HEADER_BYTES = struct.calcsize(HEADER_FMT)  # 40
+FLAG_PAUSED = 1 << 0
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 _VIEWER_PATH = os.path.join(os.path.dirname(__file__), "viewer", "index.html")
 
@@ -214,9 +220,14 @@ class StreamServer:
                     w, h = self.raster_size
                     w = int(ev.get("width", w))
                     h = int(ev.get("height", h))
-                    # clamp + snap to the raster tile grid (8 rows; widths
-                    # that are multiples of 128 keep the Pallas fast path)
-                    w = max(64, min(3840, w)) // 8 * 8
+                    # clamp + snap to the raster TILE grid: height to the
+                    # 8-row tile, width UP to the 128-lane tile — client
+                    # widths (canvas.clientWidth) are almost never
+                    # 128-aligned, and a misaligned width silently drops
+                    # render_frame_device to the XLA scatter path, orders
+                    # of magnitude slower at big N (ADVICE r2). The client
+                    # letterboxes the at-most-127-px overshoot.
+                    w = -(-max(128, min(3840, w)) // 128) * 128
                     h = max(64, min(2160, h)) // 8 * 8
                     self.raster_size = (w, h)
                     self.camera.aspect = w / h
@@ -230,18 +241,23 @@ class StreamServer:
                         raise ValueError(v)  # silently render black frames
                     return v
 
-                cam = self.camera
+                # validate EVERY field before assigning ANY: an event
+                # with a valid pos but NaN yaw must not leave the pose
+                # half-applied for subsequent frames (ADVICE r2)
+                upd = {}
                 if "pos" in ev:
                     x, y, z = ev["pos"]
-                    cam.position = np.array([_f(x), _f(y), _f(z)])
+                    upd["position"] = np.array([_f(x), _f(y), _f(z)])
                 if "yaw" in ev:
-                    cam.yaw = _f(ev["yaw"])
+                    upd["yaw"] = _f(ev["yaw"])
                 if "pitch" in ev:
                     lim = np.pi / 2.0 - 0.01   # camera.rs:168-174 clamp
-                    cam.pitch = min(lim, max(-lim, _f(ev["pitch"])))
+                    upd["pitch"] = min(lim, max(-lim, _f(ev["pitch"])))
                 if "fov" in ev:
-                    cam.fov = min(np.pi * 2 / 3,
-                                  max(np.pi / 18, _f(ev["fov"])))
+                    upd["fov"] = min(np.pi * 2 / 3,
+                                     max(np.pi / 18, _f(ev["fov"])))
+                for k, v in upd.items():
+                    setattr(self.camera, k, v)
             elif t == "solver":
                 # runtime self-gravity switch: off / particle-mesh / direct.
                 # Solver name and G changes reuse compiled steps (G is
@@ -265,6 +281,11 @@ class StreamServer:
                 else:
                     self.engine.pm = None
                     self.engine.pairwise = None
+            # every event can change what the next frame shows (pause flag,
+            # reset state, camera pose in raster mode, color mode, ...) —
+            # bump the version so the pack loop re-streams even while the
+            # sim is paused (a paused engine stops bumping it in _sim_loop)
+            self._state_version += 1
 
     # -- frame production -----------------------------------------------------
     def _build_frame(self) -> bytes:
@@ -282,6 +303,7 @@ class StreamServer:
                     self.params, self.max_points)
             total = self.engine.particle_count
             stats = self.engine.stats
+            paused = self.engine.is_paused()
             rseq, rt = self._reflected_seq, self._reflected_t
         if mode == 2:
             fb = np.asarray(fb_dev)          # fetch outside the lock
@@ -305,9 +327,10 @@ class StreamServer:
             count = pos.shape[1]
             payload = pos.tobytes() + rgba.tobytes()
         head = struct.pack(
-            "<IIIIIffIf", MAGIC, mode, count, self.frame_id,
+            HEADER_FMT, MAGIC, mode, count, self.frame_id,
             total, float(stats.fps), float(stats.update_ms),
-            rseq, float(self._latency_ms))
+            rseq, float(self._latency_ms),
+            FLAG_PAUSED if paused else 0)
         return head + payload
 
     def _sim_loop(self) -> None:
@@ -419,7 +442,7 @@ class StreamServer:
                     "method": self.engine.method.name.lower(),
                     "count": self.engine.particle_count,
                     "paused": self.engine.is_paused(),
-                    "solver": (("pm_persist" if self.engine.pm_persist
+                    "solver": (("pm_persist" if self.engine.persist_resolved()
                                 else "pm") if self.engine.pm is not None
                                else "direct" if self.engine.pairwise
                                else "off"),
@@ -429,6 +452,12 @@ class StreamServer:
                         self.engine.pm.softening if self.engine.pm
                         else self.engine.pairwise.softening
                         if self.engine.pairwise else 2.0),
+                    # current wire mode + raster size so the viewer's
+                    # Wire-format select reflects a --view-mode raster
+                    # server instead of defaulting to planar (ADVICE r2)
+                    "wire_mode": {0: "planar", 1: "compact",
+                                  2: "raster"}[self.wire_mode],
+                    "raster_size": list(self.raster_size),
                 })
                 sock.sendall(ws_encode(hello.encode(), opcode=0x1))
                 w = threading.Thread(target=self._client_writer, args=(sock,),
@@ -515,6 +544,7 @@ class StreamServer:
 
 def main(argv=None) -> int:
     import argparse
+    import re
 
     from ..utils.cache import enable as enable_compile_cache
     enable_compile_cache()
@@ -552,13 +582,17 @@ def main(argv=None) -> int:
         pm=PMConfig(softening=args.pm_softening) if want_pm else None,
         pairwise=(PairwiseParams(args.pm_g, args.pm_softening)
                   if want_pm else None),
-        pm_persist=args.pm_persist)
+        # bare --pm keeps the "auto" mode: the engine picks per-frame
+        # sorted vs persistent from the count (measured crossover)
+        pm_persist=True if args.pm_persist else "auto")
     server = StreamServer(engine, host=args.host, port=args.port,
                           target_fps=args.fps)
     server.max_points = args.max_points
-    w, _, h = args.raster_size.partition("x")
+    m = re.fullmatch(r"(\d+)x(\d+)", args.raster_size.strip().lower())
+    if m is None:
+        ap.error(f"--raster-size must be WxH (got {args.raster_size!r})")
     server.handle_event({"type": "view", "mode": args.view_mode,
-                         "width": int(w), "height": int(h)})
+                         "width": int(m.group(1)), "height": int(m.group(2))})
     server.serve_forever()
     return 0
 

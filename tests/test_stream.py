@@ -12,7 +12,10 @@ import pytest
 
 from particle_sim_tpu.core.params import Method, SimParams
 from particle_sim_tpu.engine import Engine
+from particle_sim_tpu.app import server as server_mod
 from particle_sim_tpu.io import packer
+
+HDR = server_mod.HEADER_BYTES
 
 
 class TestPacker:
@@ -179,15 +182,16 @@ class TestStreamServer:
         op, frame = ws_recv_binary(s)
         assert op == 0x2
         (magic, mode, count, fid, total, fps, upd, rseq,
-         input_ms) = struct.unpack("<IIIIIffIf", frame[:36])
+         input_ms, flags) = struct.unpack(server_mod.HEADER_FMT,
+                                          frame[:HDR])
         assert magic == 0x4D495350
         assert mode == 0
         assert total == 2000
         assert count >= total  # capacity slots; padding carries alpha 0
         pos = np.frombuffer(frame, dtype=np.float32,
-                            count=3 * count, offset=36).reshape(3, -1)
+                            count=3 * count, offset=HDR).reshape(3, -1)
         rgba = np.frombuffer(frame, dtype=np.uint8, count=4 * count,
-                             offset=36 + 12 * count).reshape(-1, 4)
+                             offset=HDR + 12 * count).reshape(-1, 4)
         assert np.isfinite(pos).all()
         # hollow sphere: radius ~50 for every active particle
         radii = np.sqrt((pos[:, :total] ** 2).sum(0))
@@ -251,9 +255,9 @@ class TestStreamServer:
                 break
         assert mode == 1
         count = struct.unpack("<I", frame[8:12])[0]
-        assert len(frame) == 36 + count * packer.RECORD_BYTES
+        assert len(frame) == HDR + count * packer.RECORD_BYTES
         pos, rgba = packer.unpack_f16(
-            np.frombuffer(frame, np.uint8, offset=36))
+            np.frombuffer(frame, np.uint8, offset=HDR))
         active = rgba[:, 3] > 0
         radii = np.linalg.norm(pos[active], axis=1)
         assert abs(np.median(radii) - 50.0) < 2.0  # hollow sphere survives f16
@@ -386,18 +390,18 @@ class TestSolverEvents:
         while time.time() < deadline:
             _, frame = ws_recv_binary(s)
             mode = struct.unpack("<I", frame[4:8])[0]
-            w, h = (struct.unpack("<II", frame[36:44])
+            w, h = (struct.unpack("<II", frame[HDR:HDR + 8])
                     if mode == 2 else (0, 0))
             if mode == 2 and np.frombuffer(
-                    frame, np.uint8, offset=44).reshape(
+                    frame, np.uint8, offset=HDR + 8).reshape(
                     h, w, 4)[..., :3].max() > 0:
                 break
         assert mode == 2
         count = struct.unpack("<I", frame[8:12])[0]
-        assert (w, h) == (64, 64)          # 70x67 snapped down to /8
+        assert (w, h) == (128, 64)  # w snapped UP to the 128-lane tile, h down to /8
         assert count == w * h
-        assert len(frame) == 36 + 8 + 4 * w * h
-        pix = np.frombuffer(frame, np.uint8, offset=44).reshape(h, w, 4)
+        assert len(frame) == HDR + 8 + 4 * w * h
+        pix = np.frombuffer(frame, np.uint8, offset=HDR + 8).reshape(h, w, 4)
         assert int(pix[..., :3].max()) > 0  # falling sphere is visible
         # camera events steer the server-side viewpoint
         ws_send_text(s, {"type": "camera", "pos": [0, 0, 300.0],
