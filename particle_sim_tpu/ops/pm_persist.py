@@ -20,11 +20,18 @@ order part of the simulation state:
     EXACT, only the pair count grows.
   * When accumulated drift would overflow the static pair budget (the
     traced total is checked against it every frame), a ``lax.cond``
-    repairs the order with one full grouping sort carrying the whole
-    particle (pos, vel, ids[, masses] — ~7 payload operands). Between
-    repairs the frame runs sort-free: keys + spans + tables + deposit +
-    FFT solve + gather + integrate, with the gather's output already in
-    state order (no un-sort, ever).
+    repairs the order — in TWO TIERS at large N: tier 1 is a
+    SEGMENT-LOCAL grouping sort (rows of an (n/seg, seg) reshape sort
+    independently — ~4x cheaper than the global sort at 16M and
+    sufficient for ordinary drift, which is local), tier 2 re-derives
+    the totals and falls back to the FULL sort (pos, vel, ids[, masses]
+    [, col24] — ~7-9 payload operands) only when cross-segment
+    migration has accumulated past what local sorting can tighten
+    (see pick_segment / accel_sorted). Between repairs the frame runs
+    sort-free: keys + spans + tables + deposit + FFT solve + gather +
+    integrate, with the gather's output already in state order (no
+    un-sort, ever). ``resorts`` counts repair PASSES (a frame that
+    needed both tiers counts 2).
 
 Static-box modes only (periodic / isolated): ``auto_box`` re-keys every
 particle every frame (the box tracks the cloud), which defeats span
@@ -111,6 +118,25 @@ SLACK_GAT = 24
 _SMEM_WORDS = 65536
 
 
+def pick_segment(n_pad: int, chunk: int) -> int:
+    """Slots per LOCAL-repair segment (0 = no local tier, see
+    accel_sorted). A segment-local repair sorts rows of an
+    (n/seg, seg) reshape independently — comparator depth O(log^2 seg)
+    instead of O(log^2 n), measured ~4x cheaper at 16M (65536-slot
+    segments, 24^2 -> 16^2 network depth plus better locality) — and
+    preserves every invariant the global sort establishes *within* each
+    segment (dead slots keep to the global tail: their keys are maximal
+    and they already occupy the trailing segments). Segments must hold
+    >= 8 chunks (so per-chunk spans re-telescope after the local sort)
+    and >= 32768 slots (below that, particles cross segment boundaries
+    too readily for the local tier to pay — small-N states skip it)."""
+    for s in (65536, 32768):
+        if (n_pad % s == 0 and s % chunk == 0 and s // chunk >= 8
+                and n_pad // s >= 4):
+            return s
+    return 0
+
+
 def pick_chunk(n_pad: int) -> int:
     """Particles per kernel block: smallest supported chunk whose
     SLACK-scaled pair tables still fit the SMEM budget."""
@@ -174,13 +200,20 @@ class SortedPMState(NamedTuple):
 
 
 def _sort_state(key, pos, vel, ids, masses, resorts,
-                fine_b=None, col24=None) -> SortedPMState:
+                fine_b=None, col24=None, seg: int = 0) -> SortedPMState:
+    """Grouping sort into a SortedPMState. ``seg`` > 0 sorts each
+    ``seg``-slot segment INDEPENDENTLY (rows of a reshape — the local
+    repair tier, see pick_segment) instead of globally."""
     ops = (key, pos[0], pos[1], pos[2], vel[0], vel[1], vel[2], ids)
     if masses is not None:
         ops += (masses,)
     if col24 is not None:
         ops += (col24,)
+    if seg:
+        ops = tuple(o.reshape(-1, seg) for o in ops)
     s = jax.lax.sort(ops, num_keys=1)
+    if seg:
+        s = tuple(o.reshape(-1) for o in s)
     k = 8
     m_s = s[k] if masses is not None else None
     k += masses is not None
@@ -204,6 +237,10 @@ def init_sorted(pos_flat: jax.Array, n_active, cfg: "P.PMConfig",
     if cfg.auto_box:
         raise ValueError("persistent sorted mode needs a static box; "
                          "use pm_pallas.pm_accel for auto_box")
+    if cfg.grid != GRID:
+        raise ValueError(f"persistent sorted mode supports grid={GRID} "
+                         f"only (its spans bake the G-128 layout); use "
+                         f"pm_pallas.pm_accel for grid {cfg.grid}")
     ids = jnp.arange(n, dtype=jnp.int32)
     key, _ = pm_pallas.cell_key_frac(pos_flat, ids < n_active, cfg)
     vel_flat = (jnp.zeros_like(pos_flat) if vel_flat is None
@@ -486,6 +523,10 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     if cfg.auto_box:
         raise ValueError("persistent sorted mode needs a static box; "
                          "use pm_pallas.pm_accel for auto_box")
+    if cfg.grid != GRID:
+        raise ValueError(f"persistent sorted mode supports grid={GRID} "
+                         f"only; use pm_pallas.pm_accel for grid "
+                         f"{cfg.grid}")
     n = st.pos.shape[1]
     n_active = jnp.int32(n) if n_active is None else n_active
     chunk = chunk or pick_chunk(n)
@@ -538,10 +579,11 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
         need = (need | (fine0[3] > c_max_dep2) | (fine0[4] > c_max_gat2)
                 | fine0[5])
 
-    def _repair(s):
+    def _repair(s, key_s=None, seg: int = 0):
+        key_s = key0 if key_s is None else key_s
         if cfg2 is None:
-            s2 = _sort_state(key0, s.pos, s.vel, s.ids, s.masses,
-                             s.resorts + 1, s.fine_b, s.col24)
+            s2 = _sort_state(key_s, s.pos, s.vel, s.ids, s.masses,
+                             s.resorts + 1, s.fine_b, s.col24, seg=seg)
         else:
             # segmented class key: A = live non-members by coarse id,
             # B = live window(+park) members of THIS moment by fine id,
@@ -563,8 +605,30 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
                              s.resorts + 1, fb, s.col24)
         return (s2,) + _derive(s2, s2.ids < n_active)
 
-    st, key, frac, dep_total, gat_total, fine = jax.lax.cond(
-        need, _repair, lambda s: (s, key0, frac0, dep0, gat0, fine0), st)
+    seg = pick_segment(n, chunk) if cfg2 is None else 0
+    if seg:
+        # two-tier repair (the dynamic-scene amortization): tier 1 is a
+        # SEGMENT-LOCAL grouping sort — ~4x cheaper than the global one
+        # at 16M (pick_segment docstring) and sufficient for ordinary
+        # drift, where disorder is local (collapse infall moves
+        # particles a fraction of a cell per frame). Tier 2 re-derives
+        # the totals from the locally-repaired order and falls back to
+        # the FULL sort only if they still overflow (cross-segment
+        # migration has accumulated) — so the repair guarantee is
+        # unchanged: whatever order reaches the tables below fits the
+        # static budgets. Tier 2 keys on tier 1's OUTPUT order (key1),
+        # never the stale key0.
+        st, key1, frac1, dep1, gat1, fine1 = jax.lax.cond(
+            need, functools.partial(_repair, seg=seg),
+            lambda s: (s, key0, frac0, dep0, gat0, fine0), st)
+        need_full = (dep1 > c_max_dep) | (gat1 > c_max_gat)
+        st, key, frac, dep_total, gat_total, fine = jax.lax.cond(
+            need_full, lambda s: _repair(s, key_s=key1),
+            lambda s: (s, key1, frac1, dep1, gat1, fine1), st)
+    else:
+        st, key, frac, dep_total, gat_total, fine = jax.lax.cond(
+            need, _repair, lambda s: (s, key0, frac0, dep0, gat0, fine0),
+            st)
 
     # spans of the (possibly re-ordered) state; a repaired order
     # satisfies the telescoping bounds, so the tables below always fit

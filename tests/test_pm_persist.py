@@ -237,6 +237,96 @@ def test_budgets_clamped_and_sufficient():
         assert int(gt) <= cg
 
 
+def test_pick_segment():
+    """Local-repair segment sizing: multiple of the chunk, >= 8 chunks,
+    >= 4 segments; ragged capacities that can't tile fall back to 0 (no
+    local tier)."""
+    assert pm_persist.pick_segment(16 * 1024 * 1024, 8192) == 65536
+    assert pm_persist.pick_segment(131072, 512) == 32768
+    assert pm_persist.pick_segment(1000448, 512) == 0   # 512*1954, 977 prime
+    assert pm_persist.pick_segment(2048, 512) == 0      # too few segments
+
+
+def test_sort_state_segmented_unit():
+    """_sort_state(seg=...) sorts each segment independently, keeps
+    payload rows paired with their keys, and leaves the dead tail at the
+    END (dead keys are maximal and already live in the tail segments)."""
+    rng = np.random.default_rng(21)
+    n, seg, n_live = 4096, 1024, 3600
+    key = np.where(np.arange(n) < n_live,
+                   rng.integers(0, 10_000, n), pm_pallas.SENTINEL)
+    # scramble each segment internally (dead slots stay in tail segments)
+    perm = np.concatenate([rng.permutation(seg) + i * seg
+                           for i in range(n // seg)])
+    key = key[perm].astype(np.int32)
+    pos = rng.normal(size=(3, n)).astype(np.float32)
+    ids = perm.astype(np.int32)
+    st = pm_persist._sort_state(jnp.asarray(key), jnp.asarray(pos),
+                                jnp.asarray(pos * 2.0), jnp.asarray(ids),
+                                None, jnp.int32(1), seg=seg)
+    k_out = np.asarray(key)[np.argsort(np.asarray(st.ids), kind="stable")]
+    for i in range(n // seg):
+        s = np.sort(key[i * seg:(i + 1) * seg])
+        got_pos = np.asarray(st.pos)[:, i * seg:(i + 1) * seg]
+        # segment sorted, and each slot's payload still matches its key
+        kk = np.asarray(
+            jax.lax.sort((jnp.asarray(key[i * seg:(i + 1) * seg]),
+                          jnp.asarray(pos[:, i * seg:(i + 1) * seg][0])),
+                         num_keys=1)[1])
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(st.ids)[i * seg:(i + 1) * seg]),
+            np.sort(ids[i * seg:(i + 1) * seg]))
+        assert (np.diff(s) >= 0).all()
+        np.testing.assert_allclose(got_pos[0], kk)
+    # dead tail intact: the last (n - n_live) slots are exactly the dead ids
+    assert set(np.asarray(st.ids)[n_live:].tolist()) == set(
+        range(n_live, n))
+    del k_out
+
+
+def test_local_repair_tier_within_segment_scramble(monkeypatch):
+    """Scrambling WITHIN segments overflows the budgets but is fixable by
+    the tier-1 segment-local sort: exactly one repair pass fires and the
+    result is exact. (pick_segment is patched so the two-tier path runs
+    at a CI-sized N.)"""
+    monkeypatch.setattr(pm_persist, "pick_segment", lambda n, c: 2048)
+    pos, n_act = _flat(_cloud(8192, 22))
+    st = pm_persist.init_sorted(pos, n_act, CFG)
+    n = st.pos.shape[1]
+    rng = np.random.default_rng(23)
+    perm = np.concatenate([rng.permutation(2048) + i * 2048
+                           for i in range(n // 2048)]).astype(np.int32)
+    perm = jnp.asarray(perm)
+    st = st._replace(pos=st.pos[:, perm], vel=st.vel[:, perm],
+                     ids=st.ids[perm])
+    st2, _ = _assert_matches_ref(st, n_act)
+    assert int(st2.resorts) == 1          # tier 1 only
+    # the repaired order is per-segment sorted
+    key = np.asarray(pm_pallas.cell_key_frac(
+        st2.pos, st2.ids < n_act, CFG)[0])
+    for i in range(n // 2048):
+        assert (np.diff(key[i * 2048:(i + 1) * 2048]) >= 0).all()
+
+
+def test_local_repair_escalates_to_global(monkeypatch):
+    """A GLOBAL scramble defeats the local tier (segment key ranges all
+    span the whole cloud): tier 1 fires, the re-derived totals still
+    overflow, tier 2 runs the full sort — two repair passes, exact
+    result, globally sorted order."""
+    monkeypatch.setattr(pm_persist, "pick_segment", lambda n, c: 2048)
+    pos, n_act = _flat(_cloud(8192, 24))
+    st = pm_persist.init_sorted(pos, n_act, CFG)
+    perm = jnp.asarray(np.random.default_rng(25).permutation(
+        st.pos.shape[1]).astype(np.int32))
+    st = st._replace(pos=st.pos[:, perm], vel=st.vel[:, perm],
+                     ids=st.ids[perm])
+    st2, _ = _assert_matches_ref(st, n_act)
+    assert int(st2.resorts) == 2          # local pass + full pass
+    key = np.asarray(pm_pallas.cell_key_frac(
+        st2.pos, st2.ids < n_act, CFG)[0])
+    assert (np.diff(key) >= 0).all()
+
+
 def test_segmented_deposit_table_properties():
     """Brute-force check of _deposit_table_spans_seg over random
     segmented orders: (1) every true (window, chunk) incidence of either
