@@ -38,10 +38,10 @@ import numpy as np
 
 METRIC = "particle_steps_per_sec_per_chip_1m_attractor"
 TARGET = 1e10  # BASELINE.json: >=1e10 particle-steps/sec/chip
-REPS_K = 5     # marginal-measurement repetitions; headline = median
+REPS_K = 10    # POST-WARMUP marginal repetitions; headline = median
 LASTGOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_LASTGOOD.json")
-WORKER_DEADLINE_S = 1500.0   # whole measurement suite budget
+WORKER_DEADLINE_S = 2000.0   # whole measurement suite budget
 PROBE_SCHEDULE_S = (90.0, 180.0, 270.0)   # retry-with-backoff windows
 
 
@@ -139,12 +139,18 @@ def _measure(res: dict) -> None:
             return step_jnp.step_n_jit(p, v, pv, n_steps * substeps)
 
     def marginal_samples(small, big, reps, substeps=1):
-        """Per-rep (t_big - t_small) marginal seconds; dispatch cancels."""
+        """Per-rep (t_big - t_small) marginal seconds; dispatch cancels.
+        Warms up (compile + one full timed shape pass) BEFORE collecting,
+        so every returned sample is clean — round-2 reported the compile-
+        contaminated first rep inside the sample list."""
+        p, v = jnp.array(state.pos), jnp.array(state.vel)
+        for n_steps in (small, big, small, big):  # compile + cache settle
+            p, v = run(p, v, n_steps, substeps)
+        _sync((p, v))
         out = []
         for _ in range(reps):
-            p, v = jnp.array(state.pos), jnp.array(state.vel)
             w = run(p, v, small, substeps)
-            _sync(w)  # includes compile on first rep
+            _sync(w)
             t0 = time.perf_counter()
             w = run(*w, small, substeps)
             _sync(w)
@@ -165,6 +171,12 @@ def _measure(res: dict) -> None:
     detail["headline_reps_k"] = REPS_K
     detail["headline_samples_ms_per_step"] = [
         round(s / 100.0 * 1e3, 4) for s in samples]
+    # spread over the CLEAN samples (round-2 verdict item 7: the 19.0 vs
+    # 14.96 G same-day runs were 3 clean samples each — report the
+    # min/median/max so tunnel-day variance is visible in every record)
+    detail["headline_ms_min_med_max"] = [
+        round(float(f(samples)) / 100.0 * 1e3, 4)
+        for f in (np.min, np.median, np.max)]
     detail["reference_implied_floor"] = 6.0e7  # 1M @ 60 FPS (SURVEY.md §6)
     detail["vs_reference_floor"] = round(res["value"] / 6.0e7, 1)
 
@@ -304,8 +316,14 @@ def _measure(res: dict) -> None:
         # the whole solver) + dynamic integrated frames with repairs
         try:
             from particle_sim_tpu.ops import pm_persist as _pmper
+            from particle_sim_tpu.render import raster as _ras
 
-            st_p = _pmper.init_sorted(pos16m, jnp.int32(n16), cfg16)
+            # carry the packed display color (col24) — the flagship
+            # interactive config: repairs pay one extra sort operand,
+            # every rendered frame skips the identity un-sort entirely
+            col24_16 = _ras.pack_col24(jnp.clip(pos16m / 90.0 + 0.5, 0, 1))
+            st_p = _pmper.init_sorted(pos16m, jnp.int32(n16), cfg16,
+                                      col24=col24_16)
 
             # steady-state accel in an in-jit loop (result consumed via
             # the carried sum so XLA can't dead-code the solver); one
@@ -355,6 +373,106 @@ def _measure(res: dict) -> None:
                 (time.perf_counter() - t0) / k_dyn * 1e3, 3)
             detail["pm_persistent_16m_repairs"] = (
                 f"{int(st_p.resorts) - r0}/{k_dyn + 1}")
+
+            # -- flagship 16M interactive frame (round-2 verdict item 1c):
+            # persist step + compact render + RGBA8 + HOST FETCH — the
+            # exact per-frame work of `--count 16777216 --pm-persist
+            # --view-mode raster` through app/server.py
+            try:
+                from particle_sim_tpu.render import raster_compact as _rc
+                from particle_sim_tpu.render.camera import Camera as _Cam
+
+                vp16 = jnp.asarray(
+                    _Cam(aspect=1920.0 / 1080.0).view_proj())
+
+                # render-only leg, dispatch-cancelled in-jit loop
+                @jax.jit
+                def render16_frames(s, k):
+                    col = _ras.unpack_col24(s.col24)
+                    def body(_, acc):
+                        fb = _rc.render(s.pos + acc * 1e-20, s.vel, col,
+                                        pv16, vp16, jnp.int32(n16),
+                                        width=1920, height=1080)
+                        return acc + fb[0, 0, 0]
+                    return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+                _sync(render16_frames(st_p, 1))
+                t0 = time.perf_counter()
+                _sync(render16_frames(st_p, 1))
+                t1 = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                _sync(render16_frames(st_p, 5))
+                detail["raster_16m_1080p_ms"] = round(
+                    max(time.perf_counter() - t0 - t1, 1e-9) / 4 * 1e3, 3)
+
+                # interactive frame = step dispatch + render dispatch —
+                # the server's exact per-frame shape (engine.step, then
+                # render_frame_device), and it reuses dyn_frames'
+                # already-compiled step (a fused step+render jit costs
+                # ~7 min of extra Mosaic compile for no semantic gain)
+                @jax.jit
+                def render_rgba16(s):
+                    fb = _rc.render(s.pos, s.vel,
+                                    _ras.unpack_col24(s.col24),
+                                    pv16, vp16, jnp.int32(n16),
+                                    width=1920, height=1080)
+                    return _ras.to_rgba8(fb)
+
+                rgba = render_rgba16(st_p)
+                _sync(rgba)  # compile
+                ts = []
+                for _ in range(8):
+                    t0 = time.perf_counter()
+                    st_p = dyn_frames(st_p, 1)
+                    rgba = render_rgba16(st_p)
+                    _sync(rgba)   # 1-element readback: device-complete
+                    ts.append(time.perf_counter() - t0)
+                detail["interactive_16m_frame_ms"] = round(
+                    float(np.median(ts)) * 1e3, 3)
+                detail["interactive_16m_fps"] = round(
+                    1.0 / float(np.median(ts)), 1)
+                # the full 8.3 MB RGBA fetch is ~390 ms on the axon dev
+                # tunnel (~21 MB/s) vs <1 ms over a real host's PCIe —
+                # report it separately so the tunnel doesn't masquerade
+                # as framework cost
+                t0 = time.perf_counter()
+                np.asarray(rgba)
+                detail["frame_fetch_1080p_ms_tunnel"] = round(
+                    (time.perf_counter() - t0) * 1e3, 1)
+            except Exception as e:
+                errors["interactive_16m"] = repr(e)[:200]
+
+            # -- stream pack at 16M: device shade/pack (from the sorted
+            # persist planes) + host f16 interleave
+            try:
+                from particle_sim_tpu.io import packer as _pk
+
+                col16f = jnp.clip(st_p.pos / 90.0 + 0.5, 0, 1)
+                packed16 = _ras.pack_points_jit(
+                    st_p.pos, st_p.vel, col16f, pv16, jnp.int32(n16))
+                _sync(packed16)
+                t0 = time.perf_counter()
+                for _ in range(4):
+                    packed16 = _ras.pack_points_jit(
+                        st_p.pos, st_p.vel, col16f, pv16, jnp.int32(n16))
+                _sync(packed16)
+                detail["stream_pack_16m_device_ms"] = round(
+                    (time.perf_counter() - t0) / 4 * 1e3, 3)
+                # host interleave cost is data-independent (memory-bound
+                # copy); synthesize host arrays instead of pulling 256 MB
+                # through the tunnel
+                hp = np.random.rand(3, n16).astype(np.float32)
+                hc = np.random.randint(0, 255, (n16, 4), dtype=np.uint8)
+                _pk.pack_f16(hp, hc)  # warm: first call builds/loads the lib
+                t0 = time.perf_counter()
+                for _ in range(2):
+                    buf16 = _pk.pack_f16(hp, hc)
+                detail["stream_pack_16m_host_ms"] = round(
+                    (time.perf_counter() - t0) / 2 * 1e3, 3)
+                del hp, hc, buf16, packed16
+            except Exception as e:
+                errors["stream_pack_16m"] = repr(e)[:200]
+
             # two-level refinement riding the SAME persistent order
             # (sort-free fine level, ops/pm_persist.py two-level mode)
             try:
