@@ -96,8 +96,9 @@ class Engine:
         solver (ops/pm*.py) instead of the direct O(N^2) sum; the traced
         G constant still comes from ``pairwise`` (defaulted if omitted),
         while the softening is pm.softening (static). The PALLAS method
-        uses the sorted CIC kernels when pm.grid == 128, the jnp
-        reference otherwise; multi-chip uses the psum-grid step
+        uses the sorted CIC kernels when pm.grid is one of
+        pm_pallas.SUPPORTED_GRIDS (32/64/128/256), the jnp reference
+        otherwise (with a warning); multi-chip uses the psum-grid step
         (parallel/pm_dp.py).
 
         ``pm2``: a pm2.PM2Config refinement window — two-level PM
@@ -307,12 +308,13 @@ class Engine:
 
             cfg, cfg2 = self.pm, self.pm2
             use_fast = (self.method == Method.PALLAS
-                        and cfg.grid == pm_pallas.GRID)
+                        and cfg.grid in pm_pallas.SUPPORTED_GRIDS)
             if self.method == Method.PALLAS and not use_fast:
                 logger.warning(
-                    "PM grid %d has no Pallas fast path (grid %d only): "
+                    "PM grid %d has no Pallas fast path (grids %s): "
                     "falling back to the jnp reference solver — expect "
-                    "much slower frames", cfg.grid, pm_pallas.GRID)
+                    "much slower frames", cfg.grid,
+                    pm_pallas.SUPPORTED_GRIDS)
             # fine kernels ride as jit arguments (device buffers), not
             # baked-in constants — see pm.diff_kernels_device
             if isinstance(cfg2, tuple):          # multi-level nesting
@@ -348,12 +350,13 @@ class Engine:
 
             cfg = self.pm
             use_fast = (self.method == Method.PALLAS
-                        and cfg.grid == pm_pallas.GRID)
+                        and cfg.grid in pm_pallas.SUPPORTED_GRIDS)
             if self.method == Method.PALLAS and not use_fast:
                 logger.warning(
-                    "PM grid %d has no Pallas fast path (grid %d only): "
+                    "PM grid %d has no Pallas fast path (grids %s): "
                     "falling back to the jnp reference solver — expect "
-                    "much slower frames", cfg.grid, pm_pallas.GRID)
+                    "much slower frames", cfg.grid,
+                    pm_pallas.SUPPORTED_GRIDS)
             if self.mesh is not None:
                 from ..parallel import pm_dp
 

@@ -223,14 +223,14 @@ def fine_accel_fast(pos_flat: jax.Array, live: jax.Array,
     key_s, idx_s, frac_s, mass_s = pm_pallas.pm_sort(
         pos_flat, None, cfg, coords=coords2, masses=m_src, live=live)
     rho2 = pm_pallas.pm_deposit_sorted(key_s, frac_s, mass_s,
-                                       interpret=interpret)
+                                       interpret=interpret, grid=cfg.grid)
     if psum_axis is not None:
         rho2 = jax.lax.psum(rho2, psum_axis)
     grids2 = pm.solve_accel_diff(rho2, cfg.grid, h2, cfg2.softening,
                                  eo, cfg2.gradient,
                                  kernels=kernels)
     acc2 = pm_pallas.pm_gather_sorted(grids2, key_s, frac_s, idx_s,
-                                      interpret=interpret)
+                                      interpret=interpret, grid=cfg.grid)
     # receivers == sources: window-internal pairs only (antisymmetric)
     return acc2 * w_src[None]
 

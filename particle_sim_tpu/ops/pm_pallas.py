@@ -42,14 +42,25 @@ steps with the sorted one-hot-matmul machinery proven by the rasterizer
      propagate out as +-Inf/NaN rather than as plausible finite values.
 
 The spectral solve between the two kernels is shared with ops/pm.py.
-Requires grid == 128 (the lane decomposition); any-grid falls back to the
-jnp reference path.
+
+Grid sizes: any power of two in SUPPORTED_GRIDS (32..256). The layout is
+parameterized by a small geometry record (_geom): lane = x, row = z*G + y.
+For G < 128 the physical lane width stays one register tile (128) and
+lanes >= G are simply dead — they miss every one-hot and are sliced off
+the reshaped grid (the one-hot/MXU cost is the same as G = 128, but
+G < 128 grids are small enough that the solve, not the transfer, rules).
+For G = 256 the tiles are two lane-registers wide (256); row = z*G + y
+keeps both CIC corner-row families G rows apart for EVERY G, so the
+window/table machinery is unchanged. The default module constants
+(GRID = 128 etc.) remain the persistent-sorted mode's baked layout
+(ops/pm_persist.py). Other grids fall back to the jnp reference path via
+the engine's gate.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -79,31 +90,57 @@ MIN_CHUNK = 512                              # smallest supported block
 SPREAD = GRID + 1                            # max corner row offset (z+1,y+1)
 SENTINEL = GRID * GRID * GRID                # id past the last cell
 
+SUPPORTED_GRIDS = (32, 64, 128, 256)
+
+
+class _Geom(NamedTuple):
+    """Per-grid-size layout of the sorted kernels (module docstring)."""
+    g: int            # cells per axis; cell id = (z*g + y)*g + x
+    shift: int        # log2(g): row = key >> shift, lane = key & (g-1)
+    plane: int        # physical lane width of grid tiles (>= g, >= 128)
+    rows_total: int   # g*g rows of g cells each
+    n_tiles: int      # deposit grid tiles (T_ROWS rows each)
+    n_tiles_g: int    # gather grid tiles (T_ROWS_G rows each)
+    sentinel: int     # g^3: cell id past the last (dead particles)
+
+
+@functools.lru_cache(maxsize=None)
+def _geom(g: int) -> _Geom:
+    if g not in SUPPORTED_GRIDS:
+        raise ValueError(f"sorted PM kernels support grids "
+                         f"{SUPPORTED_GRIDS}, got {g}")
+    rows = g * g
+    return _Geom(g, g.bit_length() - 1, max(g, 128), rows,
+                 rows // T_ROWS, rows // T_ROWS_G, g * g * g)
+
+
+_GEOM128 = _geom(GRID)
+
 
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
 #
 # Pair tables are packed into ONE i32 scalar-prefetch word per grid step —
-# bits [0,20) slice block, bit 20 corner family, [21,31) grid tile, bit 31
+# bits [0,17) slice block, bit 17 corner family, [18,31) grid tile, bit 31
 # first-visit — because scalar prefetch arrays live in SMEM (~1 MB): three
 # separate i32[c_max] arrays blow it at 16M particles. CHUNK adapts to N
 # for the same reason (pick_chunk), keeping c_max*4B comfortably inside
-# SMEM. (Family+tile are one 11-bit window id w = 2*tile + fam at bit 20,
-# so the tile is still a single shift+mask: (word >> 21) & 0x3FF. The
-# 10-bit tile field holds the deposit's trash tile id N_TILES == 512 and
-# the gather's 1024 tiles; 20 slice bits still allow 2^20 chunks — 512M
-# particles at the smallest chunk, far past the SMEM-bound pick_chunk
-# range.)
+# SMEM. (Family+tile are one 14-bit window id w = 2*tile + fam at bit 17,
+# so the tile is still a single shift+mask: (word >> 18) & 0x1FFF. The
+# 13-bit tile field holds every supported grid's tile count incl. the
+# trash id — G = 256 gathers over 4096 tiles — and 17 slice bits allow
+# 2^17 chunks; the SMEM budget in pick_chunk forces n_chunks far below
+# that long before the field overflows.)
 
 _FQ_BITS = 10
 _FQ_MAX = 1023
 _FQ_MASK = (1 << _FQ_BITS) - 1
 
-_S_BITS = 20
+_S_BITS = 17
 _S_MASK = (1 << _S_BITS) - 1
-_T_SHIFT = 21
-_T_MASK = 0x3FF
+_T_SHIFT = 18
+_T_MASK = 0x1FFF
 
 
 def _pack_pairs(t, fam, s, first):
@@ -113,11 +150,13 @@ def _pack_pairs(t, fam, s, first):
             | (first.astype(jnp.int32) << 31))
 
 
-def pick_chunk(n_pad: int) -> int:
+def pick_chunk(n_pad: int, n_tiles: int = N_TILES) -> int:
     """Particles per kernel block: smallest supported chunk whose pair
-    table fits the SMEM budget (c_max <= 64Ki words)."""
+    table fits the SMEM budget (c_max <= 64Ki words). ``4 * n_tiles``
+    covers both tables' tile terms (the gather's 2 * n_tiles_g equals
+    the deposit's 4 * n_tiles for every geometry)."""
     for c in (512, 1024, 2048, 4096, 8192):
-        if n_pad % c == 0 and 4 * (n_pad // c) + 4 * N_TILES + 2 <= 65536:
+        if n_pad % c == 0 and 4 * (n_pad // c) + 4 * n_tiles + 2 <= 65536:
             return c
     for c in (8192, 4096, 2048, 1024, 512):
         if n_pad % c == 0:
@@ -125,11 +164,11 @@ def pick_chunk(n_pad: int) -> int:
     raise ValueError(f"capacity {n_pad} not a multiple of 512")
 
 
-def _family_onehot(lrow, fy, wz, dtype, rows=T_ROWS):
-    """(R (rows, chunk), liota (LANE, chunk)) one CIC corner family.
+def _family_onehot(lrow, fy, wz, dtype, rows=T_ROWS, plane=LANE):
+    """(R (rows, chunk), liota (plane, chunk)) one CIC corner family.
 
-    A particle's 8 CIC corners split into two row families exactly GRID
-    rows apart (rows r,r+1 weight 1-fz; rows r+GRID,r+GRID+1 weight fz);
+    A particle's 8 CIC corners split into two row families exactly G
+    rows apart (rows r,r+1 weight 1-fz; rows r+G,r+G+1 weight fz);
     the caller passes the family's tile-local base row ``lrow`` and its
     z-weight ``wz``, so each pair builds only the 2-term one-hot whose
     rows can hit its tile. Out-of-range rows contribute nothing, which
@@ -142,13 +181,12 @@ def _family_onehot(lrow, fy, wz, dtype, rows=T_ROWS):
     zero = jnp.zeros((rows, chunk), jnp.float32)
     R = (jnp.where(riota == lrow, (1.0 - fy) * wz, zero)
          + jnp.where(riota == lrow + 1, fy * wz, zero))
-    liota = jax.lax.broadcasted_iota(jnp.int32, (LANE, chunk), 0)
+    liota = jax.lax.broadcasted_iota(jnp.int32, (plane, chunk), 0)
     return R.astype(dtype), liota
 
 
 def _lane_onehot(liota, x, fx, dtype):
-    chunk = x.shape[1]
-    zero = jnp.zeros((LANE, chunk), jnp.float32)
+    zero = jnp.zeros(liota.shape, jnp.float32)
     L = (jnp.where(liota == x, 1.0 - fx, zero)
          + jnp.where(liota == x + 1, fx, zero))
     return L.astype(dtype)
@@ -163,32 +201,32 @@ def _unpack_fracs(fq):
     return fx, fy, fz
 
 
-def _deposit_body(word, key, frac, out_ref, mass=None):
+def _deposit_body(word, key, frac, out_ref, mass=None, geom=_GEOM128):
     t = (word >> _T_SHIFT) & _T_MASK
 
     # trash pairs (grid-padding entries past the real pair table) target
     # the extra trash tile; skip their one-hot/MXU work entirely — the
     # trash tile's contents are discarded by the caller. Their input
     # index maps all land on block 0, so no extra DMA traffic either.
-    @pl.when(t < N_TILES)
+    @pl.when(t < geom.n_tiles)
     def _():
         fam = (word >> _S_BITS) & 1
-        row = key >> 7
-        x = key & (LANE - 1)
+        row = key >> geom.shift
+        x = key & (geom.g - 1)
         fx, fy, fz = _unpack_fracs(frac)
         wz = jnp.where(fam == 1, fz, 1.0 - fz)
         # bf16 one-hots, f32 accumulation: 4x MXU rate; the CIC weights
         # round identically here and in the gather (same f32 fracs, same
         # cast), so deposit/gather stay symmetric (momentum conservation)
-        R, liota = _family_onehot(row + fam * GRID - t * T_ROWS, fy, wz,
-                                  jnp.bfloat16)
+        R, liota = _family_onehot(row + fam * geom.g - t * T_ROWS, fy, wz,
+                                  jnp.bfloat16, plane=geom.plane)
         if mass is not None:
             # per-particle mass scales the row factor (bf16 columns)
             R = R * mass.astype(jnp.bfloat16)
         L = _lane_onehot(liota, x, fx, jnp.bfloat16)
         dep = jax.lax.dot_general(
             R, L, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)   # (T_ROWS, LANE)
+            preferred_element_type=jnp.float32)   # (T_ROWS, plane)
 
         @pl.when(word < 0)
         def _():
@@ -197,18 +235,19 @@ def _deposit_body(word, key, frac, out_ref, mass=None):
         out_ref[...] += dep[None]
 
 
-def _deposit_kernel(p_ref, key_ref, frac_ref, out_ref):
-    i = pl.program_id(0)
-    _deposit_body(p_ref[i], key_ref[...], frac_ref[...], out_ref)
-
-
-def _deposit_kernel_mass(p_ref, key_ref, frac_ref, mass_ref, out_ref):
+def _deposit_kernel(geom, p_ref, key_ref, frac_ref, out_ref):
     i = pl.program_id(0)
     _deposit_body(p_ref[i], key_ref[...], frac_ref[...], out_ref,
-                  mass=mass_ref[...])
+                  geom=geom)
 
 
-def _gather_kernel(n_chunks, p_ref, key_ref, frac_ref, a_ref, out_ref,
+def _deposit_kernel_mass(geom, p_ref, key_ref, frac_ref, mass_ref, out_ref):
+    i = pl.program_id(0)
+    _deposit_body(p_ref[i], key_ref[...], frac_ref[...], out_ref,
+                  mass=mass_ref[...], geom=geom)
+
+
+def _gather_kernel(n_chunks, geom, p_ref, key_ref, frac_ref, a_ref, out_ref,
                    l_ref):
     i = pl.program_id(0)
     word = p_ref[i]
@@ -222,11 +261,12 @@ def _gather_kernel(n_chunks, p_ref, key_ref, frac_ref, a_ref, out_ref,
         t = (word >> _T_SHIFT) & _T_MASK
         fam = (word >> _S_BITS) & 1
         key = key_ref[...]
-        row = key >> 7
+        row = key >> geom.shift
         fx, fy, fz = _unpack_fracs(frac_ref[...])
         wz = jnp.where(fam == 1, fz, 1.0 - fz)
-        R, liota = _family_onehot(row + fam * GRID - t * T_ROWS_G, fy, wz,
-                                  jnp.bfloat16, rows=T_ROWS_G)
+        R, liota = _family_onehot(row + fam * geom.g - t * T_ROWS_G, fy,
+                                  wz, jnp.bfloat16, rows=T_ROWS_G,
+                                  plane=geom.plane)
 
         # the lane one-hot depends only on the CHUNK, and the table is
         # chunk-major — build L once on each chunk's first entry (the
@@ -234,7 +274,7 @@ def _gather_kernel(n_chunks, p_ref, key_ref, frac_ref, a_ref, out_ref,
         # VMEM scratch
         @pl.when(word < 0)
         def _():
-            x = key & (LANE - 1)
+            x = key & (geom.g - 1)
             l_ref[...] = _lane_onehot(liota, x, fx, jnp.bfloat16)
 
         # contract the LANE axis on the MXU first (K = 128, twice the
@@ -258,7 +298,7 @@ def _gather_kernel(n_chunks, p_ref, key_ref, frac_ref, a_ref, out_ref,
 
 
 def _make_deposit(chunk: int, c_max: int, interpret: bool,
-                  has_mass: bool, grid):
+                  has_mass: bool, grid, geom: _Geom = _GEOM128):
     in_specs = [
         pl.BlockSpec((1, chunk), lambda i, p: (0, p[i] & _S_MASK),
                      memory_space=pltpu.VMEM),
@@ -274,39 +314,42 @@ def _make_deposit(chunk: int, c_max: int, interpret: bool,
         grid=(grid,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, T_ROWS, LANE),
+            (1, T_ROWS, geom.plane),
             lambda i, p: ((p[i] >> _T_SHIFT) & _T_MASK, 0, 0),
             memory_space=pltpu.VMEM),
     )
+    kern = _deposit_kernel_mass if has_mass else _deposit_kernel
     return pl.pallas_call(
-        _deposit_kernel_mass if has_mass else _deposit_kernel,
+        functools.partial(kern, geom),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N_TILES + 1, T_ROWS, LANE),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((geom.n_tiles + 1, T_ROWS,
+                                        geom.plane), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=c_max * 2 * T_ROWS * chunk * LANE,
-            bytes_accessed=c_max * chunk * 16 + N_TILES * T_ROWS * LANE * 4,
+            flops=c_max * 2 * T_ROWS * chunk * geom.plane,
+            bytes_accessed=(c_max * chunk * 16
+                            + geom.n_tiles * T_ROWS * geom.plane * 4),
             transcendentals=0,
         ),
     )
 
 
 def _build_deposit_dyn(chunk: int, c_max: int, interpret: bool,
-                       has_mass: bool, grid_n):
+                       has_mass: bool, grid_n, geom: _Geom = _GEOM128):
     """Deposit with a TRACED grid size ``grid_n`` (i32 scalar <= c_max):
     the kernel visits only the packed prefix — real pairs plus every
     window's first-visit entry (_window_ranges gives empty windows one
-    PAD entry, so all N_TILES output tiles are still zeroed) — and the
+    PAD entry, so all n_tiles output tiles are still zeroed) — and the
     static capacity's trailing trash slots cost nothing at all. The
     (discarded) trash tile is left unwritten. Mosaic supports dynamic
     grid bounds; parity vs the static grid is bit-exact (test_pm_persist
     dynamic-grid cases)."""
-    return _make_deposit(chunk, c_max, interpret, has_mass, grid_n)
+    return _make_deposit(chunk, c_max, interpret, has_mass, grid_n,
+                         geom=geom)
 
 
 def _make_gather(n_pad: int, chunk: int, c_max: int, interpret: bool,
-                 grid):
+                 grid, geom: _Geom = _GEOM128):
     # Trash pairs carry s == n_chunks: valid for the OUTPUT (which has an
     # extra trash block) but one past the end of the key/frac inputs — an
     # input index map must clamp it or the block DMA reads out of bounds
@@ -322,64 +365,67 @@ def _make_gather(n_pad: int, chunk: int, c_max: int, interpret: bool,
         in_specs=[
             pl.BlockSpec((1, chunk), in_s, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk), in_s, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, T_ROWS_G, LANE),
+            pl.BlockSpec((3, T_ROWS_G, geom.plane),
                          lambda i, p: (0, (p[i] >> _T_SHIFT) & _T_MASK, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, chunk), lambda i, p: (0, p[i] & _S_MASK),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((LANE, chunk), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((geom.plane, chunk), jnp.bfloat16)],
     )
     return pl.pallas_call(
-        functools.partial(_gather_kernel, n_pad // chunk),
+        functools.partial(_gather_kernel, n_pad // chunk, geom),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, n_pad + chunk), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=c_max * (2 * 3 * T_ROWS_G * chunk * LANE
-                           + 3 * chunk * LANE),
-            bytes_accessed=c_max * (chunk * 16 + 3 * T_ROWS_G * LANE * 2),
+            flops=c_max * (2 * 3 * T_ROWS_G * chunk * geom.plane
+                           + 3 * chunk * geom.plane),
+            bytes_accessed=c_max * (chunk * 16
+                                    + 3 * T_ROWS_G * geom.plane * 2),
             transcendentals=0,
         ),
     )
 
 
 def _build_gather_dyn(n_pad: int, chunk: int, c_max: int, interpret: bool,
-                      grid_n):
+                      grid_n, geom: _Geom = _GEOM128):
     """Gather with a TRACED grid size (see _build_deposit_dyn): every
     chunk's zeroing first-visit lies in the packed prefix, so all real
     output blocks are written; only the trailing trash block (sliced off
     by the caller) is left untouched."""
-    return _make_gather(n_pad, chunk, c_max, interpret, grid_n)
+    return _make_gather(n_pad, chunk, c_max, interpret, grid_n, geom=geom)
 
 
 # ---------------------------------------------------------------------------
 # tables
 # ---------------------------------------------------------------------------
 
-def _deposit_table(key_s: jax.Array, n_pad: int, chunk: int):
+def _deposit_table(key_s: jax.Array, n_pad: int, chunk: int,
+                   geom: _Geom = _GEOM128):
     """Tile-major packed pair table: (pairs i32[c_max], c_max, total).
     ``total`` (traced) is the packed-prefix length — the dynamic grid
     size; entries past it are trash.
 
     Per tile t, TWO windows (one per corner family), window id w = 2t+fam:
     fam 0 (rows r, r+1) receives particles with base row in
-    [t*T_ROWS - 1, (t+1)*T_ROWS); fam 1 (rows r+GRID, r+GRID+1) receives
-    base rows in [t*T_ROWS - SPREAD, (t+1)*T_ROWS - GRID) — i.e. the
-    fam-0 window shifted down GRID rows. Splitting skips the dead zone between the two
+    [t*T_ROWS - 1, (t+1)*T_ROWS); fam 1 (rows r+G, r+G+1) receives
+    base rows in [t*T_ROWS - SPREAD, (t+1)*T_ROWS - G) — i.e. the
+    fam-0 window shifted down G rows. Splitting skips the dead zone between the two
     corner-row pairs that a single contiguous window would cover. Base
-    cell id range = [lo*LANE, hi*LANE). Each window keeps >= 1 entry so
-    the fam-0 first-visit always exists to zero the tile.
+    cell id range = [lo*G, hi*G) (G cells per row). Each window keeps
+    >= 1 entry so the fam-0 first-visit always exists to zero the tile.
     """
+    g, n_tiles, rows_total = geom.g, geom.n_tiles, geom.rows_total
     n_chunks = n_pad // chunk
     n_iters = max(n_pad, 2).bit_length() + 1
-    w_idx = jnp.arange(2 * N_TILES, dtype=jnp.int32)
+    w_idx = jnp.arange(2 * n_tiles, dtype=jnp.int32)
     t_w = w_idx >> 1
     fam_w = w_idx & 1
-    lo_r = t_w * T_ROWS - jnp.where(fam_w == 1, SPREAD, 1)
-    hi_r = (t_w + 1) * T_ROWS - jnp.where(fam_w == 1, GRID, 0)
-    lo = jnp.clip(lo_r, 0, ROWS_TOTAL) * LANE
-    hi = jnp.maximum(jnp.clip(hi_r, 0, ROWS_TOTAL) * LANE, lo)
+    lo_r = t_w * T_ROWS - jnp.where(fam_w == 1, g + 1, 1)
+    hi_r = (t_w + 1) * T_ROWS - jnp.where(fam_w == 1, g, 0)
+    lo = jnp.clip(lo_r, 0, rows_total) * g
+    hi = jnp.maximum(jnp.clip(hi_r, 0, rows_total) * g, lo)
     o = _bin_search(key_s, lo, side_right=False, n_iters=n_iters)
     end = _bin_search(key_s, hi, side_right=False, n_iters=n_iters)
     a_blk = (o // chunk).astype(jnp.int32)
@@ -389,15 +435,15 @@ def _deposit_table(key_s: jax.Array, n_pad: int, chunk: int):
     # static bound: a particle lands in <= 2 windows per family (the
     # (T_ROWS+1)-row windows overlap 1 row), + ceil/alignment slack of 2
     # per window
-    c_max = 4 * n_chunks + 4 * N_TILES + 2
+    c_max = 4 * n_chunks + 4 * n_tiles + 2
     kk = jnp.arange(c_max, dtype=jnp.int32)
     w_k = _rank_right_iota(base, c_max)
-    w_k = jnp.clip(w_k, 0, 2 * N_TILES)       # 2*N_TILES == trash
-    real = w_k < 2 * N_TILES
-    w_safe = jnp.minimum(w_k, 2 * N_TILES - 1)
+    w_k = jnp.clip(w_k, 0, 2 * n_tiles)       # 2*n_tiles == trash
+    real = w_k < 2 * n_tiles
+    w_safe = jnp.minimum(w_k, 2 * n_tiles - 1)
     s_k = jnp.where(real, a_blk[w_safe] + (kk - base[w_safe]), 0)
     s_k = jnp.clip(s_k, 0, n_chunks - 1)
-    t_k = jnp.where(real, w_k >> 1, N_TILES)  # N_TILES == trash tile
+    t_k = jnp.where(real, w_k >> 1, n_tiles)  # n_tiles == trash tile
     fam_k = w_k & 1
     # zero the tile on its first entry = first entry of its fam-0 window
     first_k = jnp.where(real, (kk == base[w_safe]) & (fam_k == 0), True)
@@ -405,23 +451,25 @@ def _deposit_table(key_s: jax.Array, n_pad: int, chunk: int):
             jnp.minimum(base[-1], c_max).astype(jnp.int32))
 
 
-def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
+def _gather_table(key_s: jax.Array, n_pad: int, chunk: int,
+                  geom: _Geom = _GEOM128):
     """Chunk-major packed pair table: (pairs i32[c_max], c_max, total);
     ``total`` as in _deposit_table.
 
     For each chunk-aligned slice: the range of grid tiles its fam-0
-    corner rows (r, r+1) touch, then the fam-1 range (r+GRID, r+GRID+1 —
-    the same range shifted +GRID/T_ROWS_G tiles). Splitting skips the
+    corner rows (r, r+1) touch, then the fam-1 range (r+G, r+G+1 —
+    the same range shifted +G/T_ROWS_G tiles). Splitting skips the
     dead tiles between the two corner-row pairs of row-compact (dense)
     slices. Slice-major order keeps the output block index non-decreasing
     (required for revisit accumulation)."""
+    g, n_tiles_g = geom.g, geom.n_tiles_g
     n_chunks = n_pad // chunk
-    row_first = key_s[0::chunk] >> 7                       # (n_chunks,)
-    row_last = key_s[chunk - 1::chunk] >> 7
+    row_first = key_s[0::chunk] >> geom.shift              # (n_chunks,)
+    row_last = key_s[chunk - 1::chunk] >> geom.shift
     t_lo = jnp.clip(row_first // T_ROWS_G, 0,
-                    N_TILES_G - 1).astype(jnp.int32)
+                    n_tiles_g - 1).astype(jnp.int32)
     t_hi = jnp.clip((row_last + 1) // T_ROWS_G, 0,
-                    N_TILES_G - 1).astype(jnp.int32)
+                    n_tiles_g - 1).astype(jnp.int32)
     t_hi = jnp.maximum(t_hi, t_lo)
     c_fam = (t_hi - t_lo + 1).astype(jnp.int32)            # per family
     base = jnp.concatenate(
@@ -430,8 +478,8 @@ def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
     total = base[-1]
     # per family: spans telescope (keys sorted: first(s+1) >= last(s), so
     # consecutive spans overlap <= 1 tile) => sum c_fam <= 2*n_chunks +
-    # N_TILES_G; two families double it
-    c_max = 4 * n_chunks + 2 * N_TILES_G + 2
+    # n_tiles_g; two families double it
+    c_max = 4 * n_chunks + 2 * n_tiles_g + 2
     kk = jnp.arange(c_max, dtype=jnp.int32)
     s_k = _rank_right_iota(base, c_max)
     s_k = jnp.clip(s_k, 0, n_chunks)          # n_chunks == trash block
@@ -440,15 +488,15 @@ def _gather_table(key_s: jax.Array, n_pad: int, chunk: int):
     off = kk - base[s_safe]
     fam_k = jnp.where(real & (off >= c_fam[s_safe]), 1, 0)
     t_raw = (t_lo[s_safe] + off
-             - fam_k * (c_fam[s_safe] - GRID // T_ROWS_G))
-    # fam-1 tiles (t_lo..t_hi shifted +GRID/T_ROWS_G) overflow past the
+             - fam_k * (c_fam[s_safe] - g // T_ROWS_G))
+    # fam-1 tiles (t_lo..t_hi shifted +G/T_ROWS_G) overflow past the
     # last tile for slices
-    # whose clipped fam-0 span already ends at N_TILES_G-1 (sentinel rows).
-    # Clipping would duplicate tile N_TILES_G-1 and double-count its
+    # whose clipped fam-0 span already ends at n_tiles_g-1 (sentinel rows).
+    # Clipping would duplicate tile n_tiles_g-1 and double-count its
     # corners; redirect overflow to (tile 0, fam 1) instead — that window
-    # wants base rows in [-GRID, T_ROWS_G-GRID), which no particle has,
+    # wants base rows in [-G, T_ROWS_G-G), which no particle has,
     # so the pair contributes exactly nothing.
-    overflow = t_raw > N_TILES_G - 1
+    overflow = t_raw > n_tiles_g - 1
     t_k = jnp.where(real & ~overflow, t_raw, 0)
     fam_k = jnp.where(overflow, 1, fam_k)
     s_k = jnp.where(real, s_k, n_chunks)
@@ -472,20 +520,20 @@ def cell_key_frac(pos_flat: jax.Array, live: jax.Array,
     1/1023 weight quantization sits below the bf16 rounding the kernels
     already carry, and deposit/gather stay exactly symmetric).
     ``coords`` overrides the cell coords (auto-box path)."""
-    if cfg.grid != GRID:
-        raise ValueError(f"fast path requires grid={GRID}, got {cfg.grid}")
+    geom = _geom(cfg.grid)
+    g = geom.g
     c = pm.cell_coords(pos_flat, cfg) if coords is None else coords
     # the sorted kernels cannot wrap the last cell's upper CIC corner to
     # cell 0 (periodic mode), so clamp into the last cell (particles there
     # shift by up to one cell — a one-cell-wide seam at the box edge)
-    c = jnp.minimum(c, jnp.float32(GRID - 1) - 1e-3)
+    c = jnp.minimum(c, jnp.float32(g - 1) - 1e-3)
     i0 = jnp.floor(c)
     f = c - i0
     i0 = i0.astype(jnp.int32)
-    key = (i0[2] * GRID + i0[1]) * GRID + i0[0]
+    key = (i0[2] * g + i0[1]) * g + i0[0]
     fq = jnp.round(f * _FQ_MAX).astype(jnp.int32)
     packed = fq[0] | (fq[1] << _FQ_BITS) | (fq[2] << (2 * _FQ_BITS))
-    return jnp.where(live, key, SENTINEL), packed
+    return jnp.where(live, key, geom.sentinel), packed
 
 
 def pm_sort(pos_flat: jax.Array, n_active: jax.Array,
@@ -521,31 +569,41 @@ def pm_sort(pos_flat: jax.Array, n_active: jax.Array,
 
 def pm_deposit_sorted(key_s: jax.Array, frac_s: jax.Array,
                       mass_s=None, *, interpret: bool = False,
-                      chunk: int = 0) -> jax.Array:
+                      chunk: int = 0, grid: int = GRID) -> jax.Array:
     """f32[G, G, G] mass grid from cell-sorted particles."""
+    geom = _geom(grid)
     n = key_s.shape[0]
-    chunk = chunk or pick_chunk(n)
-    pairs, c_max_d, total_d = _deposit_table(key_s, n, chunk)
+    chunk = chunk or pick_chunk(n, geom.n_tiles)
+    pairs, c_max_d, total_d = _deposit_table(key_s, n, chunk, geom)
     dep = _build_deposit_dyn(chunk, c_max_d, interpret,
-                             mass_s is not None, total_d)
+                             mass_s is not None, total_d, geom=geom)
     if mass_s is not None:
         tiles = dep(pairs, key_s.reshape(1, -1), frac_s.reshape(1, -1),
                     mass_s.reshape(1, -1))
     else:
         tiles = dep(pairs, key_s.reshape(1, -1), frac_s.reshape(1, -1))
-    return tiles[:N_TILES].reshape(GRID, GRID, GRID)
+    rows = tiles[:geom.n_tiles].reshape(geom.rows_total, geom.plane)
+    if geom.plane != geom.g:   # G < 128: drop the dead lanes
+        rows = rows[:, :geom.g]
+    return rows.reshape(grid, grid, grid)
 
 
 def pm_gather_sorted(grids: jax.Array, key_s: jax.Array, frac_s: jax.Array,
                      idx_s: jax.Array, *, interpret: bool = False,
-                     chunk: int = 0) -> jax.Array:
+                     chunk: int = 0, grid: int = GRID) -> jax.Array:
     """f32[3, N] accelerations in ORIGINAL particle order, interpolated
     from grids f32[3, G, G, G] at the cell-sorted particles."""
+    geom = _geom(grid)
     n = key_s.shape[0]
-    chunk = chunk or pick_chunk(n)
-    a_tiles = grids.reshape(3, ROWS_TOTAL, LANE).astype(jnp.bfloat16)
-    pairs, c_max_g, total_g = _gather_table(key_s, n, chunk)
-    gat = _build_gather_dyn(n, chunk, c_max_g, interpret, total_g)
+    chunk = chunk or pick_chunk(n, geom.n_tiles)
+    a_rows = grids.reshape(3, geom.rows_total, geom.g)
+    if geom.plane != geom.g:   # G < 128: pad dead lanes (never gathered)
+        a_rows = jnp.pad(a_rows,
+                         ((0, 0), (0, 0), (0, geom.plane - geom.g)))
+    a_tiles = a_rows.astype(jnp.bfloat16)
+    pairs, c_max_g, total_g = _gather_table(key_s, n, chunk, geom)
+    gat = _build_gather_dyn(n, chunk, c_max_g, interpret, total_g,
+                            geom=geom)
     acc_sorted = gat(pairs, key_s.reshape(1, -1), frac_s.reshape(1, -1),
                      a_tiles)[:, :n]
     # un-sort via a second key sort on the carried original index; the
@@ -596,8 +654,8 @@ def pm_gather_sorted(grids: jax.Array, key_s: jax.Array, frac_s: jax.Array,
 def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
              cfg: "P.PMConfig", *, masses=None,
              interpret: bool = False) -> jax.Array:
-    """f32[3, N] PM acceleration — sorted-kernel fast path (grid must be
-    128, N a multiple of 512). Traceable.
+    """f32[3, N] PM acceleration — sorted-kernel fast path (grid in
+    SUPPORTED_GRIDS, N a multiple of 512). Traceable.
 
     ``cfg.auto_box`` solves in cell units inside a traced cloud-tracking
     box and rescales by 1/h^2 (see pm.pm_accel_ref). ``masses`` f32[N]
@@ -615,17 +673,20 @@ def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
         c = pm.cell_coords_dyn(pos_flat, box_min, cell, cfg.grid)
         key_s, idx_s, frac_s, mass_s = pm_sort(pos_flat, n_active, cfg,
                                                coords=c, masses=masses)
-        rho = pm_deposit_sorted(key_s, frac_s, mass_s, interpret=interpret)
+        rho = pm_deposit_sorted(key_s, frac_s, mass_s, interpret=interpret,
+                                grid=cfg.grid)
         grids = pm.solve_accel(rho, cfg, cfg.softening, cell_size=1.0)
         acc = pm_gather_sorted(grids, key_s, frac_s, idx_s,
-                               interpret=interpret)
+                               interpret=interpret, grid=cfg.grid)
         acc = pm.momentum_clean(acc, n_active, masses)
         return (g_const / (cell * cell)) * acc
     key_s, idx_s, frac_s, mass_s = pm_sort(pos_flat, n_active, cfg,
                                            masses=masses)
-    rho = pm_deposit_sorted(key_s, frac_s, mass_s, interpret=interpret)
+    rho = pm_deposit_sorted(key_s, frac_s, mass_s, interpret=interpret,
+                            grid=cfg.grid)
     grids = pm.solve_accel(rho, cfg, cfg.softening)      # (3, G, G, G)
-    acc = pm_gather_sorted(grids, key_s, frac_s, idx_s, interpret=interpret)
+    acc = pm_gather_sorted(grids, key_s, frac_s, idx_s, interpret=interpret,
+                           grid=cfg.grid)
     return g_const * pm.momentum_clean(acc, n_active, masses)
 
 

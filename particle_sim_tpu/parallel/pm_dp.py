@@ -83,12 +83,14 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
             key_s, idx_s, frac_s, mass_s = pm_pallas.pm_sort(
                 flat, local_active, cfg, coords=coords, masses=masses)
             rho = pm_pallas.pm_deposit_sorted(key_s, frac_s, mass_s,
-                                              interpret=interpret)
+                                              interpret=interpret,
+                                              grid=cfg.grid)
             rho = jax.lax.psum(rho, DP_AXIS)
             grids = pm.solve_accel(rho, cfg, cfg.softening,
                                    cell_size=cell_size)
             acc = g_scale * pm_pallas.pm_gather_sorted(
-                grids, key_s, frac_s, idx_s, interpret=interpret)
+                grids, key_s, frac_s, idx_s, interpret=interpret,
+                grid=cfg.grid)
         else:
             rho = pm.cic_deposit_ref(flat, local_active, cfg, coords=coords,
                                      masses=masses)

@@ -105,11 +105,47 @@ def test_step_pm_matches_ref_step():
     np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_r), atol=5e-2)
 
 
-def test_rejects_wrong_grid():
+def test_rejects_unsupported_grid():
     pos = jnp.zeros((3, 512))
     with pytest.raises(ValueError, match="grid"):
         pm_pallas.pm_accel(pos, jnp.asarray(1), 1.0,
-                           PMConfig(grid=64), interpret=True)
+                           PMConfig(grid=48), interpret=True)
+
+
+@pytest.mark.parametrize("grid", [32, 64, 256])
+def test_parity_other_grids(grid):
+    """The generalized lane/row geometry (pm_pallas._geom) at every
+    non-default supported grid, vs the same-grid jnp reference."""
+    cfg = PMConfig(softening=4.0, gradient="exact", boundary="isolated",
+                   grid=grid)
+    pos, n_act, _ = _planes(_cloud(1500, 8))
+    a_fast = np.asarray(pm_pallas.pm_accel(
+        pos, n_act, 1.0, cfg, interpret=True))
+    a_ref = np.asarray(pm.pm_accel_ref(
+        pos, n_act, 1.0, cfg.softening, cfg))
+    n = int(n_act)
+    scale = np.abs(a_ref[:, :n]).max() + 1e-12
+    np.testing.assert_allclose(a_fast[:, :n], a_ref[:, :n],
+                               atol=0.02 * scale)
+    assert np.all(a_fast[:, n:] == 0.0)
+
+
+def test_parity_grid64_masses_auto_box():
+    """Non-default grid composed with per-particle masses + auto_box."""
+    cfg = PMConfig(softening=4.0, gradient="exact", boundary="isolated",
+                   grid=64, auto_box=True)
+    pos, n_act, n = _planes(_cloud(1200, 9, radius=70.0))
+    rng = np.random.default_rng(10)
+    masses = jnp.asarray(
+        np.where(np.arange(pos.shape[1]) < n,
+                 rng.random(pos.shape[1]).astype(np.float32) + 0.5, 1.0))
+    a_fast = np.asarray(pm_pallas.pm_accel(
+        pos, n_act, 1.0, cfg, masses=masses, interpret=True))
+    a_ref = np.asarray(pm.pm_accel_ref(
+        pos, n_act, 1.0, cfg.softening, cfg, masses=masses))
+    scale = np.abs(a_ref[:, :n]).max() + 1e-12
+    np.testing.assert_allclose(a_fast[:, :n], a_ref[:, :n],
+                               atol=0.02 * scale)
 
 
 def test_parity_chunk_1024():
