@@ -100,7 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
     # rendering
     p.add_argument("--render-every", type=int, default=0)
     p.add_argument("--render-dir", default="frames")
-    p.add_argument("--renderer", choices=["auto", "scatter", "sorted"],
+    p.add_argument("--renderer",
+                   choices=["auto", "scatter", "sorted", "compact"],
                    default="auto",
                    help="headless rasterizer: sorted-deposit Pallas (fast, "
                         "TPU, tile-aligned sizes) or XLA scatter")

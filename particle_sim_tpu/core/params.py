@@ -117,7 +117,9 @@ class PMConfig:
     are STATIC (they shape grids and the cached Green's-function FFTs);
     the per-step traced scalar (G_const) stays in PairwiseParams.pack().
 
-    grid:      cells per axis (the Pallas fast path requires 128).
+    grid:      cells per axis (the Pallas fast path supports
+               pm_pallas.SUPPORTED_GRIDS = 32/64/128/256; any other size
+               falls back to the jnp reference solver with a warning).
     box_min:   world coords of the grid origin.
     box_size:  world extent per axis; cell size h = box_size/grid. Default
                box spans [-64, 64)^3 around the radius-50 generation sphere

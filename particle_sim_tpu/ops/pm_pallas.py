@@ -160,6 +160,15 @@ def pick_chunk(n_pad: int, n_tiles: int = N_TILES) -> int:
             return c
     for c in (8192, 4096, 2048, 1024, 512):
         if n_pad % c == 0:
+            # no chunk keeps the pair table inside the 64Ki-word SMEM
+            # budget (reachable at ~117M particles/chip with G=256);
+            # fail loudly here instead of at Mosaic compile time
+            c_max = 4 * (n_pad // c) + 4 * n_tiles + 2
+            if c_max > 65536:
+                raise ValueError(
+                    f"pair table for capacity {n_pad} needs c_max={c_max} "
+                    f"i32 words > the 64Ki SMEM budget at every supported "
+                    f"chunk size; shard over more chips or reduce N")
             return c
     raise ValueError(f"capacity {n_pad} not a multiple of 512")
 
@@ -277,8 +286,8 @@ def _gather_kernel(n_chunks, geom, p_ref, key_ref, frac_ref, a_ref, out_ref,
             x = key & (geom.g - 1)
             l_ref[...] = _lane_onehot(liota, x, fx, jnp.bfloat16)
 
-        # contract the LANE axis on the MXU first (K = 128, twice the
-        # utilization of K = T_ROWS) and apply the row factor as a
+        # contract the LANE axis on the MXU first (K = geom.plane, i.e.
+        # >= 128 — at least twice the utilization of K = T_ROWS) and apply the row factor as a
         # half-size VPU reduction: C[c, r, p] = sum_l A[c, r, l] L[l, p]
         C = jax.lax.dot_general(
             a_ref[...], l_ref[...],

@@ -210,7 +210,11 @@ def test_persist_with_mesh_two_level():
                                e_ref.state.positions(), rtol=0, atol=5e-3)
 
 
-def test_mesh_pm2_without_persist_rejected():
+def test_mesh_pm2_auto_promotes_persist():
+    """Multi-chip pm2 only exists on the persist path; an eligible
+    pm_persist="auto" config is auto-promoted to pm_persist=True
+    (engine.py pm2+mesh handling), while an INELIGIBLE config (auto_box,
+    or an explicit pm_persist=False) still fails loudly."""
     if len(jax.devices()) < 2:
         pytest.skip("needs a multi-device platform")
     from particle_sim_tpu.ops import pm2 as pm2_mod
@@ -218,9 +222,20 @@ def test_mesh_pm2_without_persist_rejected():
 
     cfg2 = pm2_mod.PM2Config(window_min=None, window_size=32.0,
                              softening=1.0)
+    mesh = mesh_lib.make_mesh()
+    e = Engine(particle_count=2048, method=Method.PALLAS, pm=CFG,
+               interpret=True, mesh=mesh, pm2=cfg2)
+    assert e.pm_persist is True          # auto → promoted
+    assert e.persist_resolved()
+    # ineligible coarse config (auto_box) cannot ride the persist path
+    with pytest.raises(ValueError, match="persist|static box"):
+        Engine(particle_count=2048, method=Method.PALLAS,
+               pm=PMConfig(softening=4.0, auto_box=True),
+               interpret=True, mesh=mesh, pm2=cfg2)
+    # an explicit pm_persist=False with mesh+pm2 is a contradiction
     with pytest.raises(ValueError, match="pm_persist"):
         Engine(particle_count=2048, method=Method.PALLAS, pm=CFG,
-               interpret=True, mesh=mesh_lib.make_mesh(), pm2=cfg2)
+               interpret=True, mesh=mesh, pm2=cfg2, pm_persist=False)
 
 
 def test_render_from_sorted_planes_skips_unsort():
