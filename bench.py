@@ -41,7 +41,9 @@ TARGET = 1e10  # BASELINE.json: >=1e10 particle-steps/sec/chip
 REPS_K = 10    # POST-WARMUP marginal repetitions; headline = median
 LASTGOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_LASTGOOD.json")
-WORKER_DEADLINE_S = 2000.0   # whole measurement suite budget
+WORKER_DEADLINE_S = 2400.0   # whole measurement suite budget (r02 full
+                             # run was 1433 s; round-4 adds the multi-
+                             # level and G=256 persistent legs)
 PROBE_SCHEDULE_S = (90.0, 180.0, 270.0)   # retry-with-backoff windows
 
 
@@ -507,8 +509,77 @@ def _measure(res: dict) -> None:
                     (time.perf_counter() - t0 - t1) / 4 * 1e3, 3)
             except Exception as e:
                 errors["pm2_persist_16m"] = repr(e)[:200]
+
+            # MULTI-level (two nested windows) riding the persistent
+            # k+1-class order (round-4: pm_persist.accel_sorted_multi)
+            try:
+                from particle_sim_tpu.ops import pm2 as _pm2n
+
+                cfgs_n = (_pm2n.PM2Config(window_min=None,
+                                          window_size=32.0, softening=0.5),
+                          _pm2n.PM2Config(window_min=None,
+                                          window_size=8.0, softening=0.2))
+                ker_n = _pm2n.levels_kernels(cfg16, cfgs_n)
+                st_n = st_p._replace(fine_b=jnp.full((2,), st_p.pos.shape[1],
+                                                     jnp.int32))
+
+                @jax.jit
+                def pmn_frames(s, k, ker):
+                    def body(_, c):
+                        s2, a = _pmper.accel_sorted_multi(
+                            c[0], jnp.float32(1.0), cfg16, cfgs_n,
+                            kernels=ker)
+                        return (s2, c[1] + a.sum())
+                    return jax.lax.fori_loop(0, k, body,
+                                             (s, jnp.float32(0.0)))
+
+                st_n, tot = pmn_frames(st_n, 2, ker_n)  # migrate + settle
+                _sync(tot)
+                t0 = time.perf_counter()
+                st_n, tot = pmn_frames(st_n, 1, ker_n)
+                _sync(tot)
+                t1 = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                st_n, tot = pmn_frames(st_n, 5, ker_n)
+                _sync(tot)
+                detail["pmn_persistent_16m_steady_ms"] = round(
+                    (time.perf_counter() - t0 - t1) / 4 * 1e3, 3)
+                del st_n
+            except Exception as e:
+                errors["pmn_persist_16m"] = repr(e)[:200]
         except Exception as e:
             errors["pm_persist_16m"] = repr(e)[:200]
+
+        # persistent mode at grid 256^3 (round-4: grid un-pinning) —
+        # isolated Hockney at G=256 solves on a 512^3 doubled grid
+        try:
+            from particle_sim_tpu.ops import pm_persist as _pmper2
+
+            cfg256 = _PMC(softening=2.0, grid=256)
+            st_256 = _pmper2.init_sorted(pos16m, jnp.int32(n16), cfg256)
+
+            @jax.jit
+            def steady256(s, k):
+                def body(_, c):
+                    s2, a = _pmper2.accel_sorted(c[0], jnp.float32(1.0),
+                                                 cfg256)
+                    return (s2, c[1] + a.sum())
+                return jax.lax.fori_loop(0, k, body, (s, jnp.float32(0.0)))
+
+            st_256, tot = steady256(st_256, 1)
+            _sync(tot)
+            t0 = time.perf_counter()
+            st_256, tot = steady256(st_256, 1)
+            _sync(tot)
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            st_256, tot = steady256(st_256, 3)
+            _sync(tot)
+            detail["pm_persistent_16m_g256_steady_ms"] = round(
+                (time.perf_counter() - t0 - t1) / 2 * 1e3, 3)
+            del st_256
+        except Exception as e:
+            errors["pm_persist_g256"] = repr(e)[:200]
         del pos16m
     except Exception as e:
         errors["pm_16m"] = repr(e)[:200]

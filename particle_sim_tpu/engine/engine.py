@@ -116,7 +116,8 @@ class Engine:
         state (ops/pm_persist.py): the frame pays zero sorts in steady
         state; identity order (colors, streaming, checkpoints) is
         rebuilt lazily only when an output accessor needs it. Requires
-        ``pm`` with grid 128 and a static box (no auto_box). The default
+        ``pm`` with a grid in pm_pallas.SUPPORTED_GRIDS (32/64/128/256)
+        and a static box (no auto_box). The default
         "auto" picks the mode from the particle count (persistent above
         PERSIST_AUTO_MIN_N — below the measured crossover the per-frame
         sorted path is faster), re-evaluated on every resize; True/False
@@ -149,40 +150,37 @@ class Engine:
             from ..ops import pm_pallas as _pp   # "auto" just resolves off
             if pm is None:
                 raise ValueError("pm_persist requires a PMConfig")
-            if pm.auto_box or pm.grid != _pp.GRID:
+            if pm.auto_box or pm.grid not in _pp.SUPPORTED_GRIDS:
                 raise ValueError(
-                    "pm_persist needs a static box and grid "
-                    f"{_pp.GRID} (got auto_box={pm.auto_box}, "
+                    "pm_persist needs a static box and a grid in "
+                    f"{_pp.SUPPORTED_GRIDS} (got auto_box={pm.auto_box}, "
                     f"grid={pm.grid})")
         if pm2 is not None:
             if pm is None:
                 raise ValueError("pm2 requires a coarse PMConfig (pm=...)")
-            if mesh is not None:
-                if pm_persist == "auto" and not isinstance(pm2, (tuple, list)):
-                    from ..ops import pm_pallas as _pp
-                    if pm.auto_box or pm.grid != _pp.GRID:
-                        raise ValueError(
-                            "multi-chip pm2 rides the persist path, which "
-                            f"needs a static box and grid {_pp.GRID}")
-                    pm_persist = True   # the only sharded two-level path
-                if pm_persist is not True:
-                    raise ValueError("multi-chip pm2 requires pm_persist "
-                                     "(parallel/pm_persist_dp.py is the "
-                                     "sharded two-level path)")
-            # a sequence of PM2Configs = MULTI-level nesting (pmn_accel);
-            # normalize a 1-tuple back to the plain two-level mode
+            # a sequence of PM2Configs = MULTI-level nesting: pmn_accel
+            # per-frame-sorted, or the k+1-class persistent order with
+            # pm_persist=True (pm_persist.accel_sorted_multi); normalize
+            # a 1-tuple back to the plain two-level mode
             if isinstance(pm2, (tuple, list)):
                 pm2 = tuple(pm2)
                 if len(pm2) == 1:
                     pm2 = pm2[0]
-                elif pm_persist is True or mesh is not None:
-                    raise ValueError(
-                        "multi-level pm2 (>1 refinement level) runs the "
-                        "per-frame-sorted path only — not pm_persist or "
-                        "multi-chip (the segmented persistent order "
-                        "carries exactly one fine segment)")
-                else:
-                    pm_persist = False   # auto resolves off for multi-level
+                elif pm_persist == "auto" and mesh is None:
+                    pm_persist = False   # auto keeps the per-frame pmn
+            if mesh is not None:
+                if pm_persist == "auto":
+                    from ..ops import pm_pallas as _pp
+                    if pm.auto_box or pm.grid not in _pp.SUPPORTED_GRIDS:
+                        raise ValueError(
+                            "multi-chip pm2 rides the persist path, which "
+                            "needs a static box and a grid in "
+                            f"{_pp.SUPPORTED_GRIDS}")
+                    pm_persist = True   # the only sharded pm2 path
+                if pm_persist is not True:
+                    raise ValueError("multi-chip pm2 requires pm_persist "
+                                     "(parallel/pm_persist_dp.py is the "
+                                     "sharded refinement path)")
         self.pm2 = pm2
         self.pm_persist = pm_persist
         self._persist = None          # SortedPMState / dp carry, lazy
@@ -470,7 +468,7 @@ class Engine:
     def _persist_eligible(self) -> bool:
         from ..ops import pm_pallas as _pp
         cfg_ok = (self.pm is not None and not self.pm.auto_box
-                  and self.pm.grid == _pp.GRID)
+                  and self.pm.grid in _pp.SUPPORTED_GRIDS)
         if self.pm_persist == "auto":
             return (cfg_ok and self.pm2 is None
                     and self.particle_count >= PERSIST_AUTO_MIN_N)
@@ -491,14 +489,17 @@ class Engine:
             ker = ()
             if cfg2 is not None:
                 from ..ops import pm2 as pm2_mod
-                ker = (pm2_mod.fine_kernels(cfg, cfg2),)
+                ker = ((pm2_mod.levels_kernels(cfg, cfg2),)
+                       if isinstance(cfg2, tuple)
+                       else (pm2_mod.fine_kernels(cfg, cfg2),))
+            n_levels = len(cfg2) if isinstance(cfg2, tuple) else 0
             key = ("persist_dp", cfg, cfg2, masses is not None,
                    self.substeps, interpret)
             fns = self._jit_cache.get(key)
             if fns is None:
                 fns = (pm_persist_dp.make_persist_init(
                            self.mesh, cfg, with_masses=masses is not None,
-                           with_col=True),
+                           with_col=True, n_levels=n_levels),
                        pm_persist_dp.make_persist_pm_step(
                            self.mesh, cfg, interpret=interpret,
                            with_masses=masses is not None, with_col=True,
@@ -519,17 +520,26 @@ class Engine:
                 c = self._persist
                 self._persist = pstep(*c[:5], pv, pp, n_act, *c[5:], *ker)
         else:
+            cfg2 = self.pm2
             if self._persist is None:
-                self._persist = pper.init_sorted(
-                    self._state.pos.reshape(3, -1), n_act, cfg,
+                init_kw = dict(
                     vel_flat=self._state.vel.reshape(3, -1), masses=masses,
                     col24=raster.pack_col24(
                         self._state.init_color.reshape(3, -1)))
-            cfg2 = self.pm2
+                if isinstance(cfg2, tuple):
+                    self._persist = pper.init_sorted_multi(
+                        self._state.pos.reshape(3, -1), n_act, cfg,
+                        len(cfg2), **init_kw)
+                else:
+                    self._persist = pper.init_sorted(
+                        self._state.pos.reshape(3, -1), n_act, cfg,
+                        **init_kw)
             ker = None
             if cfg2 is not None:
                 from ..ops import pm2 as pm2_mod
-                ker = pm2_mod.fine_kernels(cfg, cfg2)
+                ker = (pm2_mod.levels_kernels(cfg, cfg2)
+                       if isinstance(cfg2, tuple)
+                       else pm2_mod.fine_kernels(cfg, cfg2))
             for _ in range(self.substeps):
                 self._persist = pper.step_sorted_jit(
                     self._persist, pv, pp, n_act, cfg,

