@@ -572,16 +572,34 @@ def main(argv=None) -> int:
                     help="persistent cell-sorted PM state (implies --pm)")
     ap.add_argument("--pm-g", type=float, default=1.0)
     ap.add_argument("--pm-softening", type=float, default=2.0)
+    ap.add_argument("--pm2-size", type=float, nargs="+", default=[0.0],
+                    help="refinement-window extent(s), outermost first "
+                    "(two-level PM; several values nest multi-level) — "
+                    "implies --pm; composes with --pm-persist")
+    ap.add_argument("--pm2-softening", type=float, nargs="+",
+                    default=[0.5], help="fine softening, one per "
+                    "--pm2-size value")
     args = ap.parse_args(argv)
 
     method = {"auto": None, "jnp": Method.JNP,
               "pallas": Method.PALLAS}[args.method]
-    want_pm = args.pm or args.pm_persist
+    want_pm = args.pm or args.pm_persist or args.pm2_size[0] > 0.0
+    pm2_cfg = None
+    if args.pm2_size[0] > 0.0:
+        from ..ops.pm2 import PM2Config
+        sizes, softs = args.pm2_size, args.pm2_softening
+        if len(softs) != len(sizes):
+            ap.error("--pm2-softening needs one value per --pm2-size")
+        levels = tuple(PM2Config(window_min=None, window_size=s,
+                                 softening=e)
+                       for s, e in zip(sizes, softs))
+        pm2_cfg = levels if len(levels) > 1 else levels[0]
     engine = Engine(
         particle_count=args.count, method=method,
         pm=PMConfig(softening=args.pm_softening) if want_pm else None,
         pairwise=(PairwiseParams(args.pm_g, args.pm_softening)
                   if want_pm else None),
+        pm2=pm2_cfg,
         # bare --pm keeps the "auto" mode: the engine picks per-frame
         # sorted vs persistent from the count (measured crossover)
         pm_persist=True if args.pm_persist else "auto")

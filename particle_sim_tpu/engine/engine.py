@@ -109,8 +109,10 @@ class Engine:
         accel_sorted docstring); that composition is also the multi-chip
         pm2 path (with ``mesh``, pm2 requires pm_persist). A SEQUENCE
         of PM2Configs (outermost first) runs the MULTI-level nested
-        solver (pm2.pmn_accel, telescoping difference kernels;
-        per-frame-sorted path only).
+        solver: pm2.pmn_accel (telescoping difference kernels) on the
+        per-frame-sorted path by default, or every level sort-free on
+        the k+1-class persistent order with ``pm_persist=True``
+        (pm_persist.accel_sorted_multi; also the multi-chip pmn path).
 
         ``pm_persist``: run the PM solver on the persistent cell-sorted
         state (ops/pm_persist.py): the frame pays zero sorts in steady

@@ -125,6 +125,7 @@ def test_mesh_render_psum_composite():
     assert abs(img_s.astype(int) - img_1.astype(int)).max() <= 2
 
 
+@pytest.mark.slow
 def test_mesh_persist_render_from_carry():
     """Persist + mesh: the frame renders from the SHARDED sorted carry
     (positions + carried col24) without rebuilding identity order, and

@@ -21,6 +21,7 @@ def _engine(persist, **kw):
                   interpret=True, pm_persist=persist, **kw)
 
 
+@pytest.mark.slow
 def test_trajectory_matches_sorted_path():
     e_ref = _engine(False)
     e_per = _engine(True)
@@ -44,6 +45,7 @@ def test_trajectory_matches_sorted_path():
     assert np.abs(p_per - p0).max() > 0.5 * moved
 
 
+@pytest.mark.slow
 def test_frame_arrays_pairing():
     """Streamed points may arrive in ANY order (the client draws an
     order-independent point cloud; the persist engine serves the stream
@@ -69,6 +71,7 @@ def test_frame_arrays_pairing():
     assert abs(rgba_pi.astype(int) - rgba_r.astype(int)).max() <= 1
 
 
+@pytest.mark.slow
 def test_resize_and_reset_invalidate_mirror():
     e = _engine(True)
     e.step(PARAMS)
@@ -143,6 +146,7 @@ def test_rejects_bad_config():
                interpret=True, pm_persist=True)
 
 
+@pytest.mark.slow
 def test_persist_with_mesh():
     if len(jax.devices()) < 2:
         pytest.skip("needs a multi-device platform")
@@ -163,6 +167,7 @@ def test_persist_with_mesh():
                                e_ref.state.positions(), rtol=0, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_jnp_method_persist_runs_off_tpu():
     """A Method.JNP engine with pm_persist (e.g. a checkpoint resumed on
     a CPU box) must step: the Pallas-only persist path switches to
@@ -177,6 +182,7 @@ def test_jnp_method_persist_runs_off_tpu():
     assert e._persist is not None
 
 
+@pytest.mark.slow
 def test_cli_pm_persist_implies_pm(tmp_path):
     """--pm-persist without --pm must run (the flag implies the PM
     solver, matching the server's behavior) instead of crashing."""
@@ -187,6 +193,7 @@ def test_cli_pm_persist_implies_pm(tmp_path):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_persist_with_mesh_two_level():
     """Multi-chip pm2 rides the persist path: engine(mesh, pm_persist,
     pm2) steps and tracks the single-device two-level persist engine."""
@@ -238,6 +245,7 @@ def test_mesh_pm2_auto_promotes_persist():
                interpret=True, mesh=mesh, pm2=cfg2, pm_persist=False)
 
 
+@pytest.mark.slow
 def test_render_from_sorted_planes_skips_unsort():
     """Velocity/position color modes rasterize straight from the sorted
     planes (the raster is order-independent); the frame must match the

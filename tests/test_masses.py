@@ -48,6 +48,7 @@ def test_pallas_direct_matches_oracle_with_masses():
                                rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pm_heavy_center_matches_direct():
     """A heavy central mass + light cloud: PM forces track the direct sum."""
     rng = np.random.default_rng(1)
@@ -157,6 +158,7 @@ def test_checkpoint_after_grow_is_loadable(tmp_path):
     assert m[700:].max() == pytest.approx(1.0)
 
 
+@pytest.mark.slow
 def test_mesh_masses_pm_and_ring_match_single_device():
     """Row-sharded masses: psum-grid PM and the mass-rotating ring both
     reproduce the single-device steps."""

@@ -116,6 +116,7 @@ def test_periodic_mode_runs_and_pulls_inward():
     assert frac_inward > 0.9
 
 
+@pytest.mark.slow
 def test_step_pm_ref_full_frame():
     """Engine-shaped step: PM gravity + attractor integrator contract."""
     n = 1000
@@ -135,6 +136,7 @@ def test_step_pm_ref_full_frame():
     assert np.linalg.norm(flat, axis=1).mean() < r0
 
 
+@pytest.mark.slow
 def test_auto_box_matches_direct_sum():
     """Auto-zoom box: a small off-center cloud gets full grid resolution;
     forces match the direct sum with the equivalent physical softening."""
@@ -164,6 +166,7 @@ def test_auto_box_matches_direct_sum():
     assert rms_rel < rms_s
 
 
+@pytest.mark.slow
 def test_auto_box_fast_path_parity():
     from particle_sim_tpu.ops import pm_pallas
 
@@ -239,7 +242,9 @@ _SWEEP = {
 }
 
 
-@pytest.mark.parametrize("case", sorted(_SWEEP))
+@pytest.mark.parametrize("case", [
+    pytest.param(c, marks=pytest.mark.slow) if c == "wide_box" else c
+    for c in sorted(_SWEEP)])
 def test_accuracy_sweep(case):
     """Pins the PM accuracy story at three density/box regimes:
       * fast path vs jnp PM reference: <2% max, <0.5% rms (the bf16 +
@@ -278,6 +283,7 @@ def test_accuracy_sweep(case):
     assert rms_fd < (direct_tol + 0.005) * dir_mag
 
 
+@pytest.mark.slow
 def test_solve_accel_pair_matches_separate():
     """The batched coarse+fine solve equals the two separate solves."""
     import numpy as np

@@ -41,6 +41,7 @@ def _inner_mask(pos_np, margin=12.0):
     return np.all((pos_np >= -16 + margin) & (pos_np < 16 - margin), axis=1)
 
 
+@pytest.mark.slow
 def test_subgrid_accuracy_beats_single_level():
     """Inside the window, two-level PM reproduces the direct sum at the
     FINE softening (eps = 0.75 = 3 fine cells) — which no single-level
@@ -85,6 +86,7 @@ def test_outside_window_is_coarse_plus_constant():
     assert np.abs(diff).max() < 0.05 * scale         # and small
 
 
+@pytest.mark.slow
 def test_fast_path_parity():
     pos_np, pos, n_act = _scene(2)
     n = int(n_act)
@@ -142,6 +144,7 @@ def test_step_contract_and_masses():
     assert 0.4 * expect < delta < 2.0 * expect, (delta, expect)
 
 
+@pytest.mark.slow
 def test_kernels_as_arguments_bit_exact():
     """Passing fine_kernels() device buffers as the ``kernels`` jit
     argument (the remote-compile-413 workaround, pm.diff_kernels_device)
@@ -212,6 +215,7 @@ def test_auto_window_tracks_centroid():
     assert rms < 0.04, f"auto-window rms {rms:.4f}"
 
 
+@pytest.mark.slow
 def test_engine_integration():
     """Engine(pm2=...) steps the two-level solver; bad configs rejected."""
     import particle_sim_tpu as psim
@@ -237,6 +241,7 @@ def test_engine_integration():
                pm2=CFG2)
 
 
+@pytest.mark.slow
 def test_persist_fine_segmented_steady_state():
     """The first two-level call migrates a fresh coarse-only state into
     the SEGMENTED order (exactly one repair); the second call is the
@@ -281,6 +286,7 @@ def test_persist_fine_segmented_steady_state():
         assert np.abs(a_back[:, :n] - a_id).max() < 5e-3 * scale
 
 
+@pytest.mark.slow
 def test_persist_fine_fallback_parity():
     """The cond's guaranteed-correct leg: when the fine span tables
     cannot fit (forced here via the test hook), the frame pays the
@@ -305,6 +311,7 @@ def test_persist_fine_fallback_parity():
     assert np.abs(a_back[:, :n] - a_id).max() < 5e-3 * scale
 
 
+@pytest.mark.slow
 def test_persist_composite_edge_churn_exact():
     """Window-edge churn BETWEEN repairs stays exact with the FROZEN
     segmented membership: leavers stop depositing (zero source mask) and
@@ -357,6 +364,7 @@ def test_persist_composite_edge_churn_exact():
     assert (w0 != w1).sum() > 20
 
 
+@pytest.mark.slow
 def test_persist_true_entrant_forces_repair():
     """A particle crossing the WHOLE parking band into the source set
     between repairs must force a repair that frame (frozen membership
@@ -394,6 +402,7 @@ def test_persist_true_entrant_forces_repair():
     assert np.abs(a_back[:, :n] - a_id).max() < 5e-3 * scale
 
 
+@pytest.mark.slow
 def test_persist_composite_centroid_window():
     """Centroid-tracking windows (window_min=None) ride the persistent
     order too — the traced origin shifts fine keys coherently, masked
@@ -418,6 +427,7 @@ def test_persist_composite_centroid_window():
     assert np.abs(a_back[:, :n] - a_id).max() < 5e-3 * scale
 
 
+@pytest.mark.slow
 def test_persist_composition_parity():
     """pm2 composes with the persistent sorted state: both levels run
     sort-free on the coarse slot order (the fine level via masked

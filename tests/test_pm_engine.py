@@ -32,6 +32,7 @@ def test_engine_pm_defaults_pairwise():
     assert e.pairwise.softening == CFG.softening
 
 
+@pytest.mark.slow
 def test_mesh_pm_matches_single_device():
     """psum-grid sharded PM step == single-device reference step."""
     from particle_sim_tpu.parallel import mesh as mesh_lib, pm_dp
@@ -109,6 +110,7 @@ def test_cli_pm_run(tmp_path, capsys):
     assert final["done"] is True
 
 
+@pytest.mark.slow
 def test_mesh_pm_pallas_interpret_matches_ref():
     """The real multi-chip configuration (sorted Pallas CIC under
     shard_map) — interpret mode stands in for TPU Mosaic."""
@@ -137,6 +139,7 @@ def test_mesh_pm_pallas_interpret_matches_ref():
                                atol=max(0.02 * scale, 2e-3))
 
 
+@pytest.mark.slow
 def test_mesh_pm_auto_box_matches_single_device():
     """Global traced box (pmin/pmax) == single-device auto-box solve."""
     from particle_sim_tpu.parallel import mesh as mesh_lib, pm_dp

@@ -48,7 +48,8 @@ def _compare(pos_flat, n_active, rtol=0.02):
     assert np.all(a_fast[:, n:] == 0.0)
 
 
-@pytest.mark.parametrize("seed,n", [(0, 1000), (1, 3000)])
+@pytest.mark.parametrize("seed,n", [
+    (0, 1000), pytest.param(1, 3000, marks=pytest.mark.slow)])
 def test_parity_filled_cloud(seed, n):
     pos, n_act, _ = _planes(_cloud(n, seed))
     _compare(pos, n_act)
@@ -112,7 +113,8 @@ def test_rejects_unsupported_grid():
                            PMConfig(grid=48), interpret=True)
 
 
-@pytest.mark.parametrize("grid", [32, 64, 256])
+@pytest.mark.parametrize(
+    "grid", [32, 64, pytest.param(256, marks=pytest.mark.slow)])
 def test_parity_other_grids(grid):
     """The generalized lane/row geometry (pm_pallas._geom) at every
     non-default supported grid, vs the same-grid jnp reference."""
@@ -148,6 +150,7 @@ def test_parity_grid64_masses_auto_box():
                                atol=0.02 * scale)
 
 
+@pytest.mark.slow
 def test_parity_chunk_1024():
     """Large-N kernel block size (pick_chunk escalates past 512 to keep
     the packed pair table inside SMEM) — same results at any chunk."""

@@ -63,6 +63,7 @@ def _ids_order(st):
     return st.pos[:, inv]
 
 
+@pytest.mark.slow
 def test_parity_fresh_sort():
     pos, n_act = _flat(_cloud(1500, 0))
     st = pm_persist.init_sorted(pos, n_act, CFG)
@@ -121,6 +122,7 @@ def test_partial_active_padding_inert():
                                atol=3e-3 * scale)
 
 
+@pytest.mark.slow
 def test_step_sorted_matches_step_pm():
     """One integrated frame must equal pm_pallas.step_pm modulo the slot
     permutation (identical accel + identical kick/step contract)."""
@@ -153,6 +155,7 @@ def test_step_sorted_matches_step_pm():
                                rtol=0, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_masses_ride_repairs():
     """Sorted source masses follow their particles through a repair."""
     pos, n_act = _flat(_cloud(1024, 8))
@@ -288,6 +291,7 @@ def test_sort_state_segmented_unit():
     del k_out
 
 
+@pytest.mark.slow
 def test_local_repair_tier_within_segment_scramble(monkeypatch):
     """Scrambling WITHIN segments overflows the budgets but is fixable by
     the tier-1 segment-local sort: exactly one repair pass fires and the
@@ -312,6 +316,7 @@ def test_local_repair_tier_within_segment_scramble(monkeypatch):
         assert (np.diff(key[i * 2048:(i + 1) * 2048]) >= 0).all()
 
 
+@pytest.mark.slow
 def test_local_repair_escalates_to_global(monkeypatch):
     """A GLOBAL scramble defeats the local tier (segment key ranges all
     span the whole cloud): tier 1 fires, the re-derived totals still
@@ -455,7 +460,8 @@ def test_gather_table_spans_properties():
             assert first_k[idx[1:]].sum() == 0
 
 
-@pytest.mark.parametrize("grid", [32, 64, 256])
+@pytest.mark.parametrize(
+    "grid", [32, 64, pytest.param(256, marks=pytest.mark.slow)])
 def test_parity_other_grids(grid):
     """Grid generalization (round-4 verdict item 5): the persistent path
     reproduces pm_accel at every SUPPORTED_GRIDS size, through all three
@@ -538,3 +544,79 @@ def test_engine_persist_grid_64():
     assert e._persist is not None
     np.testing.assert_allclose(e.state.positions(),
                                e_ref.state.positions(), rtol=0, atol=5e-3)
+
+
+def test_multi_deposit_table_properties():
+    """Brute-force check of _deposit_table_spans_multi (k+1-class order)
+    over random class layouts: same contract as the two-segment table —
+    (1) every true (window, chunk) incidence of any class part is
+    present, (2) no (window, chunk) pair appears twice (the cumulative
+    boundary-chunk dedup, including the chain case of a class contained
+    entirely inside one chunk), (3) tile-major with the fam-0 zeroing
+    first-visit per tile."""
+    from particle_sim_tpu.ops import pm_persist as pp
+    from particle_sim_tpu.ops.pm_pallas import (
+        GRID, N_TILES, SENTINEL, SPREAD, T_ROWS, _S_BITS, _S_MASK,
+        _T_MASK, _T_SHIFT)
+
+    rng = np.random.default_rng(79)
+    n, chunk = 8192, 512
+    nc = n // chunk
+    for trial in range(4):
+        # three class boundaries; trial 2 forces a TINY middle class
+        # (inside one chunk) to exercise the dedup chain
+        if trial == 2:
+            b0 = int(rng.integers(1, n - chunk))
+            bounds_np = np.array([b0, b0 + int(rng.integers(1, 64)),
+                                  min(b0 + 100, n)], np.int32)
+        else:
+            bounds_np = np.sort(rng.integers(0, n, size=3)).astype(np.int32)
+        keys = rng.integers(0, SENTINEL, size=n).astype(np.int64)
+        keys[rng.random(n) < 0.1] = SENTINEL
+        # sort each class region independently (what _repair produces)
+        lo = [0] + list(bounds_np)
+        hi = list(bounds_np) + [n]
+        parts = [np.sort(keys[l:h]) for l, h in zip(lo, hi)]
+        kk = np.concatenate(parts).astype(np.int64)
+        key = jnp.asarray(kk.astype(np.int32))
+        c_max = 6144
+        pairs = np.asarray(pp._deposit_table_spans_multi(
+            key, chunk, jnp.asarray(bounds_np), nc, c_max)).astype(np.int64)
+        s_k = pairs & _S_MASK
+        fam_k = (pairs >> _S_BITS) & 1
+        t_k = (pairs >> _T_SHIFT) & _T_MASK
+        first_k = (pairs < 0).astype(np.int64)
+        real = t_k < N_TILES
+
+        seen = set()
+        for w, s in zip((2 * t_k + fam_k)[real], s_k[real]):
+            if s < nc:
+                assert (w, s) not in seen, (trial, w, s)
+                seen.add((w, s))
+
+        rows = kk >> 7
+        slot = np.arange(n)
+        for ci, (l, h) in enumerate(zip(lo, hi)):
+            mask_c = (slot >= l) & (slot < h)
+            for s in range(nc):
+                m = mask_c[s * chunk:(s + 1) * chunk] & (
+                    kk[s * chunk:(s + 1) * chunk] < SENTINEL)
+                if not m.any():
+                    continue
+                r = rows[s * chunk:(s + 1) * chunk][m]
+                rmin, rmax = r.min(), r.max()
+                for w in range(2 * N_TILES):
+                    t, fam = w >> 1, w & 1
+                    wlo = max(t * T_ROWS - (SPREAD if fam else 1), 0)
+                    whi = (t + 1) * T_ROWS - (GRID if fam else 0) - 1
+                    if rmax >= wlo and rmin <= whi:
+                        assert (w, s) in seen, (trial, ci, w, s)
+
+        t_real = t_k[real]
+        assert (np.diff(t_real) >= 0).all()
+        for t in range(N_TILES):
+            idx = np.where(t_k == t)[0]
+            assert idx.size > 0
+            f0 = idx[0]
+            assert fam_k[f0] == 0 and first_k[f0] == 1, (trial, t)
+            assert first_k[idx[1:]].sum() == 0

@@ -39,6 +39,7 @@ def _identity_order(ids, arr):
     return out
 
 
+@pytest.mark.slow
 def test_sharded_persist_matches_single_device():
     mesh = mesh_lib.make_mesh()
     n_dev = mesh.devices.size
@@ -75,6 +76,7 @@ def test_sharded_persist_matches_single_device():
                                atol=max(0.02 * scale, 2e-3))
 
 
+@pytest.mark.slow
 def test_sharded_persist_multi_frame_finite():
     """A few frames end-to-end: state stays finite, identity stays a
     permutation, repairs (if any) stay per-shard counters."""
@@ -96,6 +98,7 @@ def test_sharded_persist_multi_frame_finite():
     assert np.asarray(resorts).shape == (n_dev,)
 
 
+@pytest.mark.slow
 def test_sharded_persist_with_masses():
     mesh = mesh_lib.make_mesh()
     n_dev = mesh.devices.size
@@ -126,6 +129,7 @@ def test_sharded_persist_with_masses():
                                atol=max(0.02 * scale, 2e-3))
 
 
+@pytest.mark.slow
 def test_sharded_persist_two_level():
     """cfg2 on the mesh: both levels sort-free per shard, fine grid
     psum'd, GLOBAL centroid window — matches the single-device

@@ -96,6 +96,7 @@ def test_auto_windows_nest_and_track():
     assert np.linalg.norm(c2 - CORE) < 2.0, c2
 
 
+@pytest.mark.slow
 def test_fast_path_parity():
     pos_np, pos, n_act = _scene(3)
     n = int(n_act)
@@ -171,9 +172,14 @@ def test_engine_multilevel():
     e1 = Engine(particle_count=1024, method=Method.JNP, pm=CFG, pm2=(L1,))
     assert e1.pm2 == L1
 
-    with pytest.raises(ValueError, match="multi-level"):
-        Engine(particle_count=1024, method=Method.JNP, pm=CFG,
-               pm2=(L1, L2), pm_persist=True)
+    # round 4: multi-level + pm_persist is a supported composition (the
+    # k+1-class persistent order; stepping parity is covered by
+    # test_persist_multi_engine_tracks_per_frame)
+    ep = Engine(particle_count=1024, method=Method.JNP, pm=CFG,
+                pm2=(L1, L2), pm_persist=True)
+    assert ep.persist_resolved()
+    # and auto keeps the per-frame pmn path for multi-level
+    assert e.pm_persist is False
 
 
 def test_cli_multilevel(tmp_path, capsys):
@@ -206,6 +212,7 @@ def test_cli_multilevel(tmp_path, capsys):
               "--pm2-size", "32", "8", "--pm2-softening", "0.5"])
 
 
+@pytest.mark.slow
 def test_persist_multi_matches_pmn():
     """Multi-level on the PERSISTENT k+1-class order
     (pm_persist.accel_sorted_multi): the first call migrates a fresh
@@ -241,6 +248,7 @@ def test_persist_multi_matches_pmn():
                                atol=3e-3 * scale)
 
 
+@pytest.mark.slow
 def test_persist_multi_fallback_cond():
     """The per-level lax.cond fallback to the per-frame fine path must
     produce the same physics (test hook forces it)."""
@@ -263,6 +271,7 @@ def test_persist_multi_fallback_cond():
                                atol=3e-3 * scale)
 
 
+@pytest.mark.slow
 def test_persist_multi_engine_tracks_per_frame():
     """Engine(pm2=(L1, L2), pm_persist=True) steps the multi-level
     persistent path and tracks the per-frame-sorted multi-level engine

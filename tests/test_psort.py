@@ -35,6 +35,7 @@ def _check(ops, n_unique_keys=None):
         np.testing.assert_array_equal(g_rows[:, order_g], w_rows[:, order_w])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [65536, 262144])
 def test_unique_keys_with_payloads(n):
     rng = np.random.default_rng(0)
@@ -44,6 +45,7 @@ def test_unique_keys_with_payloads(n):
     _check([key, p1, p2])
 
 
+@pytest.mark.slow
 def test_i32_keys():
     rng = np.random.default_rng(1)
     n = 65536
@@ -53,8 +55,9 @@ def test_i32_keys():
     _check([key, p])
 
 
-@pytest.mark.parametrize("case", ["duplicates", "all_equal", "sorted",
-                                  "reversed", "clustered", "sentinel_tail"])
+@pytest.mark.parametrize("case", [
+    pytest.param("duplicates", marks=pytest.mark.slow), "all_equal",
+    "sorted", "reversed", "clustered", "sentinel_tail"])
 def test_adversarial_distributions(case):
     rng = np.random.default_rng(2)
     n = 131072

@@ -73,6 +73,7 @@ class TestProfiling:
         m = profiling.marginal_time(run_n, 2, 12)
         assert m > 0
 
+    @pytest.mark.slow
     def test_trace_writes_files(self, tmp_path):
         with profiling.trace(str(tmp_path)):
             profiling.sync(step_jnp.step_jit(
