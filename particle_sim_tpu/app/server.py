@@ -45,6 +45,7 @@ from __future__ import annotations
 import base64
 import hashlib
 import json
+import logging
 import os
 import socket
 import struct
@@ -58,6 +59,15 @@ from ..core.params import (
     Method, PairwiseParams, PMConfig, SimParams, SphereGeneration,
 )
 from ..engine import Engine
+
+logger = logging.getLogger("particle_sim_tpu.server")
+
+
+def _pm2_list(pm2) -> tuple:
+    """Engine.pm2 (None / single PM2Config / tuple) as a flat tuple."""
+    if pm2 is None:
+        return ()
+    return pm2 if isinstance(pm2, tuple) else (pm2,)
 from ..io import packer
 from ..render.camera import Camera
 
@@ -275,6 +285,24 @@ class StreamServer:
                     # runtime toggle: _persist_eligible() re-validates
                     # (auto_box silently falls back to per-frame sorting)
                     self.engine.pm_persist = name == "pm_persist"
+                    # optional refinement stack: parallel size/softening
+                    # lists, outermost first ([] clears it). Invalid
+                    # stacks (bad nesting, auto_box) keep the old one.
+                    if "pm2_sizes" in ev:
+                        from ..ops.pm2 import PM2Config
+                        try:
+                            sizes = [float(s) for s in ev["pm2_sizes"]]
+                            softs = [float(s)
+                                     for s in ev.get("pm2_softenings", [])]
+                            if len(softs) != len(sizes):
+                                raise ValueError("pm2 size/softening "
+                                                 "lists differ in length")
+                            self.engine.set_pm2(tuple(
+                                PM2Config(window_min=None, window_size=s,
+                                          softening=e)
+                                for s, e in zip(sizes, softs)))
+                        except ValueError as e:
+                            logger.warning("pm2 event rejected: %s", e)
                 elif name == "direct":
                     self.engine.pm = None
                     self.engine.pairwise = PairwiseParams(g, eps)
@@ -452,6 +480,12 @@ class StreamServer:
                         self.engine.pm.softening if self.engine.pm
                         else self.engine.pairwise.softening
                         if self.engine.pairwise else 2.0),
+                    # refinement stack (outermost first; [] = none) so
+                    # the panel's pm2 inputs reflect server state
+                    "pm2_sizes": [c.window_size for c in _pm2_list(
+                        self.engine.pm2)],
+                    "pm2_softenings": [c.softening for c in _pm2_list(
+                        self.engine.pm2)],
                     # current wire mode + raster size so the viewer's
                     # Wire-format select reflects a --view-mode raster
                     # server instead of defaulting to planar (ADVICE r2)

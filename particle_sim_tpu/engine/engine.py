@@ -686,6 +686,31 @@ class Engine:
         from ..core.state import grow_state
         self.state = grow_state(self.state, pos_a, vel_a, col_a, new_count)
 
+    def set_pm2(self, pm2) -> None:
+        """Swap the refinement stack at runtime (server 'solver' events):
+        same normalization/validation as the constructor; the persistent
+        carry is rebuilt on the next step (a tuple stack needs the
+        k+1-class boundary vector, a single config the scalar one)."""
+        if pm2 is not None and self.pm is None:
+            raise ValueError("pm2 requires a PM solver (pm=...)")
+        if isinstance(pm2, (tuple, list)):
+            pm2 = tuple(pm2)
+            if len(pm2) == 1:
+                pm2 = pm2[0]
+            elif len(pm2) == 0:
+                pm2 = None
+        if pm2 is not None and isinstance(pm2, tuple):
+            from ..ops import pm2 as pm2_mod
+            pm2_mod._validate_levels(self.pm, pm2)
+        if self.mesh is not None and pm2 is not None \
+                and self.pm_persist is not True:
+            raise ValueError("multi-chip pm2 requires pm_persist")
+        if pm2 == self.pm2:
+            return
+        self.ensure_identity_order()
+        self._persist = None
+        self.pm2 = pm2
+
     def set_method(self, method: Method) -> None:
         """Hot-swap backend: fresh state, count+pause preserved
         (app.rs:172-200 — the reference intentionally does not migrate)."""

@@ -344,6 +344,44 @@ class TestSolverEvents:
         import numpy as np
         assert np.isfinite(engine.state.positions()).all()
 
+    def test_solver_event_pm2_stack(self):
+        """pm2_sizes/pm2_softenings on a solver event install / swap /
+        clear the refinement stack at runtime (round-4 live multi-level
+        switching); invalid stacks are rejected keeping the old one."""
+        import numpy as np
+        from particle_sim_tpu.app.server import StreamServer
+        from particle_sim_tpu.core.params import Method
+        from particle_sim_tpu.ops.pm2 import PM2Config
+
+        engine = Engine(particle_count=1500, method=Method.JNP)
+        srv = StreamServer(engine, port=0)
+        srv.handle_event({"type": "solver", "name": "pm", "g": 0.5,
+                          "softening": 3.0,
+                          "pm2_sizes": [32.0, 8.0],
+                          "pm2_softenings": [0.6, 0.2]})
+        assert isinstance(engine.pm2, tuple) and len(engine.pm2) == 2
+        assert engine.pm2[1].window_size == 8.0
+        engine.step(SimParams(delta_time=0.016))   # pmn step runs
+        assert np.isfinite(engine.state.positions()).all()
+        # single level normalizes to the plain two-level mode
+        srv.handle_event({"type": "solver", "name": "pm", "g": 0.5,
+                          "softening": 3.0, "pm2_sizes": [24.0],
+                          "pm2_softenings": [0.6]})
+        assert isinstance(engine.pm2, PM2Config)
+        # a bad nesting is rejected, keeping the previous stack
+        srv.handle_event({"type": "solver", "name": "pm", "g": 0.5,
+                          "softening": 3.0, "pm2_sizes": [8.0, 32.0],
+                          "pm2_softenings": [0.6, 0.2]})
+        assert isinstance(engine.pm2, PM2Config)
+        assert engine.pm2.window_size == 24.0
+        # empty lists clear the stack
+        srv.handle_event({"type": "solver", "name": "pm", "g": 0.5,
+                          "softening": 3.0, "pm2_sizes": [],
+                          "pm2_softenings": []})
+        assert engine.pm2 is None
+        engine.step(SimParams(delta_time=0.016))
+        assert np.isfinite(engine.state.positions()).all()
+
     def test_bad_params_event_fails_fast_not_later(self):
         """Malformed client params must raise AT EVENT TIME (where the
         reader thread catches it), never poison stored params and crash
