@@ -94,6 +94,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "~2.5 * pm2-size/128); one value per --pm2-size "
                         "level when multi-level")
     p.add_argument("--pm2-margin", type=float, default=0.0)
+    p.add_argument("--pmx-size", type=float, default=0.0,
+                   help="window-EXACT short-range forces (ops/pmx.py): "
+                        "extent of the tracked window whose member pairs "
+                        "feel the exact --pmx-softening force instead of "
+                        "the mesh-softened one; nests inside the "
+                        "innermost --pm2-size level (implies --pm)")
+    p.add_argument("--pmx-softening", type=float, default=0.1,
+                   help="exact pair softening inside the --pmx-size "
+                        "window (> 0, < the innermost mesh softening)")
+    p.add_argument("--pmx-capacity", type=int, default=65536,
+                   help="static member budget of the exact window's "
+                        "all-pairs buffer (multiple of 512)")
     p.add_argument("--pm-persist", action="store_true",
                    help="persistent cell-sorted PM state (sort-free "
                         "steady-state frames; needs grid 128, static box)")
@@ -161,7 +173,7 @@ def main(argv=None) -> int:
                       file=sys.stderr)
         # --pm-persist / --pm2-size are PM solver modes: imply --pm (the
         # server does the same, app/server.py want_pm)
-        if args.pm_persist or args.pm2_size[0] > 0.0:
+        if args.pm_persist or args.pm2_size[0] > 0.0 or args.pmx_size > 0.0:
             args.pm = True
         pm_cfg = None
         if args.pm:
@@ -189,6 +201,12 @@ def main(argv=None) -> int:
                 margin=args.pm2_margin)
                 for k, sz in enumerate(sizes))
             pm2_cfg = levels if len(levels) > 1 else levels[0]
+        pmx_cfg = None
+        if args.pmx_size > 0.0:
+            from ..ops.pmx import PMXConfig
+            pmx_cfg = PMXConfig(window_size=args.pmx_size,
+                                softening=args.pmx_softening,
+                                capacity=args.pmx_capacity)
         engine = Engine(
             particle_count=args.count,
             method=method,
@@ -206,6 +224,7 @@ def main(argv=None) -> int:
             # picked from the count (engine.PERSIST_AUTO_MIN_N crossover)
             pm_persist=True if args.pm_persist else "auto",
             pm2=pm2_cfg,
+            pmx=pmx_cfg,
         )
 
     if args.central_mass > 0.0:

@@ -86,6 +86,7 @@ class Engine:
         mesh=None,
         pm_persist: Union[bool, str] = "auto",
         pm2=None,
+        pmx=None,
     ):
         """``mesh``: a 1-D jax.sharding.Mesh (parallel.mesh.make_mesh) to
         row-shard the state over its ``dp`` axis — the multi-chip mode.
@@ -183,6 +184,23 @@ class Engine:
                     raise ValueError("multi-chip pm2 requires pm_persist "
                                      "(parallel/pm_persist_dp.py is the "
                                      "sharded refinement path)")
+        if pmx is not None:
+            # window-EXACT short-range forces (ops/pmx.py): per-frame
+            # single-chip path composing with the pm2 stack; the
+            # persistent-order and multi-chip integrations are future
+            # work (ops/pmx.py docstring)
+            if pm is None:
+                raise ValueError("pmx requires the PM solver (pm=...)")
+            if mesh is not None:
+                raise ValueError("pmx is single-chip (shard-local "
+                                 "compaction would miss cross-shard "
+                                 "member pairs)")
+            if pm_persist is True:
+                raise ValueError("pmx runs the per-frame path; "
+                                 "pm_persist=True is not supported with "
+                                 "it yet")
+            pm_persist = False
+        self.pmx = pmx
         self.pm2 = pm2
         self.pm_persist = pm_persist
         self._persist = None          # SortedPMState / dp carry, lazy
@@ -295,12 +313,36 @@ class Engine:
     def _step_fn(self):
         key = (self.method, self.pairwise is not None, self.substeps,
                self._interpret, self.mesh is not None, self.pm,
-               self._masses is not None, self.pm2)
+               self._masses is not None, self.pm2,
+               getattr(self, "pmx", None))
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
         interpret = self._interpret
         substeps = self.substeps
+
+        if self.pm is not None and getattr(self, "pmx", None) is not None:
+            from ..ops import pm2 as pm2_mod
+            from ..ops import pm_pallas, pmx as pmx_mod
+
+            cfg, cfgx = self.pm, self.pmx
+            levels = (self.pm2 if isinstance(self.pm2, tuple)
+                      else (self.pm2,) if self.pm2 is not None else ())
+            kers = (pm2_mod.levels_kernels(cfg, levels) if levels
+                    else None)
+            use_fast = (self.method == Method.PALLAS
+                        and cfg.grid in pm_pallas.SUPPORTED_GRIDS)
+
+            def fn(pos, vel, pv, pp, n):
+                for _ in range(substeps):
+                    pos, vel = pmx_mod.step_pmx_jit(
+                        pos, vel, pv, pp, n, cfg, levels, cfgx,
+                        use_fast=use_fast, interpret=interpret,
+                        masses=self._masses_for_capacity(), kernels=kers)
+                return pos, vel
+
+            self._jit_cache[key] = fn
+            return fn
 
         if self.pm is not None and self.pm2 is not None:
             from ..ops import pm2 as pm2_mod

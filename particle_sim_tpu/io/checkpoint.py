@@ -49,6 +49,8 @@ def save(path: str, engine: Engine, step_index: int = 0) -> None:
             if isinstance(getattr(engine, "pm2", None), tuple)
             else dataclasses.asdict(engine.pm2)
             if getattr(engine, "pm2", None) else None),
+        "pmx": (dataclasses.asdict(engine.pmx)
+                if getattr(engine, "pmx", None) else None),
     }
     arrays = dict(
         positions=state.positions(),
@@ -100,6 +102,13 @@ def load(path: str, method: Optional[Method] = None,
 
         pm2_cfg = (tuple(_one(d) for d in pm2_meta)
                    if isinstance(pm2_meta, list) else _one(pm2_meta))
+    pmx_cfg = None
+    pmx_meta = meta.get("pmx")
+    if pmx_meta:
+        from ..ops.pmx import PMXConfig
+        if pmx_meta.get("window_min") is not None:
+            pmx_meta["window_min"] = tuple(pmx_meta["window_min"])
+        pmx_cfg = PMXConfig(**pmx_meta)
     engine = Engine(
         particle_count=1,  # placeholder; state is replaced below
         method=method if method is not None else Method(meta["method"]),
@@ -110,6 +119,7 @@ def load(path: str, method: Optional[Method] = None,
         substeps=meta.get("substeps", 1),
         pm_persist=meta.get("pm_persist", False),
         pm2=pm2_cfg,
+        pmx=pmx_cfg,
     )
     engine.state = ParticleState.from_arrays(positions, velocities, init_colors)
     if masses is not None:

@@ -1,0 +1,202 @@
+"""Window-exact short-range forces (ops/pmx.py): inside the tracked
+window, the full stack must reproduce the direct O(N^2) sum at the
+EXACT softening — which no mesh level can (the innermost mesh eps is
+pinned at ~2.5 cells of its window).
+
+Oracle chain (SURVEY.md §4): direct sum at eps_exact is ground truth
+for member pairs deep inside the window; the jnp correction oracle
+(exact_accel_ref) checks the compact-buffer fast path; momentum is
+exact by pairwise antisymmetry."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from particle_sim_tpu.core.params import PMConfig
+from particle_sim_tpu.ops import pairwise, pm, pm2, pmx
+
+CFG = PMConfig(grid=128, box_min=(-64,) * 3, box_size=128.0, softening=3.0)
+CORE = np.array([6.0, -2.0, 3.0], np.float32)
+EPS_X = 0.15
+
+
+def _scene(seed=0, n_core=1200, n_halo=1600):
+    rng = np.random.default_rng(seed)
+
+    def cloud(n, radius, offset=(0, 0, 0)):
+        x = rng.normal(size=(n, 3)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        r = radius * rng.random(n).astype(np.float32) ** (1 / 3)
+        return (x * r[:, None] + np.asarray(offset, np.float32)).astype(
+            np.float32)
+
+    pos_np = np.concatenate([cloud(n_core, 1.5, CORE),
+                             cloud(n_halo, 40.0)])
+    n = pos_np.shape[0]
+    cap = -(-n // 512) * 512
+    pos = jnp.asarray(np.concatenate(
+        [pos_np, np.zeros((cap - n, 3), np.float32)]).T)
+    return pos_np, pos, jnp.asarray(n, jnp.int32)
+
+
+CFGX = pmx.PMXConfig(window_size=8.0, softening=EPS_X, capacity=2048)
+
+
+def test_exact_inside_window_beats_mesh():
+    """Core pairs feel the exact EPS_X force: rms vs the direct sum at
+    EPS_X collapses from the mesh's smoothing error to the mesh's own
+    realization error of the subtracted analytic kernel."""
+    pos_np, pos, n_act = _scene()
+    n = int(n_act)
+    a_dir = np.asarray(pairwise.pairwise_accel(pos, n_act, 1.0,
+                                               EPS_X))[:, :n]
+    a_mesh = np.asarray(pm.pm_accel_ref(pos, n_act, 1.0, CFG.softening,
+                                        CFG))[:, :n]
+    # static window centered on the core: with NO refinement level to
+    # ride, the auto origin tracks the GLOBAL centroid, which this
+    # half-halo scene pulls off the core (auto-tracking through the
+    # nested chain is exercised by test_composes_with_pm2_stack)
+    cfgx = pmx.PMXConfig(window_size=8.0, softening=EPS_X, capacity=2048,
+                         window_min=tuple(CORE - 4.0))
+    acc, n_m = pmx.pmx_accel(pos, n_act, 1.0, CFG, (), cfgx,
+                             use_fast=False)
+    a_x = np.asarray(acc)[:, :n]
+    assert int(n_m) == -1 or int(n_m) > 0
+
+    core = np.linalg.norm(pos_np - CORE, axis=1) < 1.0
+    assert core.sum() > 300
+    mag = np.linalg.norm(a_dir[:, core], axis=0).mean()
+
+    def rms(a):
+        d = np.linalg.norm(a[:, core] - a_dir[:, core], axis=0)
+        return np.sqrt((d ** 2).mean()) / mag
+
+    assert rms(a_mesh) > 0.3            # the problem is real
+    assert rms(a_x) < 0.05, f"exact-window rms {rms(a_x):.4f}"
+    assert rms(a_x) < rms(a_mesh) / 10   # and pmx solves it
+
+
+def test_fast_path_matches_ref():
+    """Compact-buffer + two-pass pairwise kernel == jnp oracle."""
+    pos_np, pos, n_act = _scene(1)
+    n = pos.shape[1]
+    live = jnp.arange(n) < n_act
+    wmin = pm2.window_min(pos, None, CFGX, None, live=live)
+    ref = np.asarray(pmx.exact_accel_ref(pos, live, CFGX, CFG.softening,
+                                         wmin=wmin))
+    fast, n_m = pmx.exact_accel(pos, live, CFGX, CFG.softening,
+                                wmin=wmin, interpret=True)
+    assert 0 < int(n_m) <= CFGX.capacity
+    scale = np.abs(ref).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(fast), ref,
+                               atol=2e-5 * scale)
+
+
+def test_capacity_truncation_is_loud_not_wrong():
+    """More members than capacity: the first ``capacity`` (slot order)
+    keep the exact correction, the rest keep the pure mesh force, and
+    the returned count exceeds the capacity so callers can warn."""
+    pos_np, pos, n_act = _scene(2)
+    n = pos.shape[1]
+    live = jnp.arange(n) < n_act
+    small = pmx.PMXConfig(window_size=8.0, softening=EPS_X, capacity=512)
+    wmin = pm2.window_min(pos, None, small, None, live=live)
+    corr, n_m = pmx.exact_accel(pos, live, small, CFG.softening,
+                                wmin=wmin, interpret=True)
+    assert int(n_m) > 512               # genuinely overflowing
+    corr = np.asarray(corr)
+    assert np.isfinite(corr).all()
+    # truncated members (outside the first 512 by slot order) got zero
+    member = np.asarray(pmx._member_mask(pos, wmin, small, live))
+    member_slots = np.where(member)[0]
+    dropped = member_slots[512:]
+    assert np.abs(corr[:, dropped]).max() == 0.0
+    kept = member_slots[:512]
+    assert np.abs(corr[:, kept]).max() > 0.0
+
+
+def test_momentum_antisymmetric():
+    pos_np, pos, n_act = _scene(3)
+    n = int(n_act)
+    live = jnp.arange(pos.shape[1]) < n_act
+    corr, _ = pmx.exact_accel(pos, live, CFGX, CFG.softening,
+                              interpret=True)
+    c = np.asarray(corr)[:, :n]
+    typical = np.abs(c).max() + 1e-12
+    assert np.abs(c.sum(axis=1)).max() < 1e-3 * typical * n ** 0.5
+
+
+def test_composes_with_pm2_stack():
+    """pmx nests inside the innermost pm2 level; inside the exact
+    window the stack tracks the direct sum at EPS_X better than the
+    two-level mesh alone."""
+    L1 = pm2.PM2Config(window_min=None, window_size=24.0, softening=0.8)
+    pos_np, pos, n_act = _scene(4)
+    n = int(n_act)
+    a_dir = np.asarray(pairwise.pairwise_accel(pos, n_act, 1.0,
+                                               EPS_X))[:, :n]
+    a_2 = np.asarray(pm2.pmn_accel_ref(pos, n_act, 1.0, CFG,
+                                       (L1,)))[:, :n]
+    acc, _ = pmx.pmx_accel(pos, n_act, 1.0, CFG, (L1,), CFGX,
+                           use_fast=False)
+    a_x = np.asarray(acc)[:, :n]
+    core = np.linalg.norm(pos_np - CORE, axis=1) < 1.0
+    mag = np.linalg.norm(a_dir[:, core], axis=0).mean()
+
+    def rms(a):
+        d = np.linalg.norm(a[:, core] - a_dir[:, core], axis=0)
+        return np.sqrt((d ** 2).mean()) / mag
+
+    assert rms(a_x) < rms(a_2) / 3, (rms(a_x), rms(a_2))
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="softening"):
+        pmx.PMXConfig(window_size=8.0, softening=0.0)
+    with pytest.raises(ValueError, match="512"):
+        pmx.PMXConfig(window_size=8.0, softening=0.1, capacity=1000)
+    pos_np, pos, n_act = _scene(5)
+    with pytest.raises(ValueError, match="innermost"):
+        pmx.pmx_accel(pos, n_act, 1.0, CFG, (), pmx.PMXConfig(
+            window_size=8.0, softening=5.0), use_fast=False)
+    with pytest.raises(ValueError, match="nest"):
+        pmx.pmx_accel(pos, n_act, 1.0, CFG,
+                      (pm2.PM2Config(None, 16.0, softening=0.8),),
+                      pmx.PMXConfig(window_size=24.0, softening=0.1),
+                      use_fast=False)
+
+
+def test_engine_and_checkpoint(tmp_path):
+    """Engine(pmx=...) steps via step_pmx_jit; the config survives a
+    checkpoint roundtrip; unsupported compositions are rejected."""
+    import particle_sim_tpu as psim
+    from particle_sim_tpu.core.params import Method
+    from particle_sim_tpu.engine import Engine
+    from particle_sim_tpu.io import checkpoint as ckpt
+
+    e = Engine(particle_count=1500, method=Method.JNP, pm=CFG, pmx=CFGX)
+    assert e.pm_persist is False
+    e.step(psim.SimParams(delta_time=0.016, gravity=0.0))
+    assert bool(jnp.isfinite(e.state.pos).all())
+
+    path = str(tmp_path / "x.npz")
+    ckpt.save(path, e, step_index=3)
+    e2, step = ckpt.load(path)
+    assert step == 3 and e2.pmx == CFGX
+    e2.step(psim.SimParams(delta_time=0.016, gravity=0.0))
+
+    with pytest.raises(ValueError, match="pm="):
+        Engine(particle_count=1024, method=Method.JNP, pmx=CFGX)
+    with pytest.raises(ValueError, match="per-frame"):
+        Engine(particle_count=1024, method=Method.JNP, pm=CFG, pmx=CFGX,
+               pm_persist=True)
+
+
+def test_cli_pmx(tmp_path):
+    """--pmx-size implies --pm and runs end-to-end."""
+    from particle_sim_tpu.app.cli import main
+
+    rc = main(["--count", "600", "--steps", "2", "--method", "jnp",
+               "--pmx-size", "8", "--pmx-softening", "0.2",
+               "--pmx-capacity", "1024", "--stats-every", "0"])
+    assert rc == 0
