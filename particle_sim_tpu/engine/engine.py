@@ -126,6 +126,13 @@ class Engine:
         sorted path is faster), re-evaluated on every resize; True/False
         force it (True raises if the config can't support it).
 
+        ``pmx``: a pmx.PMXConfig — window-EXACT short-range forces
+        (ops/pmx.py): member pairs of a tracked window nested inside
+        the innermost mesh level feel the exact ``pmx.softening`` force
+        via a real-space difference-kernel all-pairs pass. Requires
+        ``pm``; composes with any ``pm2`` depth; single-chip per-frame
+        path (persist / mesh integrations are future work).
+
         ``masses``: f32[particle_count] per-particle SOURCE masses for
         the gravity solvers (heavy central bodies, multi-species scenes;
         the reference is unit-mass). Gravity is an acceleration field, so
