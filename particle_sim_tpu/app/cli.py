@@ -108,7 +108,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "all-pairs buffer (multiple of 512)")
     p.add_argument("--pm-persist", action="store_true",
                    help="persistent cell-sorted PM state (sort-free "
-                        "steady-state frames; needs grid 128, static box)")
+                        "steady-state frames; needs a supported grid "
+                        "(32/64/128/256) and a static box)")
     # rendering
     p.add_argument("--render-every", type=int, default=0)
     p.add_argument("--render-dir", default="frames")

@@ -192,7 +192,8 @@ def _dead_key(geom) -> int:
 class SortedPMState(NamedTuple):
     """Particle state in (approximately) cell-sorted storage order.
 
-    ``fine_b`` (i32 scalar) is the two-level mode's frozen segment
+    ``fine_b`` (i32 scalar; i32[k] in the MULTI-level mode, see
+    init_sorted_multi / accel_sorted_multi) is the two-level mode's frozen segment
     boundary: slots [0, fine_b) hold non-window particles in coarse
     cell order, slots [fine_b, N) hold the window(+park) members of the
     last repair in FINE cell order (then dead slots). fine_b == N means
@@ -211,7 +212,7 @@ class SortedPMState(NamedTuple):
     ids: jax.Array              # i32 (N,) original identity of each slot
     masses: Optional[jax.Array]  # f32 (N,) source masses in slot order
     resorts: jax.Array          # i32 scalar: cumulative repair count
-    fine_b: Optional[jax.Array] = None   # i32 scalar segment boundary
+    fine_b: Optional[jax.Array] = None   # i32 scalar (or [k]) boundary
     col24: Optional[jax.Array] = None    # i32 (N,) packed display color
 
 
