@@ -165,7 +165,19 @@ def _measure(res: dict) -> None:
         return out
 
     # -- headline: interactive marginal cost per kernel launch ------------
-    samples = marginal_samples(8, 108, REPS_K)
+    # Persistent-compile-cache poisoning (observed 2026-08-21): cached
+    # executables written under an older runtime state can be REJECTED
+    # by the tunnel after a platform update — the load fails in seconds
+    # with INVALID_ARGUMENT while fresh compiles of the same program
+    # succeed. On any headline failure, disable the cache, clear the
+    # in-process caches, and retry once with fresh compiles.
+    try:
+        samples = marginal_samples(8, 108, REPS_K)
+    except Exception as e:
+        errors["headline_first_try"] = repr(e)[:200]
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.clear_caches()
+        samples = marginal_samples(8, 108, REPS_K)
     dt_step = float(np.median(samples)) / 100.0
     res["value"] = cap / dt_step
     detail["p50_frame_time_ms"] = round(dt_step * 1e3, 4)
