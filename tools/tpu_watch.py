@@ -39,7 +39,18 @@ def main() -> None:
     while True:
         t = time.time() - t0
         if probe():
-            print(f"[{t:8.0f}s] TPU ALIVE — running bench.py", flush=True)
+            print(f"[{t:8.0f}s] TPU ALIVE — micro headline first", flush=True)
+            # a marginally-healthy chip (single launches OK, bursts
+            # wedge — observed 2026-08-21) can still yield a clean
+            # headline sample: per-launch readbacks, fresh buffers,
+            # progressive JSON (tools/micro_headline.py)
+            try:
+                m = subprocess.run(
+                    [sys.executable, "tools/micro_headline.py"], cwd=REPO,
+                    capture_output=True, text=True, timeout=600)
+                print("micro:", (m.stdout or m.stderr)[-400:], flush=True)
+            except subprocess.TimeoutExpired:
+                print("micro headline timed out", flush=True)
             r = subprocess.run([sys.executable, "bench.py"], cwd=REPO,
                                capture_output=True, text=True,
                                timeout=BENCH_TIMEOUT_S)
