@@ -192,21 +192,25 @@ class Engine:
                                      "(parallel/pm_persist_dp.py is the "
                                      "sharded refinement path)")
         if pmx is not None:
-            # window-EXACT short-range forces (ops/pmx.py): per-frame
-            # single-chip path composing with the pm2 stack; the
-            # persistent-order and multi-chip integrations are future
-            # work (ops/pmx.py docstring)
+            # window-EXACT short-range forces (ops/pmx.py): single-chip,
+            # composing with the pm2 stack — per-frame, or on the
+            # persistent MULTI-level order (pm2 tuple + pm_persist=True,
+            # where the contiguous innermost class makes the member
+            # buffer one dynamic slice — accel_sorted_multi cfgx)
             if pm is None:
                 raise ValueError("pmx requires the PM solver (pm=...)")
             if mesh is not None:
                 raise ValueError("pmx is single-chip (shard-local "
                                  "compaction would miss cross-shard "
                                  "member pairs)")
-            if pm_persist is True:
-                raise ValueError("pmx runs the per-frame path; "
-                                 "pm_persist=True is not supported with "
-                                 "it yet")
-            pm_persist = False
+            if pm_persist is True and not (isinstance(pm2, (tuple, list))
+                                           and len(pm2) > 1):
+                raise ValueError(
+                    "pmx + pm_persist needs a MULTI-level pm2 stack "
+                    "(tuple) — the exact window rides the innermost "
+                    "class of the k+1-class persistent order")
+            if pm_persist == "auto":
+                pm_persist = False
         self.pmx = pmx
         self.pm2 = pm2
         self.pm_persist = pm_persist
@@ -594,7 +598,8 @@ class Engine:
             for _ in range(self.substeps):
                 self._persist = pper.step_sorted_jit(
                     self._persist, pv, pp, n_act, cfg,
-                    interpret=interpret, cfg2=cfg2, kernels=ker)
+                    interpret=interpret, cfg2=cfg2, kernels=ker,
+                    cfgx=getattr(self, "pmx", None))
         self._identity_dirty = True
 
     def ensure_identity_order(self) -> None:

@@ -950,6 +950,7 @@ def init_sorted_multi(pos_flat: jax.Array, n_active, cfg: "P.PMConfig",
 def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
                        levels, *, n_active=None, interpret: bool = False,
                        chunk: int = 0, psum_axis=None, kernels=None,
+                       cfgx=None,
                        _force_fine_fallback: bool = False
                        ) -> Tuple[SortedPMState, jax.Array]:
     """(state', acc) — MULTI-level PM acceleration on the persistent
@@ -965,11 +966,26 @@ def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
     (pm2.fine_accel_fast) when that level's totals overflow. Multi-chip
     (psum_axis): nested window origins are global (pm2._nested_wmins
     psums each level's centroid), every grid joins the psum coupling,
-    and each fits-vote is global."""
+    and each fits-vote is global.
+
+    ``cfgx`` (a pmx.PMXConfig) terminates the stack with window-EXACT
+    short-range forces — and on THIS order the compaction is free: the
+    innermost class is a contiguous slot range, so the exact window's
+    member buffer is one dynamic slice at fine_b[-1] (no flag sort, no
+    scatter-back; ops/pmx.py pays one N-sort each way per frame).
+    Members past the static capacity keep the mesh force (the same
+    loud-truncation semantics as pmx.exact_accel); single-chip only
+    (shard-local slices would miss cross-shard member pairs)."""
     from . import pm2 as _pm2
 
     if cfg.auto_box:
         raise ValueError("persistent sorted mode needs a static box")
+    if cfgx is not None:
+        from . import pmx as _pmx
+        if psum_axis is not None:
+            raise NotImplementedError(
+                "pmx on the persistent order is single-chip (ops/pmx.py)")
+        _pmx._validate(cfg, levels, cfgx)
     levels = _pm2._validate_levels(cfg, levels)
     k_lv = len(levels)
     geom = _geom(cfg.grid)
@@ -1128,6 +1144,45 @@ def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
         acc = acc + jax.lax.cond(fits, _fine_spans, _fine_sorted, None)
         eps_outer = float(c2.softening)
 
+    if cfgx is not None:
+        # window-exact correction on the contiguous innermost class: one
+        # dynamic slice replaces ops/pmx.py's flag sort + scatter-back
+        from . import pairwise_pallas as _pw
+        from . import pmx as _pmx
+
+        B = min(cfgx.capacity, n)
+        b = jnp.clip(st.fine_b[k_lv - 1], 0, jnp.int32(n - B))
+        buf = jax.lax.dynamic_slice(st.pos, (jnp.int32(0), b), (3, B))
+        ids_buf = jax.lax.dynamic_slice(st.ids, (b,), (B,))
+        live_buf = ids_buf < n_active
+        # exact window nested inside the innermost mesh window (the
+        # same origin chain pmx_accel uses, order-invariant)
+        lv_live = (_pm2._in_window(st.pos, wmins[-1],
+                                   levels[-1].window_size,
+                                   levels[-1].margin) & live)
+        wminx = _pm2.window_min(st.pos, None, cfgx, st.masses,
+                                live=lv_live)
+        wminx = jnp.clip(
+            wminx, wmins[-1] + jnp.float32(levels[-1].margin),
+            wmins[-1] + jnp.float32(levels[-1].window_size
+                                    - levels[-1].margin
+                                    - cfgx.window_size))
+        w_buf = (_pm2._in_window(buf, wminx, cfgx.window_size,
+                                 cfgx.margin) & live_buf
+                 ).astype(jnp.float32)
+        m_buf = w_buf
+        if st.masses is not None:
+            m_buf = m_buf * jax.lax.dynamic_slice(st.masses, (b,), (B,))
+        a_x = _pw.pairwise_accel(buf.T, buf, B, 1.0, cfgx.softening,
+                                 masses=m_buf, interpret=interpret)
+        a_p = _pw.pairwise_accel(buf.T, buf, B, 1.0, eps_outer,
+                                 masses=m_buf, interpret=interpret)
+        corr = (a_x - a_p).T * w_buf[None]
+        acc = jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(acc, (jnp.int32(0), b),
+                                       (3, B)) + corr,
+            (jnp.int32(0), b))
+
     acc = _momentum_clean_live(acc, live.astype(jnp.float32), st.masses,
                                psum_axis=psum_axis)
     return st, g_const * acc
@@ -1136,18 +1191,25 @@ def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
 def step_sorted(st: SortedPMState, param_vec: jax.Array,
                 pair_vec: jax.Array, n_active, cfg: "P.PMConfig", *,
                 interpret: bool = False, chunk: int = 0,
-                psum_axis=None, cfg2=None, kernels=None) -> SortedPMState:
+                psum_axis=None, cfg2=None, kernels=None,
+                cfgx=None) -> SortedPMState:
     """One frame on the persistent state: PM self-gravity (repairing the
     order when needed; two-level with a single ``cfg2``, MULTI-level
-    with a tuple of them — accel_sorted_multi) + the reference
+    with a tuple of them — accel_sorted_multi, optionally terminated by
+    the window-exact ``cfgx`` correction) + the reference
     kick/step contract (physics.kick_and_step_planes), all in slot
     order."""
     if isinstance(cfg2, tuple):
         st, acc = accel_sorted_multi(st, pair_vec[0], cfg, cfg2,
                                      n_active=n_active,
                                      interpret=interpret, chunk=chunk,
-                                     psum_axis=psum_axis, kernels=kernels)
+                                     psum_axis=psum_axis, kernels=kernels,
+                                     cfgx=cfgx)
     else:
+        if cfgx is not None:
+            raise ValueError("cfgx (window-exact forces) rides the "
+                             "multi-level class order — pass a TUPLE "
+                             "cfg2 (pm_persist.accel_sorted_multi)")
         st, acc = accel_sorted(st, pair_vec[0], cfg, n_active=n_active,
                                interpret=interpret, chunk=chunk,
                                psum_axis=psum_axis, cfg2=cfg2,
@@ -1159,14 +1221,14 @@ def step_sorted(st: SortedPMState, param_vec: jax.Array,
     return st._replace(pos=pos.reshape(3, -1), vel=vel.reshape(3, -1))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "interpret", "chunk", "cfg2"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "chunk",
+                                             "cfg2", "cfgx"))
 def step_sorted_jit(st, param_vec, pair_vec, n_active, cfg,
                     interpret: bool = False, chunk: int = 0,
-                    cfg2=None, kernels=None):
+                    cfg2=None, kernels=None, cfgx=None):
     return step_sorted(st, param_vec, pair_vec, n_active, cfg,
                        interpret=interpret, chunk=chunk, cfg2=cfg2,
-                       kernels=kernels)
+                       kernels=kernels, cfgx=cfgx)
 
 
 def unsort(st: SortedPMState, arrays) -> tuple:

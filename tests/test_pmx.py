@@ -187,7 +187,8 @@ def test_engine_and_checkpoint(tmp_path):
 
     with pytest.raises(ValueError, match="pm="):
         Engine(particle_count=1024, method=Method.JNP, pmx=CFGX)
-    with pytest.raises(ValueError, match="per-frame"):
+    with pytest.raises(ValueError, match="MULTI-level"):
+        # pmx + persist needs the multi-level class order (pm2 tuple)
         Engine(particle_count=1024, method=Method.JNP, pm=CFG, pmx=CFGX,
                pm_persist=True)
 
@@ -200,3 +201,54 @@ def test_cli_pmx(tmp_path):
                "--pmx-size", "8", "--pmx-softening", "0.2",
                "--pmx-capacity", "1024", "--stats-every", "0"])
     assert rc == 0
+
+
+@pytest.mark.slow
+def test_persist_multilevel_with_pmx():
+    """The full flagship composition: multi-level PM on the persistent
+    k+1-class order TERMINATED by the window-exact correction
+    (accel_sorted_multi cfgx — the contiguous innermost class makes the
+    member buffer one dynamic slice). Must track the per-frame
+    pmx path (engine-level, 2 steps) and reject non-multi configs."""
+    import particle_sim_tpu as psim
+    from particle_sim_tpu.core.params import Method
+    from particle_sim_tpu.engine import Engine
+
+    L1 = pm2.PM2Config(window_min=None, window_size=24.0, softening=0.8)
+    L2 = pm2.PM2Config(window_min=None, window_size=8.0, softening=0.4)
+    cfgx = pmx.PMXConfig(window_size=4.0, softening=EPS_X, capacity=2048)
+    pos_np, _, _ = _scene(7, n_core=1400, n_halo=1000)
+    pv = psim.SimParams(delta_time=0.008, gravity=0.0)
+    kw = dict(method=Method.PALLAS, pm=CFG, interpret=True,
+              pm2=(L1, L2), pmx=cfgx)
+
+    def seed_engine(**ekw):
+        e = Engine(particle_count=pos_np.shape[0], **ekw)
+        st = psim.ParticleState.from_arrays(
+            pos_np, np.zeros_like(pos_np), np.full_like(pos_np, 0.5),
+            capacity=e.capacity)
+        e.state = st
+        return e
+
+    e_per = seed_engine(pm_persist=True, **kw)
+    e_ref = seed_engine(**kw)                 # per-frame pmx path
+    assert e_ref.pm_persist is False
+    for _ in range(2):
+        e_per.step(pv)
+        e_ref.step(pv)
+    assert e_per._persist is not None
+    np.testing.assert_allclose(e_per.state.positions(),
+                               e_ref.state.positions(), rtol=0, atol=5e-3)
+    # guard against a vacuous pass: the exact window must actually have
+    # corrected something (positions differ from a mesh-only engine)
+    e_mesh = seed_engine(method=Method.PALLAS, pm=CFG, interpret=True,
+                         pm2=(L1, L2))
+    for _ in range(2):
+        e_mesh.step(pv)
+    assert np.abs(e_per.state.positions()
+                  - e_mesh.state.positions()).max() > 1e-4
+
+    # persist + pmx without a multi-level stack is rejected loudly
+    with pytest.raises(ValueError, match="MULTI-level"):
+        Engine(particle_count=1024, method=Method.JNP, pm=CFG,
+               pmx=cfgx, pm_persist=True)
