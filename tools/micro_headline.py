@@ -1,7 +1,9 @@
 """Marginal-chip headline sampler: per-launch readbacks, fresh
 buffers, progressive JSON - survives tunnel states where
 bench.py's launch bursts wedge (see tools/tpu_watch.py)."""
-import json, time
+import json, os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # python adds the SCRIPT dir, not cwd
 import numpy as np, jax, jax.numpy as jnp
 import particle_sim_tpu as psim
 from particle_sim_tpu.ops import step_pallas
