@@ -14,6 +14,7 @@ from particle_sim_tpu.engine import Engine
 CFG = PMConfig(softening=4.0)
 
 
+@pytest.mark.slow
 def test_engine_pm_collapses_cloud():
     e = Engine(particle_count=4096, method=Method.JNP,
                generation_mode=psim.SphereGeneration.FILLED,
@@ -69,6 +70,7 @@ def test_mesh_pm_matches_single_device():
     np.testing.assert_allclose(active(v_mesh), active(v_ref), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_engine_mesh_pm_steps():
     from particle_sim_tpu.parallel import mesh as mesh_lib
 

@@ -42,6 +42,7 @@ def _scene(seed=0, n_core=1200, n_halo=1600):
 CFGX = pmx.PMXConfig(window_size=8.0, softening=EPS_X, capacity=2048)
 
 
+@pytest.mark.slow
 def test_exact_inside_window_beats_mesh():
     """Core pairs feel the exact EPS_X force: rms vs the direct sum at
     EPS_X collapses from the mesh's smoothing error to the mesh's own
@@ -126,6 +127,7 @@ def test_momentum_antisymmetric():
     assert np.abs(c.sum(axis=1)).max() < 1e-3 * typical * n ** 0.5
 
 
+@pytest.mark.slow
 def test_composes_with_pm2_stack():
     """pmx nests inside the innermost pm2 level; inside the exact
     window the stack tracks the direct sum at EPS_X better than the
@@ -193,6 +195,7 @@ def test_engine_and_checkpoint(tmp_path):
                pm_persist=True)
 
 
+@pytest.mark.slow
 def test_cli_pmx(tmp_path):
     """--pmx-size implies --pm and runs end-to-end."""
     from particle_sim_tpu.app.cli import main

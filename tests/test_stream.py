@@ -344,6 +344,7 @@ class TestSolverEvents:
         import numpy as np
         assert np.isfinite(engine.state.positions()).all()
 
+    @pytest.mark.slow
     def test_solver_event_pm2_stack(self):
         """pm2_sizes/pm2_softenings on a solver event install / swap /
         clear the refinement stack at runtime (round-4 live multi-level
