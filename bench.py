@@ -774,6 +774,17 @@ def main() -> None:
         lg = _load_lastgood()
         if lg:
             detail["fallback_last_good"] = lg
+        # the resident samplers (tools/resident_sampler.py) measure
+        # through tunnel states this process can't survive — attach
+        # their records so a failed bench still carries the round's
+        # real numbers
+        here = os.path.dirname(os.path.abspath(__file__))
+        for name in ("MICRO_HEADLINE.json", "MICRO_PM16.json"):
+            try:
+                with open(os.path.join(here, name)) as f:
+                    detail[name.rsplit(".", 1)[0].lower()] = json.load(f)
+            except Exception:
+                pass
         _emit({"metric": METRIC, "value": 0.0,
                "unit": "particle-steps/s/chip", "vs_baseline": 0.0,
                "detail": detail})
