@@ -778,11 +778,13 @@ def main() -> None:
         # through tunnel states this process can't survive — attach
         # their records so a failed bench still carries the round's
         # real numbers
+        import glob
         here = os.path.dirname(os.path.abspath(__file__))
-        for name in ("MICRO_HEADLINE.json", "MICRO_PM16.json"):
+        for path in sorted(glob.glob(os.path.join(here, "MICRO_*.json"))):
             try:
-                with open(os.path.join(here, name)) as f:
-                    detail[name.rsplit(".", 1)[0].lower()] = json.load(f)
+                with open(path) as f:
+                    key = os.path.basename(path).rsplit(".", 1)[0].lower()
+                    detail[key] = json.load(f)
             except Exception:
                 pass
         _emit({"metric": METRIC, "value": 0.0,
