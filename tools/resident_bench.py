@@ -1,0 +1,208 @@
+"""Resident multi-leg bench for a flapping tunnel.
+
+The control plane (process attach, remote compile) flaps on a minutes
+timescale while an ATTACHED process keeps getting execution windows
+(observed 2026-08-21: the resident headline sampler landed a clean
+sample every ~5 min for hours while fresh bench.py processes died at
+their first compile). This process attaches ONCE, then opportunistically
+compiles each bench leg when a compile window allows and samples every
+compiled leg on a loop, appending to MICRO_BENCH.json — a bench that
+accumulates through tunnel weather. Every device call runs in a
+timeout-bracketed daemon thread; a leg is retired after 3 stranded
+threads (each strand pins its buffers).
+
+    nohup python tools/resident_bench.py > /tmp/resident_bench.log 2>&1 &
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "MICRO_BENCH.json")
+PERIOD_S = 240
+COMPILE_TIMEOUT_S = 900
+SAMPLE_TIMEOUT_S = 240
+MAX_STRANDS = 3
+
+
+def main() -> None:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import particle_sim_tpu as psim
+    from particle_sim_tpu.core.params import PMConfig, PairwiseParams
+    from particle_sim_tpu.ops import (pairwise_pallas, pm_pallas,
+                                      pm_persist, step_pallas)
+    from particle_sim_tpu.render import raster, raster_sorted
+
+    # shared inputs ------------------------------------------------------
+    pos1, vel1, col1 = psim.generate.generate(
+        1_000_000, psim.SphereGeneration.HOLLOW)
+    st1 = psim.ParticleState.from_arrays(pos1, vel1, col1)
+    cap1 = st1.capacity
+    pv = jnp.asarray(psim.SimParams(
+        gravity=1.0, is_mouse_dragging=True, mouse_position=(0., 0., 48.),
+        mouse_force=50.0, mouse_radius=25.0).pack())
+    cfg1 = PMConfig(softening=2.0)
+    n16 = 16 * 1024 * 1024
+    cfg16 = PMConfig(softening=2.0)
+    box = {}
+
+    def headline():
+        def timed(k):
+            p, v = jnp.array(st1.pos), jnp.array(st1.vel)
+            o = step_pallas.step_n_jit(p, v, pv, k)
+            float(np.asarray(o[0].ravel()[1]))
+            p, v = jnp.array(st1.pos), jnp.array(st1.vel)
+            t0 = time.perf_counter()
+            o = step_pallas.step_n_jit(p, v, pv, k)
+            float(np.asarray(o[0].ravel()[1]))
+            return time.perf_counter() - t0
+        dt = (timed(1008) - timed(8)) / 1000.0
+        return dt * 1e3 if dt > 1e-6 else None   # ms per step
+
+    pm1_pos = jax.random.uniform(jax.random.PRNGKey(0), (3, 1_048_576),
+                                 jnp.float32, -45.0, 45.0)
+    pm1_fn = jax.jit(lambda q: pm_pallas.pm_accel(
+        q, jnp.int32(1_048_576), jnp.float32(1.0), cfg1))
+
+    def pm_1m():
+        a = pm1_fn(pm1_pos)
+        float(np.asarray(a.ravel()[1]))
+        t0 = time.perf_counter()
+        for _ in range(4):
+            a = pm1_fn(pm1_pos)
+        float(np.asarray(a.ravel()[1]))
+        dt = (time.perf_counter() - t0) / 4.0
+        return dt * 1e3 if dt > 1e-4 else None
+
+    def all_pairs_65k():
+        ppos = jax.random.uniform(jax.random.PRNGKey(1), (65536, 3),
+                                  jnp.float32, -45.0, 45.0)
+        p3n = ppos.T
+        fn = jax.jit(lambda a, b: pairwise_pallas.pairwise_accel(
+            a, b, 65536, 1.0, 2.0))
+        o = fn(ppos, p3n)
+        float(np.asarray(o.ravel()[1]))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            o = fn(ppos, p3n)
+        float(np.asarray(o.ravel()[1]))
+        dt = (time.perf_counter() - t0) / 3.0
+        return dt * 1e3 if dt > 1e-4 else None
+
+    vp = jnp.asarray(__import__(
+        "particle_sim_tpu.render.camera",
+        fromlist=["Camera"]).Camera(aspect=1920 / 1080).view_proj())
+
+    def raster_1m():
+        fb = raster_sorted.render_jit(
+            jnp.array(st1.pos), jnp.array(st1.vel),
+            jnp.array(st1.init_color), pv, vp, jnp.int32(cap1),
+            width=1920, height=1080)
+        float(np.asarray(fb.ravel()[1]))
+        t0 = time.perf_counter()
+        for _ in range(4):
+            fb = raster_sorted.render_jit(
+                jnp.array(st1.pos), jnp.array(st1.vel),
+                jnp.array(st1.init_color), pv, vp, jnp.int32(cap1),
+                width=1920, height=1080)
+        float(np.asarray(fb.ravel()[1]))
+        dt = (time.perf_counter() - t0) / 4.0
+        return dt * 1e3 if dt > 1e-4 else None
+
+    def pm16_steady():
+        if "pm16_state" not in box:
+            pos16 = jax.random.uniform(jax.random.PRNGKey(0), (3, n16),
+                                       jnp.float32, -45.0, 45.0)
+            box["pm16_state"] = pm_persist.init_sorted(
+                pos16, jnp.int32(n16), cfg16)
+            del pos16
+
+        @jax.jit
+        def steady(s, k):
+            def body(_, c):
+                s2, a = pm_persist.accel_sorted(c[0], jnp.float32(1.0),
+                                                cfg16)
+                return (s2, c[1] + a.sum())
+            return jax.lax.fori_loop(0, k, body, (s, jnp.float32(0.0)))
+
+        s, tot = steady(box["pm16_state"], 1)
+        float(np.asarray(tot))
+        box["pm16_state"] = s
+        t0 = time.perf_counter()
+        s, tot = steady(s, 1)
+        float(np.asarray(tot))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s, tot = steady(s, 3)
+        float(np.asarray(tot))
+        box["pm16_state"] = s
+        dt = (time.perf_counter() - t0 - t1) / 2.0
+        return dt * 1e3 if dt > 1e-4 else None
+
+    legs = [
+        ("headline_1m_ms_per_step", headline),
+        ("pm_self_gravity_1m_frame_ms", pm_1m),
+        ("all_pairs_65k_frame_ms", all_pairs_65k),
+        ("raster_1m_1080p_ms", raster_1m),
+        ("pm_persistent_16m_steady_ms", pm16_steady),
+    ]
+    samples = {name: [] for name, _ in legs}
+    strands = {name: 0 for name, _ in legs}
+    compiled = set()
+
+    def flush():
+        with open(OUT, "w") as f:
+            json.dump({
+                "particles_1m": cap1,
+                "samples": {k: v for k, v in samples.items() if v},
+                "headline_rate_per_chip": (
+                    cap1 / (float(np.median(
+                        samples["headline_1m_ms_per_step"])) * 1e-3)
+                    if samples["headline_1m_ms_per_step"] else None),
+                "saved_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime()),
+            }, f, indent=1)
+
+    while True:
+        for name, fn in legs:
+            if strands[name] >= MAX_STRANDS:
+                continue
+            res = []
+
+            def call(res=res, fn=fn):
+                try:
+                    v = fn()
+                    if v is not None:
+                        res.append(v)
+                except Exception as e:  # compile window closed etc.
+                    res.append(("err", repr(e)[:120]))
+
+            th = threading.Thread(target=call, daemon=True)
+            th.start()
+            th.join(SAMPLE_TIMEOUT_S if name in compiled
+                    else COMPILE_TIMEOUT_S)
+            if th.is_alive():
+                strands[name] += 1
+                print(f"{name}: stranded ({strands[name]})", flush=True)
+                continue
+            if res and not isinstance(res[0], tuple):
+                compiled.add(name)
+                samples[name].append(round(float(res[0]), 4))
+                flush()
+                print(f"{name}: {res[0]:.4f} "
+                      f"({len(samples[name])} samples)", flush=True)
+            elif res:
+                print(f"{name}: {res[0][1]}", flush=True)
+        time.sleep(PERIOD_S)
+
+
+if __name__ == "__main__":
+    main()
