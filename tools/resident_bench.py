@@ -147,12 +147,115 @@ def main() -> None:
         dt = (time.perf_counter() - t0 - t1) / 2.0
         return dt * 1e3 if dt > 1e-4 else None
 
+    pp16 = jnp.asarray(PairwiseParams(1.0, 2.0).pack())
+    pv16 = jnp.asarray(psim.SimParams(delta_time=0.016, gravity=0.0).pack())
+
+    def pm16_dynamic():
+        """Gravity-collapse frames with the TWO-TIER repair in the loop
+        (the round-3 unmeasured claim: segment-local sort first, full
+        sort only on cross-segment migration)."""
+        if "pm16_state" not in box:
+            pos16 = jax.random.uniform(jax.random.PRNGKey(0), (3, n16),
+                                       jnp.float32, -45.0, 45.0)
+            box["pm16_state"] = pm_persist.init_sorted(
+                pos16, jnp.int32(n16), cfg16)
+            del pos16
+
+        @jax.jit
+        def dyn(s, k):
+            def body(_, c):
+                return pm_persist.step_sorted(c, pv16, pp16,
+                                              jnp.int32(n16), cfg16)
+            return jax.lax.fori_loop(0, k, body, s)
+
+        s = dyn(box["pm16_state"], 1)
+        float(np.asarray(s.pos.ravel()[1]))
+        r0 = int(s.resorts)
+        t0 = time.perf_counter()
+        s = dyn(s, 6)
+        float(np.asarray(s.pos.ravel()[1]))
+        dt = (time.perf_counter() - t0) / 6.0
+        box["pm16_state"] = s
+        box["dyn_repairs"] = f"{int(s.resorts) - r0}/6"
+        return dt * 1e3 if dt > 1e-4 else None
+
+    def pmn16_steady():
+        from particle_sim_tpu.ops import pm2 as pm2_mod
+        if "pmn16_state" not in box:
+            pos16 = jax.random.uniform(jax.random.PRNGKey(2), (3, n16),
+                                       jnp.float32, -45.0, 45.0)
+            box["pmn16_state"] = pm_persist.init_sorted_multi(
+                pos16, jnp.int32(n16), cfg16, 2)
+            del pos16
+        cfgs_n = (pm2_mod.PM2Config(window_min=None, window_size=32.0,
+                                    softening=0.5),
+                  pm2_mod.PM2Config(window_min=None, window_size=8.0,
+                                    softening=0.2))
+        ker = pm2_mod.levels_kernels(cfg16, cfgs_n)
+
+        @jax.jit
+        def steadyn(s, k, kr):
+            def body(_, c):
+                s2, a = pm_persist.accel_sorted_multi(
+                    c[0], jnp.float32(1.0), cfg16, cfgs_n, kernels=kr)
+                return (s2, c[1] + a.sum())
+            return jax.lax.fori_loop(0, k, body, (s, jnp.float32(0.0)))
+
+        s, tot = steadyn(box["pmn16_state"], 2, ker)   # migrate + settle
+        float(np.asarray(tot))
+        box["pmn16_state"] = s
+        t0 = time.perf_counter()
+        s, tot = steadyn(s, 1, ker)
+        float(np.asarray(tot))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s, tot = steadyn(s, 3, ker)
+        float(np.asarray(tot))
+        box["pmn16_state"] = s
+        dt = (time.perf_counter() - t0 - t1) / 2.0
+        return dt * 1e3 if dt > 1e-4 else None
+
+    cfg256 = PMConfig(softening=2.0, grid=256)
+
+    def g256_steady():
+        if "g256_state" not in box:
+            pos16 = jax.random.uniform(jax.random.PRNGKey(3), (3, n16),
+                                       jnp.float32, -45.0, 45.0)
+            box["g256_state"] = pm_persist.init_sorted(
+                pos16, jnp.int32(n16), cfg256)
+            del pos16
+
+        @jax.jit
+        def steady256(s, k):
+            def body(_, c):
+                s2, a = pm_persist.accel_sorted(c[0], jnp.float32(1.0),
+                                                cfg256)
+                return (s2, c[1] + a.sum())
+            return jax.lax.fori_loop(0, k, body, (s, jnp.float32(0.0)))
+
+        s, tot = steady256(box["g256_state"], 1)
+        float(np.asarray(tot))
+        box["g256_state"] = s
+        t0 = time.perf_counter()
+        s, tot = steady256(s, 1)
+        float(np.asarray(tot))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s, tot = steady256(s, 3)
+        float(np.asarray(tot))
+        box["g256_state"] = s
+        dt = (time.perf_counter() - t0 - t1) / 2.0
+        return dt * 1e3 if dt > 1e-4 else None
+
     legs = [
         ("headline_1m_ms_per_step", headline),
         ("pm_self_gravity_1m_frame_ms", pm_1m),
         ("all_pairs_65k_frame_ms", all_pairs_65k),
         ("raster_1m_1080p_ms", raster_1m),
         ("pm_persistent_16m_steady_ms", pm16_steady),
+        ("pm_persistent_16m_dynamic_ms", pm16_dynamic),
+        ("pmn_persistent_16m_steady_ms", pmn16_steady),
+        ("pm_persistent_16m_g256_steady_ms", g256_steady),
     ]
     samples = {name: [] for name, _ in legs}
     strands = {name: 0 for name, _ in legs}
@@ -163,10 +266,13 @@ def main() -> None:
             json.dump({
                 "particles_1m": cap1,
                 "samples": {k: v for k, v in samples.items() if v},
+                "medians": {k: round(float(np.median(v)), 4)
+                            for k, v in samples.items() if v},
                 "headline_rate_per_chip": (
                     cap1 / (float(np.median(
                         samples["headline_1m_ms_per_step"])) * 1e-3)
                     if samples["headline_1m_ms_per_step"] else None),
+                "dyn_repairs": box.get("dyn_repairs"),
                 "saved_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                           time.gmtime()),
             }, f, indent=1)

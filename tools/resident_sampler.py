@@ -56,8 +56,13 @@ def main() -> None:
             return time.perf_counter() - t0
 
         t8 = timed(8)
-        t108 = timed(108)
-        out_list.append(max(t108 - t8, 1e-9) / 100.0)
+        t1008 = timed(1008)
+        # 1000-step marginal: ~67 ms of device work at the r02 rate —
+        # well above the tunnel's launch/readback jitter (a 100-step
+        # marginal measured 2026-08-21 drowned in it)
+        dt = (t1008 - t8) / 1000.0
+        if dt > 1e-6:                  # drop jitter-dominated samples
+            out_list.append(dt)
 
     # phase 1: compile+validate once (retry until a compile window opens)
     while True:
