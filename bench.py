@@ -144,24 +144,45 @@ def _measure(res: dict) -> None:
         """Per-rep (t_big - t_small) marginal seconds; dispatch cancels.
         Warms up (compile + one full timed shape pass) BEFORE collecting,
         so every returned sample is clean — round-2 reported the compile-
-        contaminated first rep inside the sample list."""
+        contaminated first rep inside the sample list.
+
+        Per-rep fault tolerance (observed 2026-08-21, twice): a
+        marginally-healthy tunnel executes SINGLE launches fine but
+        drops some launches in a burst with INVALID_ARGUMENT — which
+        used to kill the whole headline on the first dropped launch.
+        Now each rep runs from fresh input buffers, a failed rep is
+        dropped (counted in detail.headline_dropped_reps), and the
+        headline is the median of the reps that survived (>= 3)."""
         p, v = jnp.array(state.pos), jnp.array(state.vel)
         for n_steps in (small, big, small, big):  # compile + cache settle
             p, v = run(p, v, n_steps, substeps)
-        _sync((p, v))
+            _sync((p, v))   # eager: don't let a burst build up
         out = []
-        for _ in range(reps):
-            w = run(p, v, small, substeps)
-            _sync(w)
-            t0 = time.perf_counter()
-            w = run(*w, small, substeps)
-            _sync(w)
-            t_small = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            w = run(*w, big, substeps)
-            _sync(w)
-            t_big = time.perf_counter() - t0
-            out.append(max(t_big - t_small, 1e-9))
+        dropped = 0
+        attempts = 0
+        while len(out) < reps and attempts < 3 * reps:
+            attempts += 1
+            try:
+                w = run(jnp.array(state.pos), jnp.array(state.vel),
+                        small, substeps)
+                _sync(w)
+                t0 = time.perf_counter()
+                w = run(*w, small, substeps)
+                _sync(w)
+                t_small = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                w = run(*w, big, substeps)
+                _sync(w)
+                t_big = time.perf_counter() - t0
+                out.append(max(t_big - t_small, 1e-9))
+            except Exception:   # dropped launch: cool off, fresh buffers
+                dropped += 1
+                time.sleep(3.0)
+        detail["headline_dropped_reps"] = dropped
+        if len(out) < 3:
+            raise RuntimeError(
+                f"only {len(out)} clean headline reps out of "
+                f"{attempts} attempts ({dropped} dropped)")
         return out
 
     # -- headline: interactive marginal cost per kernel launch ------------

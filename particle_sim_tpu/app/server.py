@@ -278,42 +278,109 @@ class StreamServer:
                 g = float(ev.get("g", 1.0))
                 eps = float(ev.get("softening", 2.0))
                 if name in ("pm", "pm_persist"):
-                    self.engine.pm = PMConfig(
-                        softening=eps,
-                        auto_box=bool(ev.get("auto_box", False)))
-                    self.engine.pairwise = PairwiseParams(g, eps)
-                    # runtime toggle: _persist_eligible() re-validates
-                    # (auto_box silently falls back to per-frame sorting)
-                    self.engine.pm_persist = name == "pm_persist"
-                    # optional refinement stack: parallel size/softening
-                    # lists, outermost first ([] clears it). Invalid
-                    # stacks (bad nesting, auto_box) keep the old one.
-                    if "pm2_sizes" in ev:
-                        from ..ops.pm2 import PM2Config
-                        try:
-                            sizes = [float(s) for s in ev["pm2_sizes"]]
-                            softs = [float(s)
-                                     for s in ev.get("pm2_softenings", [])]
-                            if len(softs) != len(sizes):
-                                raise ValueError("pm2 size/softening "
-                                                 "lists differ in length")
-                            self.engine.set_pm2(tuple(
-                                PM2Config(window_min=None, window_size=s,
-                                          softening=e)
-                                for s, e in zip(sizes, softs)))
-                        except ValueError as e:
-                            logger.warning("pm2 event rejected: %s", e)
+                    self._apply_pm_solver_event(ev, name, g, eps)
                 elif name == "direct":
                     self.engine.pm = None
+                    try:
+                        self.engine.set_pmx(None)
+                        self.engine.set_pm2(None)
+                    except ValueError:   # pm already cleared: can't fail
+                        pass
                     self.engine.pairwise = PairwiseParams(g, eps)
                 else:
                     self.engine.pm = None
+                    try:
+                        self.engine.set_pmx(None)
+                        self.engine.set_pm2(None)
+                    except ValueError:
+                        pass
                     self.engine.pairwise = None
             # every event can change what the next frame shows (pause flag,
             # reset state, camera pose in raster mode, color mode, ...) —
             # bump the version so the pack loop re-streams even while the
             # sim is paused (a paused engine stops bumping it in _sim_loop)
             self._state_version += 1
+
+    def _apply_pm_solver_event(self, ev: dict, name: str, g: float,
+                               eps: float) -> None:
+        """Validate the ENTIRE candidate solver configuration — coarse
+        PM + refinement stack + exact window — before committing ANY of
+        it (ADVICE r4: committing engine.pm first let a retained stack
+        that is invalid under the new softening crash the sim thread at
+        trace time inside engine.step; now the event is rejected loudly
+        and the running configuration is untouched)."""
+        from ..ops.pm2 import PM2Config, _validate_levels
+
+        eng = self.engine
+        new_pm = PMConfig(softening=eps,
+                          auto_box=bool(ev.get("auto_box", False)))
+        want_persist = name == "pm_persist"
+        # candidate refinement stack: from the event when present
+        # (parallel size/softening lists, outermost first; [] clears),
+        # else the retained one
+        stack = eng.pm2
+        if "pm2_sizes" in ev:
+            try:
+                sizes = [float(s) for s in ev["pm2_sizes"]]
+                softs = [float(s) for s in ev.get("pm2_softenings", [])]
+                if len(softs) != len(sizes):
+                    raise ValueError(
+                        "pm2 size/softening lists differ in length")
+                cand = tuple(PM2Config(window_min=None, window_size=s,
+                                       softening=e)
+                             for s, e in zip(sizes, softs))
+                stack = (None if not cand
+                         else cand[0] if len(cand) == 1 else cand)
+            except (TypeError, ValueError) as e:
+                logger.warning("pm2 event rejected: %s (keeping the "
+                               "old stack)", e)
+        # candidate exact window: pmx_size <= 0 clears it; absent fields
+        # keep the installed window
+        pmx_cfg = getattr(eng, "pmx", None)
+        if "pmx_size" in ev:
+            from ..ops.pmx import PMXConfig
+            try:
+                size = float(ev["pmx_size"])
+                pmx_cfg = None if size <= 0.0 else PMXConfig(
+                    window_size=size,
+                    softening=float(ev.get("pmx_softening", 0.1)),
+                    capacity=int(ev.get("pmx_capacity", 65536)))
+            except (TypeError, ValueError) as e:
+                logger.warning("pmx event rejected: %s (keeping the "
+                               "old window)", e)
+        levels = (stack if isinstance(stack, tuple)
+                  else (stack,) if stack is not None else ())
+        try:
+            if levels:
+                _validate_levels(new_pm, levels)
+            if eng.mesh is not None and stack is not None \
+                    and not want_persist:
+                raise ValueError("multi-chip pm2 requires pm_persist")
+            if pmx_cfg is not None:
+                from ..ops import pmx as pmx_mod
+                if want_persist and not (isinstance(stack, tuple)
+                                         and len(stack) > 1):
+                    raise ValueError(
+                        "pmx + pm_persist needs a MULTI-level pm2 "
+                        "stack (tuple)")
+                if eng.mesh is not None and not isinstance(stack, tuple):
+                    raise ValueError("multi-chip pmx needs a "
+                                     "MULTI-level pm2 stack")
+                pmx_mod._validate(new_pm, levels, pmx_cfg)
+        except ValueError as e:
+            logger.warning("solver event rejected: %s (keeping the "
+                           "current solver stack)", e)
+            return
+        # commit — pm first so set_pm2/set_pmx re-validate against the
+        # new coarse config; window cleared around the stack swap so the
+        # engine-side cross-checks never see a mixed old/new state
+        eng.pm = new_pm
+        eng.pairwise = PairwiseParams(g, eps)
+        eng.pm_persist = want_persist
+        eng.set_pmx(None)
+        eng.set_pm2(stack)
+        if pmx_cfg is not None:
+            eng.set_pmx(pmx_cfg)
 
     # -- frame production -----------------------------------------------------
     def _build_frame(self) -> bytes:
@@ -486,6 +553,14 @@ class StreamServer:
                         self.engine.pm2)],
                     "pm2_softenings": [c.softening for c in _pm2_list(
                         self.engine.pm2)],
+                    # exact window (0 = none) so the panel's pmx inputs
+                    # reflect server state too
+                    "pmx_size": (self.engine.pmx.window_size
+                                 if getattr(self.engine, "pmx", None)
+                                 else 0),
+                    "pmx_softening": (self.engine.pmx.softening
+                                      if getattr(self.engine, "pmx", None)
+                                      else 0),
                     # current wire mode + raster size so the viewer's
                     # Wire-format select reflects a --view-mode raster
                     # server instead of defaulting to planar (ADVICE r2)

@@ -192,17 +192,27 @@ class Engine:
                                      "(parallel/pm_persist_dp.py is the "
                                      "sharded refinement path)")
         if pmx is not None:
-            # window-EXACT short-range forces (ops/pmx.py): single-chip,
-            # composing with the pm2 stack — per-frame, or on the
-            # persistent MULTI-level order (pm2 tuple + pm_persist=True,
-            # where the contiguous innermost class makes the member
-            # buffer one dynamic slice — accel_sorted_multi cfgx)
+            # window-EXACT short-range forces (ops/pmx.py): composing
+            # with the pm2 stack — per-frame, or on the persistent
+            # MULTI-level order (pm2 tuple + pm_persist=True, where the
+            # contiguous innermost class makes the member buffer one
+            # dynamic slice — accel_sorted_multi cfgx). Multi-chip rides
+            # the SAME order: each shard contributes capacity/n_dev
+            # slots of its innermost class to one all_gather'd global
+            # member buffer (parallel/pm_persist_dp.py cfgx).
             if pm is None:
                 raise ValueError("pmx requires the PM solver (pm=...)")
             if mesh is not None:
-                raise ValueError("pmx is single-chip (shard-local "
-                                 "compaction would miss cross-shard "
-                                 "member pairs)")
+                if not (isinstance(pm2, tuple) and pm_persist is True):
+                    raise ValueError(
+                        "multi-chip pmx rides the persistent MULTI-"
+                        "level class order — pass a tuple pm2 (which "
+                        "resolves pm_persist=True on a mesh)")
+                n_dev = int(mesh.devices.size)
+                if pmx.capacity % (512 * n_dev):
+                    raise ValueError(
+                        f"pmx capacity {pmx.capacity} must be a "
+                        f"multiple of 512 * {n_dev} mesh devices")
             if pm_persist is True and not (isinstance(pm2, (tuple, list))
                                            and len(pm2) > 1):
                 raise ValueError(
@@ -212,6 +222,10 @@ class Engine:
             if pm_persist == "auto":
                 pm_persist = False
         self.pmx = pmx
+        self._pmx_members = None       # (n_members, n_corrected) device
+        self._pmx_check_at = 0         # next frame index to fetch them
+        self._pmx_overflowing = False  # warn once per overflow episode
+        self._frame_index = 0
         self.pm2 = pm2
         self.pm_persist = pm_persist
         self._persist = None          # SortedPMState / dp carry, lazy
@@ -346,10 +360,14 @@ class Engine:
 
             def fn(pos, vel, pv, pp, n):
                 for _ in range(substeps):
-                    pos, vel = pmx_mod.step_pmx_jit(
+                    pos, vel, n_m = pmx_mod.step_pmx_jit(
                         pos, vel, pv, pp, n, cfg, levels, cfgx,
                         use_fast=use_fast, interpret=interpret,
                         masses=self._masses_for_capacity(), kernels=kers)
+                # device scalars, fetched lazily (pmx_member_count /
+                # the periodic truncation check) — never a sync here
+                self._pmx_members = (n_m, jnp.minimum(
+                    n_m, jnp.int32(cfgx.capacity)))
                 return pos, vel
 
             self._jit_cache[key] = fn
@@ -548,8 +566,9 @@ class Engine:
                        if isinstance(cfg2, tuple)
                        else (pm2_mod.fine_kernels(cfg, cfg2),))
             n_levels = len(cfg2) if isinstance(cfg2, tuple) else 0
+            cfgx = getattr(self, "pmx", None)
             key = ("persist_dp", cfg, cfg2, masses is not None,
-                   self.substeps, interpret)
+                   self.substeps, interpret, cfgx)
             fns = self._jit_cache.get(key)
             if fns is None:
                 fns = (pm_persist_dp.make_persist_init(
@@ -558,7 +577,7 @@ class Engine:
                        pm_persist_dp.make_persist_pm_step(
                            self.mesh, cfg, interpret=interpret,
                            with_masses=masses is not None, with_col=True,
-                           cfg2=cfg2))
+                           cfg2=cfg2, cfgx=cfgx))
                 self._jit_cache[key] = fns
             init, pstep = fns
             if self._persist is None:
@@ -573,7 +592,13 @@ class Engine:
                 # col24); the step takes masses/col24 AFTER (pv, pairv,
                 # n_active) and the (replicated) fine kernels last
                 c = self._persist
-                self._persist = pstep(*c[:5], pv, pp, n_act, *c[5:], *ker)
+                out = pstep(*c[:5], pv, pp, n_act, *c[5:], *ker)
+                if cfgx is not None:
+                    counts = out[-1]
+                    self._persist = out[:-1]
+                    self._pmx_members = (counts[0], counts[1])
+                else:
+                    self._persist = out
         else:
             cfg2 = self.pm2
             if self._persist is None:
@@ -595,11 +620,17 @@ class Engine:
                 ker = (pm2_mod.levels_kernels(cfg, cfg2)
                        if isinstance(cfg2, tuple)
                        else pm2_mod.fine_kernels(cfg, cfg2))
+            cfgx = getattr(self, "pmx", None)
             for _ in range(self.substeps):
-                self._persist = pper.step_sorted_jit(
+                out = pper.step_sorted_jit(
                     self._persist, pv, pp, n_act, cfg,
                     interpret=interpret, cfg2=cfg2, kernels=ker,
-                    cfgx=getattr(self, "pmx", None))
+                    cfgx=cfgx)
+                if cfgx is not None:
+                    self._persist, counts = out
+                    self._pmx_members = (counts[0], counts[1])
+                else:
+                    self._persist = out
         self._identity_dirty = True
 
     def ensure_identity_order(self) -> None:
@@ -653,6 +684,26 @@ class Engine:
                                        init_color=self.state.init_color,
                                        n_active=self.state.n_active)
         self.stats.record_update(time.perf_counter() - t0)
+        self._frame_index += 1
+        if (self._pmx_members is not None
+                and self._frame_index >= self._pmx_check_at):
+            # loud truncation (ADVICE r4): members beyond the compact
+            # budget silently keep the mesh-only force, so poll the
+            # device counters every ~2 s of frames and log the episode.
+            # The 2-scalar fetch syncs an already-completed step — the
+            # async dispatch pipeline only stalls 1/120 frames.
+            self._pmx_check_at = self._frame_index + 120
+            n_mem, n_corr = (int(np.asarray(c))
+                             for c in self._pmx_members)
+            if n_mem > n_corr and not self._pmx_overflowing:
+                self._pmx_overflowing = True
+                logger.warning(
+                    "pmx window overflow: %d members, only %d inside "
+                    "the capacity-%d exact buffer — the rest keep the "
+                    "mesh-only force (grow pmx capacity or shrink the "
+                    "window)", n_mem, n_corr, self.pmx.capacity)
+            elif n_mem <= n_corr:
+                self._pmx_overflowing = False
         if self.debug_checks:
             from ..utils.debug import validate_state
             if self._identity_dirty:
@@ -744,7 +795,12 @@ class Engine:
         """Swap the refinement stack at runtime (server 'solver' events):
         same normalization/validation as the constructor; the persistent
         carry is rebuilt on the next step (a tuple stack needs the
-        k+1-class boundary vector, a single config the scalar one)."""
+        k+1-class boundary vector, a single config the scalar one).
+
+        Every invalid combination raises HERE, at the call site — never
+        at trace time inside the frame loop (ADVICE r4: a single-level
+        stack used to skip _validate_levels, and a swap incompatible
+        with an installed ``pmx`` deferred its error to engine.step())."""
         if pm2 is not None and self.pm is None:
             raise ValueError("pm2 requires a PM solver (pm=...)")
         if isinstance(pm2, (tuple, list)):
@@ -753,17 +809,73 @@ class Engine:
                 pm2 = pm2[0]
             elif len(pm2) == 0:
                 pm2 = None
-        if pm2 is not None and isinstance(pm2, tuple):
+        if pm2 is not None:
             from ..ops import pm2 as pm2_mod
-            pm2_mod._validate_levels(self.pm, pm2)
+            # single configs get the same nesting/softening checks as
+            # tuples (the difference split needs eps < coarse eps)
+            pm2_mod._validate_levels(
+                self.pm, pm2 if isinstance(pm2, tuple) else (pm2,))
         if self.mesh is not None and pm2 is not None \
                 and self.pm_persist is not True:
             raise ValueError("multi-chip pm2 requires pm_persist")
+        if getattr(self, "pmx", None) is not None:
+            # an installed exact window constrains the stack: persistent
+            # mode needs the multi-level class order, and the window
+            # must nest (softening/extent) inside the new innermost level
+            from ..ops import pmx as pmx_mod
+            if self.pm_persist is True and not (isinstance(pm2, tuple)
+                                                and len(pm2) > 1):
+                raise ValueError(
+                    "pmx + pm_persist needs a MULTI-level pm2 stack "
+                    "(tuple) — the exact window rides the innermost "
+                    "class of the k+1-class persistent order")
+            levels = (pm2 if isinstance(pm2, tuple)
+                      else (pm2,) if pm2 is not None else ())
+            pmx_mod._validate(self.pm, levels, self.pmx)
         if pm2 == self.pm2:
             return
         self.ensure_identity_order()
         self._persist = None
         self.pm2 = pm2
+
+    def set_pmx(self, pmx) -> None:
+        """Install / replace / clear the window-exact correction at
+        runtime (server 'solver' events — the live-panel counterpart of
+        the ``--pmx-size`` CLI flag). Validates the full combination at
+        the call site, like set_pm2. The persistent carry is KEPT: the
+        class order depends only on the pm2 stack, and the exact window
+        rides it read-only (a new cfgx just compiles a new step)."""
+        if pmx is not None:
+            from ..ops import pmx as pmx_mod
+            if self.pm is None:
+                raise ValueError("pmx requires the PM solver (pm=...)")
+            if self.mesh is not None:
+                # mesh path needs the multi-level persistent order (the
+                # gathered-window slice rides the innermost class)
+                if not (isinstance(self.pm2, tuple)
+                        and self.pm_persist is True):
+                    raise ValueError(
+                        "multi-chip pmx needs a MULTI-level pm2 stack "
+                        "(tuple) + pm_persist")
+                n_dev = int(self.mesh.devices.size)
+                if pmx.capacity % (512 * n_dev):
+                    raise ValueError(
+                        f"pmx capacity {pmx.capacity} must be a "
+                        f"multiple of 512 * {n_dev} mesh devices")
+            if self.pm_persist is True and not (
+                    isinstance(self.pm2, tuple) and len(self.pm2) > 1):
+                raise ValueError(
+                    "pmx + pm_persist needs a MULTI-level pm2 stack "
+                    "(tuple) — the exact window rides the innermost "
+                    "class of the k+1-class persistent order")
+            levels = (self.pm2 if isinstance(self.pm2, tuple)
+                      else (self.pm2,) if self.pm2 is not None else ())
+            pmx_mod._validate(self.pm, levels, pmx)
+        if pmx == getattr(self, "pmx", None):
+            return
+        self.pmx = pmx
+        self._pmx_members = None   # stale count from the old window
+        self._pmx_overflowing = False
 
     def set_method(self, method: Method) -> None:
         """Hot-swap backend: fresh state, count+pause preserved
@@ -779,6 +891,16 @@ class Engine:
         self.paused = was_paused
 
     # -- diagnostics -----------------------------------------------------------
+    def pmx_member_count(self):
+        """(n_members, n_corrected) of the newest pmx frame, or None
+        before the first step. n_corrected < n_members means the exact
+        window overflowed its capacity (overflow keeps the mesh force —
+        step() logs the episode; this is the on-demand readout for
+        stats/UI surfaces). Fetches two device scalars."""
+        if self._pmx_members is None:
+            return None
+        return tuple(int(np.asarray(c)) for c in self._pmx_members)
+
     def diagnostics(self, potential: bool = False):
         """Physics observables (ops/diagnostics.py): kinetic energy,
         momentum, mean radius, max speed; ``potential=True`` adds the

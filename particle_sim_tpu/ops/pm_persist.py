@@ -543,12 +543,26 @@ def budgets_multi(n_chunks: int, geom, n_classes: int) -> Tuple[int, int]:
     budget: past the clamp (deep nesting at very large N) fresh states
     can overflow their own capacity, and the per-level fits-cond then
     runs that level per-frame-sorted every frame — correct, but the
-    sort-free benefit degrades; see accel_sorted_multi."""
+    sort-free benefit degrades; see accel_sorted_multi. For the COARSE
+    tables that cond fallback does not exist, so an engaged clamp is
+    worth a trace-time warning: it is the precondition for the runtime
+    overflow accel_sorted_multi reports loudly (ADVICE r4)."""
     sd, sg = _slack(geom)
-    return (min(n_classes * (2 * sd * n_chunks + 4 * geom.n_tiles) + 2,
-                _SMEM_WORDS),
-            min(n_classes * (2 * sg * n_chunks + 2 * geom.n_tiles_g) + 2,
-                _SMEM_WORDS))
+    dep_raw = n_classes * (2 * sd * n_chunks + 4 * geom.n_tiles) + 2
+    gat_raw = n_classes * (2 * sg * n_chunks + 2 * geom.n_tiles_g) + 2
+    if dep_raw > _SMEM_WORDS or gat_raw > _SMEM_WORDS:
+        import warnings
+        warnings.warn(
+            f"budgets_multi clamped to the SMEM word budget "
+            f"({_SMEM_WORDS}): {n_classes}-class order at {n_chunks} "
+            "chunks wants "
+            f"dep={dep_raw}/gat={gat_raw}. Fine levels fall back to "
+            "per-frame sorting when they overflow, but a COARSE "
+            "overflow (deep nesting at very large N) cannot be "
+            "repaired — accel_sorted_multi will report it loudly if it "
+            "occurs. Prefer fewer levels or a larger chunk.",
+            stacklevel=2)
+    return min(dep_raw, _SMEM_WORDS), min(gat_raw, _SMEM_WORDS)
 
 
 def _seg_spans_multi(key: jax.Array, chunk: int, bounds: jax.Array,
@@ -666,6 +680,7 @@ def _momentum_clean_live(acc, live_f, masses, psum_axis=None):
 def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
                  n_active=None, interpret: bool = False, chunk: int = 0,
                  psum_axis=None, cfg2=None, kernels=None,
+                 two_tier: bool = True,
                  _force_fine_fallback: bool = False
                  ) -> Tuple[SortedPMState, jax.Array]:
     """(state', acc f32[3, N]) — PM acceleration in the state's slot
@@ -785,7 +800,11 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
                              s.resorts + 1, fb, s.col24)
         return (s2,) + _derive(s2, s2.ids < n_active)
 
-    seg = pick_segment(n, chunk) if cfg2 is None else 0
+    # ``two_tier=False`` forces every repair straight to the full sort —
+    # the measurement control for the tier-1 claim (same scene, same
+    # budgets, only the repair strategy differs; tools/resident_bench.py
+    # runs the A/B)
+    seg = pick_segment(n, chunk) if (cfg2 is None and two_tier) else 0
     if seg:
         # two-tier repair (the dynamic-scene amortization): tier 1 is a
         # SEGMENT-LOCAL grouping sort — ~4x cheaper than the global one
@@ -950,7 +969,7 @@ def init_sorted_multi(pos_flat: jax.Array, n_active, cfg: "P.PMConfig",
 def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
                        levels, *, n_active=None, interpret: bool = False,
                        chunk: int = 0, psum_axis=None, kernels=None,
-                       cfgx=None,
+                       cfgx=None, pmx_shards: int = 1,
                        _force_fine_fallback: bool = False
                        ) -> Tuple[SortedPMState, jax.Array]:
     """(state', acc) — MULTI-level PM acceleration on the persistent
@@ -974,8 +993,19 @@ def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
     member buffer is one dynamic slice at fine_b[-1] (no flag sort, no
     scatter-back; ops/pmx.py pays one N-sort each way per frame).
     Members past the static capacity keep the mesh force (the same
-    loud-truncation semantics as pmx.exact_accel); single-chip only
-    (shard-local slices would miss cross-shard member pairs)."""
+    loud-truncation semantics as pmx.exact_accel); with ``cfgx`` the
+    return gains a third element, i32[2] ``(n_members, n_corrected)``,
+    so the engine can warn when the two differ.
+
+    Multi-chip pmx (``psum_axis`` + static ``pmx_shards`` = the dp mesh
+    size): each shard slices capacity/n_shards slots of ITS innermost
+    class, the slices are all_gather'd (<= 0.8 MB of ICI traffic at the
+    default capacity — trivial next to the grid psum), and every shard
+    runs the rectangular pair kernel with its own members as receivers
+    and the GLOBAL gathered buffer as sources — so cross-shard member
+    pairs are seen by both ends with identical positions/masses, and
+    the correction stays antisymmetric (momentum-exact). The counts are
+    psum'd (global semantics everywhere)."""
     from . import pm2 as _pm2
 
     if cfg.auto_box:
@@ -983,8 +1013,16 @@ def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
     if cfgx is not None:
         from . import pmx as _pmx
         if psum_axis is not None:
-            raise NotImplementedError(
-                "pmx on the persistent order is single-chip (ops/pmx.py)")
+            if pmx_shards < 2:
+                raise ValueError(
+                    "multi-chip pmx needs the static shard count "
+                    "(pmx_shards = the dp mesh size) for the gathered "
+                    "member buffer's per-shard slice")
+            if cfgx.capacity % (512 * pmx_shards):
+                raise ValueError(
+                    f"pmx capacity {cfgx.capacity} must be a multiple "
+                    f"of 512 * {pmx_shards} shards for the gathered "
+                    "buffer's slice/tile alignment")
         _pmx._validate(cfg, levels, cfgx)
     levels = _pm2._validate_levels(cfg, levels)
     k_lv = len(levels)
@@ -1051,6 +1089,21 @@ def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
 
     st, key, frac, dep_total, gat_total, fine = jax.lax.cond(
         need, _repair, lambda s: (s, key0, frac0, dep0, gat0, fine0), st)
+
+    # the COARSE tables have no per-frame-sorted fallback (unlike each
+    # fine level's fits-cond), so post-REPAIR totals above the clamped
+    # budget — reachable only when budgets_multi hit the SMEM clamp —
+    # would silently drop chunk visits via the jnp.minimum below. Report
+    # it loudly every frame it occurs (ADVICE r4); the budgets_multi
+    # trace-time warning names the fix (fewer levels / larger chunk).
+    jax.lax.cond(
+        (dep_total > c_max_dep) | (gat_total > c_max_gat),
+        lambda d, g: jax.debug.print(
+            "pm_persist: POST-REPAIR coarse totals overflow the clamped "
+            "SMEM budget (deposit {d}/" + str(c_max_dep) + ", gather "
+            "{g}/" + str(c_max_gat) + ") — coarse forces are WRONG this "
+            "frame; reduce nesting depth or grid resolution", d=d, g=g),
+        lambda d, g: None, dep_total, gat_total)
 
     live = st.ids < n_active
     rmin, rmax = _chunk_spans(key, chunk, geom)
@@ -1150,18 +1203,21 @@ def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
         from . import pairwise_pallas as _pw
         from . import pmx as _pmx
 
-        B = min(cfgx.capacity, n)
-        b = jnp.clip(st.fine_b[k_lv - 1], 0, jnp.int32(n - B))
-        buf = jax.lax.dynamic_slice(st.pos, (jnp.int32(0), b), (3, B))
-        ids_buf = jax.lax.dynamic_slice(st.ids, (b,), (B,))
+        n_sh = pmx_shards if psum_axis is not None else 1
+        B = min(cfgx.capacity, n * n_sh)     # global member budget
+        B_s = B // n_sh                      # this shard's slice
+        b = jnp.clip(st.fine_b[k_lv - 1], 0, jnp.int32(n - B_s))
+        buf = jax.lax.dynamic_slice(st.pos, (jnp.int32(0), b), (3, B_s))
+        ids_buf = jax.lax.dynamic_slice(st.ids, (b,), (B_s,))
         live_buf = ids_buf < n_active
         # exact window nested inside the innermost mesh window (the
-        # same origin chain pmx_accel uses, order-invariant)
+        # same origin chain pmx_accel uses, order-invariant; its
+        # centroid is GLOBAL under psum_axis, so every shard agrees)
         lv_live = (_pm2._in_window(st.pos, wmins[-1],
                                    levels[-1].window_size,
                                    levels[-1].margin) & live)
         wminx = _pm2.window_min(st.pos, None, cfgx, st.masses,
-                                live=lv_live)
+                                live=lv_live, psum_axis=psum_axis)
         wminx = jnp.clip(
             wminx, wmins[-1] + jnp.float32(levels[-1].margin),
             wmins[-1] + jnp.float32(levels[-1].window_size
@@ -1172,19 +1228,43 @@ def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
                  ).astype(jnp.float32)
         m_buf = w_buf
         if st.masses is not None:
-            m_buf = m_buf * jax.lax.dynamic_slice(st.masses, (b,), (B,))
-        a_x = _pw.pairwise_accel(buf.T, buf, B, 1.0, cfgx.softening,
-                                 masses=m_buf, interpret=interpret)
-        a_p = _pw.pairwise_accel(buf.T, buf, B, 1.0, eps_outer,
-                                 masses=m_buf, interpret=interpret)
+            m_buf = m_buf * jax.lax.dynamic_slice(st.masses, (b,), (B_s,))
+        if psum_axis is not None:
+            # global member buffer: every shard sees every member with
+            # identical positions/masses -> antisymmetric cross-shard
+            # pairs. [n_sh, 3, B_s] -> [3, B]; zero-mass columns (w=0)
+            # contribute nothing, so slice padding is harmless.
+            src = jax.lax.all_gather(buf, psum_axis).transpose(
+                1, 0, 2).reshape(3, B)
+            m_src = jax.lax.all_gather(m_buf, psum_axis).reshape(B)
+        else:
+            src, m_src = buf, m_buf
+        a_x = _pw.pairwise_accel(buf.T, src, B, 1.0, cfgx.softening,
+                                 masses=m_src, interpret=interpret)
+        a_p = _pw.pairwise_accel(buf.T, src, B, 1.0, eps_outer,
+                                 masses=m_src, interpret=interpret)
         corr = (a_x - a_p).T * w_buf[None]
         acc = jax.lax.dynamic_update_slice(
             acc, jax.lax.dynamic_slice(acc, (jnp.int32(0), b),
-                                       (3, B)) + corr,
+                                       (3, B_s)) + corr,
             (jnp.int32(0), b))
+        # truncation accounting (ADVICE r4): members OUTSIDE the slice
+        # (innermost class bigger than the capacity, or window members
+        # that migrated out of the class between repairs) silently keep
+        # the mesh-only force — count them so the engine can warn
+        n_members = jnp.sum(
+            _pm2._in_window(st.pos, wminx, cfgx.window_size, cfgx.margin)
+            & live).astype(jnp.int32)
+        n_corr = jnp.sum(w_buf).astype(jnp.int32)
+        if psum_axis is not None:
+            n_members = jax.lax.psum(n_members, psum_axis)
+            n_corr = jax.lax.psum(n_corr, psum_axis)
+        pmx_counts = jnp.stack([n_members, n_corr])
 
     acc = _momentum_clean_live(acc, live.astype(jnp.float32), st.masses,
                                psum_axis=psum_axis)
+    if cfgx is not None:
+        return st, g_const * acc, pmx_counts
     return st, g_const * acc
 
 
@@ -1192,19 +1272,27 @@ def step_sorted(st: SortedPMState, param_vec: jax.Array,
                 pair_vec: jax.Array, n_active, cfg: "P.PMConfig", *,
                 interpret: bool = False, chunk: int = 0,
                 psum_axis=None, cfg2=None, kernels=None,
-                cfgx=None) -> SortedPMState:
+                cfgx=None, pmx_shards: int = 1,
+                two_tier: bool = True) -> SortedPMState:
     """One frame on the persistent state: PM self-gravity (repairing the
     order when needed; two-level with a single ``cfg2``, MULTI-level
     with a tuple of them — accel_sorted_multi, optionally terminated by
     the window-exact ``cfgx`` correction) + the reference
     kick/step contract (physics.kick_and_step_planes), all in slot
-    order."""
+    order. ``two_tier=False`` forces full-sort-only repairs (the
+    measurement control — see accel_sorted). With ``cfgx`` the return
+    is ``(state', pmx_counts)`` — see accel_sorted_multi."""
+    pmx_counts = None
     if isinstance(cfg2, tuple):
-        st, acc = accel_sorted_multi(st, pair_vec[0], cfg, cfg2,
-                                     n_active=n_active,
-                                     interpret=interpret, chunk=chunk,
-                                     psum_axis=psum_axis, kernels=kernels,
-                                     cfgx=cfgx)
+        out = accel_sorted_multi(st, pair_vec[0], cfg, cfg2,
+                                 n_active=n_active,
+                                 interpret=interpret, chunk=chunk,
+                                 psum_axis=psum_axis, kernels=kernels,
+                                 cfgx=cfgx, pmx_shards=pmx_shards)
+        if cfgx is not None:
+            st, acc, pmx_counts = out
+        else:
+            st, acc = out
     else:
         if cfgx is not None:
             raise ValueError("cfgx (window-exact forces) rides the "
@@ -1213,22 +1301,26 @@ def step_sorted(st: SortedPMState, param_vec: jax.Array,
         st, acc = accel_sorted(st, pair_vec[0], cfg, n_active=n_active,
                                interpret=interpret, chunk=chunk,
                                psum_axis=psum_axis, cfg2=cfg2,
-                               kernels=kernels)
+                               kernels=kernels, two_tier=two_tier)
     shape = (3, st.pos.shape[1] // LANE, LANE)
     pos, vel = physics.kick_and_step_planes(
         st.pos.reshape(shape), st.vel.reshape(shape),
         acc.reshape(shape), param_vec)
-    return st._replace(pos=pos.reshape(3, -1), vel=vel.reshape(3, -1))
+    st = st._replace(pos=pos.reshape(3, -1), vel=vel.reshape(3, -1))
+    if cfgx is not None:
+        return st, pmx_counts
+    return st
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "chunk",
-                                             "cfg2", "cfgx"))
+                                             "cfg2", "cfgx", "two_tier"))
 def step_sorted_jit(st, param_vec, pair_vec, n_active, cfg,
                     interpret: bool = False, chunk: int = 0,
-                    cfg2=None, kernels=None, cfgx=None):
+                    cfg2=None, kernels=None, cfgx=None,
+                    two_tier: bool = True):
     return step_sorted(st, param_vec, pair_vec, n_active, cfg,
                        interpret=interpret, chunk=chunk, cfg2=cfg2,
-                       kernels=kernels, cfgx=cfgx)
+                       kernels=kernels, cfgx=cfgx, two_tier=two_tier)
 
 
 def unsort(st: SortedPMState, arrays) -> tuple:

@@ -241,16 +241,19 @@ def _fast_ok(cfg: "P.PMConfig") -> bool:
 def step_pmx(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
              pair_vec: jax.Array, n_active, cfg: "P.PMConfig", levels,
              cfgx: PMXConfig, *, masses=None, kernels=None,
-             use_fast: bool = True,
-             interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+             use_fast: bool = True, interpret: bool = False
+             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One frame: mesh stack + window-exact correction + the reference
-    kick/step contract — same plane contract as pm_pallas.step_pm."""
+    kick/step contract — same plane contract as pm_pallas.step_pm, plus
+    the window member count as a third output so the engine can surface
+    capacity truncation (ADVICE r4: a count nobody reads isn't loud)."""
     flat = pos.reshape(3, -1)
-    acc, _ = pmx_accel(flat, n_active, pair_vec[0], cfg, levels, cfgx,
-                       masses=masses, kernels=kernels, use_fast=use_fast,
-                       interpret=interpret)
-    return physics.kick_and_step_planes(pos, vel, acc.reshape(pos.shape),
-                                        param_vec)
+    acc, n_m = pmx_accel(flat, n_active, pair_vec[0], cfg, levels, cfgx,
+                         masses=masses, kernels=kernels, use_fast=use_fast,
+                         interpret=interpret)
+    pos2, vel2 = physics.kick_and_step_planes(
+        pos, vel, acc.reshape(pos.shape), param_vec)
+    return pos2, vel2, n_m
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -76,10 +76,10 @@ def make_persist_init(mesh: Mesh, cfg: "Pm.PMConfig", *,
 def make_persist_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *,
                          interpret: bool = False, chunk: int = 0,
                          with_masses: bool = False, with_col: bool = False,
-                         cfg2=None):
+                         cfg2=None, cfgx=None):
     """Jitted (pos, vel, ids, resorts, fine_b, param_vec, pair_vec,
     n_active[, masses][, col24][, kernels]) -> (pos, vel, ids, resorts,
-    fine_b[, masses][, col24]): one
+    fine_b[, masses][, col24][, pmx_counts]): one
     persistent-PM frame over the dp mesh. Arrays as in
     make_persist_init; n_active is the GLOBAL active count (ids are
     global, so ``ids < n_active`` masks correctly on every shard with no
@@ -90,7 +90,16 @@ def make_persist_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *,
     trailing ``kernels`` argument (replicated). A TUPLE ``cfg2`` runs
     the MULTI-level k+1-class order (pm_persist.accel_sorted_multi;
     fine_b is then i32[n_dev, k]) with pm2.levels_kernels as
-    ``kernels``."""
+    ``kernels``. ``cfgx`` (a pmx.PMXConfig; needs a tuple ``cfg2``)
+    terminates the stack with the window-exact correction — each shard
+    contributes capacity/n_dev slots of its innermost class to one
+    all_gather'd global member buffer (accel_sorted_multi docstring);
+    the output gains a replicated i32[2] (n_members, n_corrected)."""
+    if cfgx is not None and not isinstance(cfg2, tuple):
+        raise ValueError("multi-chip pmx rides the MULTI-level class "
+                         "order — pass a tuple cfg2")
+    n_dev = int(mesh.devices.size)
+
     def local(pos, vel, ids, resorts, fine_b, pv, pairv, n_active,
               *rest):
         masses = rest[0] if with_masses else None
@@ -98,23 +107,27 @@ def make_persist_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *,
         kernels = rest[-1] if cfg2 is not None else None
         st = pm_persist.SortedPMState(pos, vel, ids, masses, resorts[0],
                                       fine_b[0], col24)
-        st = pm_persist.step_sorted(st, pv, pairv, n_active, cfg,
-                                    interpret=interpret, chunk=chunk,
-                                    psum_axis=DP_AXIS, cfg2=cfg2,
-                                    kernels=kernels)
-        out = (st.pos, st.vel, st.ids, st.resorts[None], st.fine_b[None])
-        out += (st.masses,) if masses is not None else ()
-        return out + ((st.col24,) if col24 is not None else ())
+        out = pm_persist.step_sorted(st, pv, pairv, n_active, cfg,
+                                     interpret=interpret, chunk=chunk,
+                                     psum_axis=DP_AXIS, cfg2=cfg2,
+                                     kernels=kernels, cfgx=cfgx,
+                                     pmx_shards=n_dev)
+        st, counts = out if cfgx is not None else (out, None)
+        res = (st.pos, st.vel, st.ids, st.resorts[None], st.fine_b[None])
+        res += (st.masses,) if masses is not None else ()
+        res += (st.col24,) if col24 is not None else ()
+        return res + ((counts,) if cfgx is not None else ())
 
     extra = ((P(DP_AXIS),) if with_masses else ()) + (
         (P(DP_AXIS),) if with_col else ())
     ker_in = (P(),) if cfg2 is not None else ()
+    counts_out = (P(),) if cfgx is not None else ()
     sharded = shard_map(
         local, mesh=mesh,
         in_specs=(_flat_spec(), _flat_spec(), P(DP_AXIS), P(DP_AXIS),
                   P(DP_AXIS), P(), P(), P()) + extra + ker_in,
         out_specs=(_flat_spec(), _flat_spec(), P(DP_AXIS), P(DP_AXIS),
-                   P(DP_AXIS)) + extra,
+                   P(DP_AXIS)) + extra + counts_out,
         check_vma=False,  # Pallas kernel bodies (see parallel/dp.py)
     )
     return jax.jit(sharded, donate_argnums=(0, 1))

@@ -195,6 +195,225 @@ def test_engine_and_checkpoint(tmp_path):
                pm_persist=True)
 
 
+def test_set_pm2_and_set_pmx_validate_at_call_site():
+    """ADVICE r4: single-level stacks get the same validation as tuples,
+    and a stack swap incompatible with the installed pmx window raises
+    in set_pm2 — never at trace time inside engine.step()."""
+    from particle_sim_tpu.core.params import Method
+    from particle_sim_tpu.engine import Engine
+
+    e = Engine(particle_count=1500, method=Method.JNP, pm=CFG, pmx=CFGX)
+    # single-level stack with softening >= coarse: rejected eagerly
+    with pytest.raises(ValueError, match="softening"):
+        e.set_pm2(pm2.PM2Config(window_min=None, window_size=24.0,
+                                softening=5.0))
+    # a level the 8-unit exact window cannot nest inside: rejected
+    with pytest.raises(ValueError, match="nest"):
+        e.set_pm2(pm2.PM2Config(window_min=None, window_size=6.0,
+                                softening=0.8))
+    # valid stack applies (and the pmx cross-check passes)
+    L = pm2.PM2Config(window_min=None, window_size=24.0, softening=0.8)
+    e.set_pm2(L)
+    assert e.pm2 == L
+    # pmx softening must stay below the innermost mesh softening
+    with pytest.raises(ValueError, match="innermost"):
+        e.set_pmx(pmx.PMXConfig(window_size=8.0, softening=1.0))
+    assert e.pmx == CFGX          # rejected swap keeps the old window
+    e.set_pmx(None)
+    assert e.pmx is None
+
+    # persist mode: dropping below a multi-level stack while pmx rides
+    # the class order is rejected at the call site (ADVICE r4 item 4)
+    L2 = pm2.PM2Config(window_min=None, window_size=8.0, softening=0.4)
+    cfgx = pmx.PMXConfig(window_size=4.0, softening=EPS_X, capacity=1024)
+    ep = Engine(particle_count=1024, method=Method.JNP, pm=CFG,
+                pm2=(L, L2), pmx=cfgx, pm_persist=True)
+    with pytest.raises(ValueError, match="MULTI-level"):
+        ep.set_pm2(L)
+    with pytest.raises(ValueError, match="MULTI-level"):
+        ep.set_pm2(None)
+    assert ep.pm2 == (L, L2)
+
+
+def test_truncation_overflow_is_warned(caplog):
+    """ADVICE r4: an overflowing exact window must LOG, not silently
+    degrade — the engine polls the device counters and warns once per
+    episode; pmx_member_count() is the on-demand readout."""
+    import logging
+
+    import particle_sim_tpu as psim
+    from particle_sim_tpu.core.params import Method
+    from particle_sim_tpu.engine import Engine
+
+    pos_np, _, _ = _scene(2)
+    small = pmx.PMXConfig(window_size=8.0, softening=EPS_X, capacity=512,
+                          window_min=tuple(CORE - 4.0))
+    e = Engine(particle_count=pos_np.shape[0], method=Method.JNP,
+               pm=CFG, pmx=small)
+    e.state = psim.ParticleState.from_arrays(
+        pos_np, np.zeros_like(pos_np), np.full_like(pos_np, 0.5),
+        capacity=e.capacity)
+    pv = psim.SimParams(delta_time=0.004, gravity=0.0)
+    with caplog.at_level(logging.WARNING,
+                         logger="particle_sim_tpu.engine.engine"):
+        e.step(pv)
+    n_mem, n_corr = e.pmx_member_count()
+    assert n_mem > 512 >= n_corr      # genuinely overflowing
+    assert any("pmx window overflow" in r.message for r in caplog.records)
+    # steady overflow: no repeat warning within the episode
+    caplog.clear()
+    e._pmx_check_at = 0
+    with caplog.at_level(logging.WARNING,
+                         logger="particle_sim_tpu.engine.engine"):
+        e.step(pv)
+    assert not any("pmx window overflow" in r.message
+                   for r in caplog.records)
+
+
+def test_persist_pmx_steady_frame_has_no_sort():
+    """VERDICT r4 item 3 'done' criterion: on the persistent multi-level
+    order the window-exact member buffer is ONE dynamic slice of the
+    contiguous innermost class — the traced frame contains ZERO sort
+    primitives outside the repair conds (ops/pmx.py's per-frame path
+    pays a flag sort + un-sort every frame; this path pays none)."""
+    import jax
+
+    import particle_sim_tpu as psim
+    from particle_sim_tpu.core.params import PairwiseParams
+    from particle_sim_tpu.ops import pm_persist
+
+    L1 = pm2.PM2Config(window_min=None, window_size=24.0, softening=0.8)
+    L2 = pm2.PM2Config(window_min=None, window_size=8.0, softening=0.4)
+    cfgx = pmx.PMXConfig(window_size=4.0, softening=EPS_X, capacity=512)
+    _, pos, n_act = _scene(8)
+    st = pm_persist.init_sorted_multi(pos, n_act, CFG, 2)
+    pv = jnp.asarray(psim.SimParams(delta_time=0.008).pack())
+    pp = jnp.asarray(PairwiseParams(1.0, CFG.softening).pack())
+    ker = pm2.levels_kernels(CFG, (L1, L2))
+
+    def frame(s, k):
+        return pm_persist.step_sorted(s, pv, pp, n_act, CFG,
+                                      interpret=True, cfg2=(L1, L2),
+                                      kernels=k, cfgx=cfgx)
+
+    jaxpr = jax.make_jaxpr(frame)(st, ker)
+
+    def _subjaxprs(v):
+        # duck-typed: ClosedJaxpr has .jaxpr, Jaxpr has .eqns (keeps
+        # the walker working across jax.core/jax.extend.core moves)
+        if hasattr(v, "jaxpr"):
+            yield v.jaxpr
+        elif hasattr(v, "eqns"):
+            yield v
+        elif isinstance(v, (tuple, list)):
+            for x in v:
+                yield from _subjaxprs(x)
+
+    found = []
+
+    def walk(jx, in_cond):
+        for eqn in jx.eqns:
+            is_cond = eqn.primitive.name == "cond"
+            if eqn.primitive.name == "sort" and not in_cond:
+                found.append(eqn)
+            for val in eqn.params.values():
+                for sub in _subjaxprs(val):
+                    walk(sub, in_cond or is_cond)
+
+    walk(jaxpr.jaxpr, False)
+    assert not found, f"steady-state sorts found: {found}"
+    # sanity: the repair path (inside conds) still sorts — the check
+    # above must not be vacuous
+    alls = []
+
+    def walk_all(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "sort":
+                alls.append(eqn)
+            for val in eqn.params.values():
+                for sub in _subjaxprs(val):
+                    walk_all(sub)
+
+    walk_all(jaxpr.jaxpr)
+    assert alls, "expected repair-cond sorts in the traced frame"
+
+
+@pytest.mark.slow
+def test_pmx_mesh_matches_single_device():
+    """VERDICT r4 item 2: multi-chip pmx — each shard contributes
+    capacity/n_dev slots of its innermost class to one all_gather'd
+    member buffer; the sharded flagship composition (persistent
+    multi-level + exact window) must match the single-device step in
+    identity order, and the psum'd counts must agree."""
+    import jax
+
+    import particle_sim_tpu as psim
+    from particle_sim_tpu.core.params import PairwiseParams
+    from particle_sim_tpu.ops import pm_persist
+    from particle_sim_tpu.parallel import mesh as mesh_lib, pm_persist_dp
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device (virtual) platform")
+    mesh = mesh_lib.make_mesh()
+    n_dev = int(mesh.devices.size)
+
+    # dense core + halo so the nested windows and the exact window all
+    # have members; N a multiple of 512 * n_dev
+    n = 512 * n_dev
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    r = np.where(np.arange(n) % 3 == 0,
+                 1.5 * rng.random(n) ** (1 / 3),
+                 40.0 * rng.random(n) ** (1 / 3)).astype(np.float32)
+    pos = jnp.asarray((x * r[:, None] + np.where(
+        np.arange(n)[:, None] % 3 == 0, CORE, 0.0)).T.astype(np.float32))
+    vel = jnp.zeros_like(pos)
+    n_act = jnp.int32(n)
+
+    L1 = pm2.PM2Config(window_min=None, window_size=24.0, softening=0.8)
+    L2 = pm2.PM2Config(window_min=None, window_size=8.0, softening=0.4)
+    cfgx = pmx.PMXConfig(window_size=4.0, softening=EPS_X,
+                         capacity=512 * n_dev)
+    ker = pm2.levels_kernels(CFG, (L1, L2))
+    pv = jnp.asarray(psim.SimParams(delta_time=0.008).pack())
+    pp = jnp.asarray(PairwiseParams(1.0, CFG.softening).pack())
+
+    init = pm_persist_dp.make_persist_init(mesh, CFG, n_levels=2)
+    carry = init(pos, vel, n_act)
+    step = pm_persist_dp.make_persist_pm_step(mesh, CFG, interpret=True,
+                                              cfg2=(L1, L2), cfgx=cfgx)
+    out = step(*carry, pv, pp, n_act, ker)
+    sp, sv, ids, _, _, counts = out
+    assert counts.shape == (2,)
+
+    st = pm_persist.init_sorted_multi(pos, n_act, CFG, 2)
+    st1, counts1 = pm_persist.step_sorted(
+        st, pv, pp, n_act, CFG, interpret=True, cfg2=(L1, L2),
+        kernels=ker, cfgx=cfgx)
+
+    def ident(ids_, arr):
+        out_ = np.zeros_like(arr)
+        out_[..., np.asarray(ids_)] = arr
+        return out_
+
+    v_dp = ident(ids, np.asarray(sv))
+    v_1 = ident(np.asarray(st1.ids), np.asarray(st1.vel))
+    scale = np.abs(v_1).max() + 1e-12
+    np.testing.assert_allclose(ident(ids, np.asarray(sp)),
+                               ident(np.asarray(st1.ids),
+                                     np.asarray(st1.pos)),
+                               rtol=0, atol=1e-2)
+    np.testing.assert_allclose(v_dp, v_1, rtol=0,
+                               atol=max(0.02 * scale, 2e-3))
+    # counts: same global window, psum'd member totals ~ the
+    # single-device ones (float centroid rounding may move a boundary
+    # particle)
+    c_dp, c_1 = np.asarray(counts), np.asarray(counts1)
+    assert c_1[0] > 0 and abs(int(c_dp[0]) - int(c_1[0])) <= 2
+    assert abs(int(c_dp[1]) - int(c_1[1])) <= 2
+
+
 @pytest.mark.slow
 def test_cli_pmx(tmp_path):
     """--pmx-size implies --pm and runs end-to-end."""

@@ -383,6 +383,90 @@ class TestSolverEvents:
         engine.step(SimParams(delta_time=0.016))
         assert np.isfinite(engine.state.positions()).all()
 
+    def test_solver_event_validates_whole_config(self):
+        """ADVICE r4 (medium): a solver event whose NEW coarse softening
+        is incompatible with the RETAINED refinement stack must be
+        rejected as a whole at event time — the old handler committed
+        engine.pm first, then engine.step() raised inside the sim
+        thread, killing the stream."""
+        import numpy as np
+        from particle_sim_tpu.app.server import StreamServer
+        from particle_sim_tpu.core.params import Method
+
+        engine = Engine(particle_count=1500, method=Method.JNP)
+        srv = StreamServer(engine, port=0)
+        srv.handle_event({"type": "solver", "name": "pm", "g": 0.5,
+                          "softening": 3.0, "pm2_sizes": [24.0],
+                          "pm2_softenings": [0.6]})
+        assert engine.pm.softening == 3.0
+        assert engine.pm2 is not None and engine.pm2.softening == 0.6
+        # new coarse softening below the retained stack's: whole event
+        # rejected, nothing committed
+        srv.handle_event({"type": "solver", "name": "pm", "g": 0.9,
+                          "softening": 0.5})
+        assert engine.pm.softening == 3.0
+        assert engine.pairwise.gravitational_constant == 0.5
+        engine.step(SimParams(delta_time=0.016))   # still healthy
+        assert np.isfinite(engine.state.positions()).all()
+
+    def test_solver_event_pmx_live(self):
+        """VERDICT r4 item 5: the window-exact correction is runtime-
+        switchable through the same validate-then-apply event path as
+        the pm2 stack; invalid windows are rejected loudly keeping the
+        old one; pmx_size <= 0 clears it."""
+        import numpy as np
+        from particle_sim_tpu.app.server import StreamServer
+        from particle_sim_tpu.core.params import Method
+
+        engine = Engine(particle_count=1500, method=Method.JNP)
+        srv = StreamServer(engine, port=0)
+        srv.handle_event({"type": "solver", "name": "pm", "g": 0.5,
+                          "softening": 3.0, "pmx_size": 8.0,
+                          "pmx_softening": 0.15, "pmx_capacity": 512})
+        assert engine.pmx is not None
+        assert engine.pmx.window_size == 8.0
+        assert engine.pmx.capacity == 512
+        engine.step(SimParams(delta_time=0.008, gravity=0.0))
+        assert np.isfinite(engine.state.positions()).all()
+        # invalid: exact softening above the mesh's — rejected, window
+        # kept
+        srv.handle_event({"type": "solver", "name": "pm", "g": 0.5,
+                          "softening": 3.0, "pmx_size": 8.0,
+                          "pmx_softening": 5.0})
+        assert engine.pmx.softening == 0.15
+        # absent pmx fields: the installed window is retained and
+        # re-validated against the new coarse config
+        srv.handle_event({"type": "solver", "name": "pm", "g": 0.5,
+                          "softening": 2.0})
+        assert engine.pmx is not None and engine.pm.softening == 2.0
+        # pmx_size 0 clears it
+        srv.handle_event({"type": "solver", "name": "pm", "g": 0.5,
+                          "softening": 2.0, "pmx_size": 0})
+        assert engine.pmx is None
+        engine.step(SimParams(delta_time=0.008, gravity=0.0))
+        assert np.isfinite(engine.state.positions()).all()
+
+    def test_solver_event_pmx_reflected_in_header(self, server):
+        """The live-panel round trip: a pmx solver event carries a seq;
+        the first frame stepped after it reflects that seq in the wire
+        header, and the engine is running the exact window by then."""
+        s = ws_connect("127.0.0.1", server.port)
+        ws_recv_binary(s)
+        # ws_send_text only does short frames (<126 B): keep it terse
+        ws_send_text(s, {"type": "solver", "name": "pm", "pmx_size": 8,
+                         "pmx_softening": 0.15, "seq": 91})
+        deadline = time.time() + 20
+        rseq = 0
+        while time.time() < deadline:
+            _, frame = ws_recv_binary(s)
+            rseq = struct.unpack("<I", frame[28:32])[0]
+            if rseq >= 91:
+                break
+        assert rseq >= 91
+        assert server.engine.pmx is not None
+        assert server.engine.pmx.window_size == 8.0
+        s.close()
+
     def test_bad_params_event_fails_fast_not_later(self):
         """Malformed client params must raise AT EVENT TIME (where the
         reader thread catches it), never poison stored params and crash

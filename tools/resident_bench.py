@@ -176,7 +176,189 @@ def main() -> None:
         float(np.asarray(s.pos.ravel()[1]))
         dt = (time.perf_counter() - t0) / 6.0
         box["pm16_state"] = s
-        box["dyn_repairs"] = f"{int(s.resorts) - r0}/6"
+        box.setdefault("dyn_repairs", []).append(
+            f"{int(s.resorts) - r0}/6")
+        return dt * 1e3 if dt > 1e-4 else None
+
+    def pm16_dynamic_full():
+        """A/B control for the two-tier repair claim: the SAME evolving
+        collapse scene (shared pm16_state), but every repair goes
+        straight to the full N-slot sort (two_tier=False). Comparing
+        this leg's median against pm16_dynamic's — sampled alternately
+        in one process, so tunnel weather cancels — prices tier 1; the
+        resorts deltas (passes/frame) say whether tier 1 ever suffices
+        on collapse drift (two-tier counts BOTH tiers when both fire)."""
+        if "pm16_state" not in box:
+            pos16 = jax.random.uniform(jax.random.PRNGKey(0), (3, n16),
+                                       jnp.float32, -45.0, 45.0)
+            box["pm16_state"] = pm_persist.init_sorted(
+                pos16, jnp.int32(n16), cfg16)
+            del pos16
+
+        @jax.jit
+        def dyn_full(s, k):
+            def body(_, c):
+                return pm_persist.step_sorted(c, pv16, pp16,
+                                              jnp.int32(n16), cfg16,
+                                              two_tier=False)
+            return jax.lax.fori_loop(0, k, body, s)
+
+        s = dyn_full(box["pm16_state"], 1)
+        float(np.asarray(s.pos.ravel()[1]))
+        r0 = int(s.resorts)
+        t0 = time.perf_counter()
+        s = dyn_full(s, 6)
+        float(np.asarray(s.pos.ravel()[1]))
+        dt = (time.perf_counter() - t0) / 6.0
+        box["pm16_state"] = s
+        box.setdefault("dyn_full_repairs", []).append(
+            f"{int(s.resorts) - r0}/6")
+        return dt * 1e3 if dt > 1e-4 else None
+
+    def raster16():
+        """End-to-end 16M 1080p frame through render/raster_compact.py —
+        the engine's default renderer above 200k capacity, unmeasured
+        for two rounds (VERDICT r4 weak 2a). Renders from the persistent
+        planes (spatially coherent order — the compaction's design
+        case); display color synthesized from position on device, as the
+        viewer's position palette does."""
+        if "pm16_state" not in box:
+            pos16 = jax.random.uniform(jax.random.PRNGKey(0), (3, n16),
+                                       jnp.float32, -45.0, 45.0)
+            box["pm16_state"] = pm_persist.init_sorted(
+                pos16, jnp.int32(n16), cfg16)
+            del pos16
+        from particle_sim_tpu.render import raster_compact as rc
+
+        @jax.jit
+        def frames(s, k):
+            col = jnp.clip(s.pos / 90.0 + 0.5, 0.0, 1.0)
+            def body(_, acc):
+                fb = rc.render(s.pos + acc * 1e-20, s.vel, col, pv16,
+                               vp, jnp.int32(n16),
+                               width=1920, height=1080)
+                return acc + fb[0, 0, 0]
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+        float(np.asarray(frames(box["pm16_state"], 1)))
+        t0 = time.perf_counter()
+        float(np.asarray(frames(box["pm16_state"], 1)))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(np.asarray(frames(box["pm16_state"], 4)))
+        dt = (time.perf_counter() - t0 - t1) / 3.0
+        return dt * 1e3 if dt > 1e-4 else None
+
+    def stream_pack16():
+        """16M device shade/pack (raster.pack_points from the persistent
+        planes) — the wire-mode-1 per-frame device cost (VERDICT r4 weak
+        2b). Host interleave is the separate leg below."""
+        if "pm16_state" not in box:
+            pos16 = jax.random.uniform(jax.random.PRNGKey(0), (3, n16),
+                                       jnp.float32, -45.0, 45.0)
+            box["pm16_state"] = pm_persist.init_sorted(
+                pos16, jnp.int32(n16), cfg16)
+            del pos16
+        s = box["pm16_state"]
+        col = jnp.clip(s.pos / 90.0 + 0.5, 0.0, 1.0)
+        p, c = raster.pack_points_jit(s.pos, s.vel, col, pv16,
+                                      jnp.int32(n16))
+        float(np.asarray(c.ravel()[1]))
+        t0 = time.perf_counter()
+        for _ in range(4):
+            p, c = raster.pack_points_jit(s.pos, s.vel, col, pv16,
+                                          jnp.int32(n16))
+        float(np.asarray(c.ravel()[1]))
+        dt = (time.perf_counter() - t0) / 4.0
+        return dt * 1e3 if dt > 1e-4 else None
+
+    def stream_pack16_host():
+        """16M host f16 interleave (io/packer.py native path) — a pure
+        host-memory-bound copy, data-independent; synthesized arrays
+        (pulling 256 MB through the tunnel would measure the tunnel)."""
+        from particle_sim_tpu.io import packer as pk
+        if "host_pack" not in box:
+            box["host_pack"] = (
+                np.random.rand(3, n16).astype(np.float32),
+                np.random.randint(0, 255, (n16, 4), dtype=np.uint8))
+        hp, hc = box["host_pack"]
+        pk.pack_f16(hp, hc)   # warm: builds/loads the native lib
+        t0 = time.perf_counter()
+        for _ in range(2):
+            buf = pk.pack_f16(hp, hc)
+        dt = (time.perf_counter() - t0) / 2.0
+        del buf
+        return dt * 1e3 if dt > 1e-4 else None
+
+    def pmx_1m():
+        """First-ever hardware number for ops/pmx.py (VERDICT r4 weak
+        2d): one full step_pmx frame at 1M — coarse PM + the 65k-capacity
+        window-exact correction (two all-pairs passes over the compact
+        buffer + the flag sort / un-sort each way). Window sized so the
+        uniform scene fills ~46k of the 65k budget."""
+        from particle_sim_tpu.ops import pmx as pmx_mod
+        if "pmx_in" not in box:
+            box["pmx_in"] = (
+                jax.random.uniform(jax.random.PRNGKey(7), (3, 1_048_576),
+                                   jnp.float32, -45.0, 45.0),
+                jnp.zeros((3, 1_048_576), jnp.float32))
+        cfgx = pmx_mod.PMXConfig(window_size=32.0, softening=0.5,
+                                 capacity=65536)
+        p0, v0 = box["pmx_in"]
+        o = pmx_mod.step_pmx_jit(p0, v0, pv16, pp16, jnp.int32(1_048_576),
+                                 cfg1, (), cfgx)
+        float(np.asarray(o[0].ravel()[1]))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            o = pmx_mod.step_pmx_jit(p0, v0, pv16, pp16,
+                                     jnp.int32(1_048_576), cfg1, (), cfgx)
+        float(np.asarray(o[0].ravel()[1]))
+        dt = (time.perf_counter() - t0) / 3.0
+        return dt * 1e3 if dt > 1e-4 else None
+
+    def pmx_pmn16_steady():
+        """The flagship composition's first number: 16M persistent
+        multi-level (2 nested windows) TERMINATED by the window-exact
+        pmx correction — on this order the exact buffer is one dynamic
+        slice of the contiguous innermost class (pm_persist.py:1147),
+        so the marginal cost over pmn16_steady prices pmx itself."""
+        from particle_sim_tpu.ops import pm2 as pm2_mod
+        from particle_sim_tpu.ops import pmx as pmx_mod
+        if "pmn16_state" not in box:
+            pos16 = jax.random.uniform(jax.random.PRNGKey(2), (3, n16),
+                                       jnp.float32, -45.0, 45.0)
+            box["pmn16_state"] = pm_persist.init_sorted_multi(
+                pos16, jnp.int32(n16), cfg16, 2)
+            del pos16
+        cfgs_n = (pm2_mod.PM2Config(window_min=None, window_size=32.0,
+                                    softening=0.5),
+                  pm2_mod.PM2Config(window_min=None, window_size=8.0,
+                                    softening=0.2))
+        ker = pm2_mod.levels_kernels(cfg16, cfgs_n)
+        cfgx = pmx_mod.PMXConfig(window_size=4.0, softening=0.1,
+                                 capacity=8192)
+
+        @jax.jit
+        def steadyx(s, k, kr):
+            def body(_, c):
+                s2, a, _ = pm_persist.accel_sorted_multi(
+                    c[0], jnp.float32(1.0), cfg16, cfgs_n, kernels=kr,
+                    cfgx=cfgx)
+                return (s2, c[1] + a.sum())
+            return jax.lax.fori_loop(0, k, body, (s, jnp.float32(0.0)))
+
+        s, tot = steadyx(box["pmn16_state"], 2, ker)   # migrate + settle
+        float(np.asarray(tot))
+        box["pmn16_state"] = s
+        t0 = time.perf_counter()
+        s, tot = steadyx(s, 1, ker)
+        float(np.asarray(tot))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s, tot = steadyx(s, 3, ker)
+        float(np.asarray(tot))
+        box["pmn16_state"] = s
+        dt = (time.perf_counter() - t0 - t1) / 2.0
         return dt * 1e3 if dt > 1e-4 else None
 
     def pmn16_steady():
@@ -253,9 +435,17 @@ def main() -> None:
         ("all_pairs_65k_frame_ms", all_pairs_65k),
         ("raster_1m_1080p_ms", raster_1m),
         ("pm_persistent_16m_steady_ms", pm16_steady),
+        # dynamic A/B: adjacent in the cycle so each pair of samples
+        # sees near-identical tunnel weather and scene state
         ("pm_persistent_16m_dynamic_ms", pm16_dynamic),
+        ("pm_persistent_16m_dynamic_fullsort_ms", pm16_dynamic_full),
         ("pmn_persistent_16m_steady_ms", pmn16_steady),
+        ("pmx_pmn_persistent_16m_steady_ms", pmx_pmn16_steady),
         ("pm_persistent_16m_g256_steady_ms", g256_steady),
+        ("raster_16m_1080p_ms", raster16),
+        ("stream_pack_16m_device_ms", stream_pack16),
+        ("stream_pack_16m_host_ms", stream_pack16_host),
+        ("pmx_1m_frame_ms", pmx_1m),
     ]
     samples = {name: [] for name, _ in legs}
     strands = {name: 0 for name, _ in legs}
@@ -273,6 +463,7 @@ def main() -> None:
                         samples["headline_1m_ms_per_step"])) * 1e-3)
                     if samples["headline_1m_ms_per_step"] else None),
                 "dyn_repairs": box.get("dyn_repairs"),
+                "dyn_full_repairs": box.get("dyn_full_repairs"),
                 "saved_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                           time.gmtime()),
             }, f, indent=1)
