@@ -544,25 +544,17 @@ def budgets_multi(n_chunks: int, geom, n_classes: int) -> Tuple[int, int]:
     can overflow their own capacity, and the per-level fits-cond then
     runs that level per-frame-sorted every frame — correct, but the
     sort-free benefit degrades; see accel_sorted_multi. For the COARSE
-    tables that cond fallback does not exist, so an engaged clamp is
-    worth a trace-time warning: it is the precondition for the runtime
-    overflow accel_sorted_multi reports loudly (ADVICE r4)."""
+    tables that cond fallback does not exist, and no static predicate
+    separates healthy clamped configs (every 16M config clamps; fresh
+    totals sit far below the clamp because small classes contribute few
+    pairs) from genuinely unfixable ones — so the overflow check is the
+    RUNTIME one: accel_sorted_multi compares post-repair totals against
+    these capacities every frame and reports loudly (ADVICE r4)."""
     sd, sg = _slack(geom)
-    dep_raw = n_classes * (2 * sd * n_chunks + 4 * geom.n_tiles) + 2
-    gat_raw = n_classes * (2 * sg * n_chunks + 2 * geom.n_tiles_g) + 2
-    if dep_raw > _SMEM_WORDS or gat_raw > _SMEM_WORDS:
-        import warnings
-        warnings.warn(
-            f"budgets_multi clamped to the SMEM word budget "
-            f"({_SMEM_WORDS}): {n_classes}-class order at {n_chunks} "
-            "chunks wants "
-            f"dep={dep_raw}/gat={gat_raw}. Fine levels fall back to "
-            "per-frame sorting when they overflow, but a COARSE "
-            "overflow (deep nesting at very large N) cannot be "
-            "repaired — accel_sorted_multi will report it loudly if it "
-            "occurs. Prefer fewer levels or a larger chunk.",
-            stacklevel=2)
-    return min(dep_raw, _SMEM_WORDS), min(gat_raw, _SMEM_WORDS)
+    return (min(n_classes * (2 * sd * n_chunks + 4 * geom.n_tiles) + 2,
+                _SMEM_WORDS),
+            min(n_classes * (2 * sg * n_chunks + 2 * geom.n_tiles_g) + 2,
+                _SMEM_WORDS))
 
 
 def _seg_spans_multi(key: jax.Array, chunk: int, bounds: jax.Array,

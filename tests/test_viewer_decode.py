@@ -182,3 +182,44 @@ def test_mirror_decode_raster_mode():
     got = _js_handle_frame(_frame(2, payload, w * h))
     assert (got["w"], got["h"]) == (w, h)
     np.testing.assert_array_equal(got["pix"].reshape(h, w, 4), fb)
+
+
+def test_raster_mode_golden_frame():
+    """VERDICT r4 item 7: the 16M interactive path's PIXELS are pinned,
+    not just its packets. A fixed scene rendered through
+    render/raster_compact.py (the engine default above 200k — the 16M
+    path), wrapped in the exact mode-2 wire layout and decoded by the
+    JS-mirror decode, must match the stored golden frame
+    (tests/data/golden_raster_256x128.npz — generated by the
+    independent XLA-scatter oracle renderer with velocity-brightness
+    shading, particle.wgsl:38-45 semantics). Tolerance: a few u8
+    levels, for accumulation-order float differences between the
+    compact segmented-sort deposit and the oracle scatter."""
+    import jax.numpy as jnp
+
+    from particle_sim_tpu.core import generate as G
+    from particle_sim_tpu.core.params import SimParams
+    from particle_sim_tpu.core.state import ParticleState
+    from particle_sim_tpu.render import raster, raster_compact
+    from particle_sim_tpu.render.camera import Camera
+
+    w, h = 256, 128
+    pos, vel, col = G.generate(3000, G.SphereGeneration.HOLLOW)
+    vel = (pos * 0.02).astype(np.float32)   # brightness = min(2|v|, 1)
+    st = ParticleState.from_arrays(pos, vel, col)
+    pv = jnp.asarray(SimParams().pack())
+    vp = jnp.asarray(Camera(aspect=w / h).view_proj())
+    fb = raster_compact.render(st.pos, st.vel, st.init_color, pv, vp,
+                               st.n_active, width=w, height=h,
+                               interpret=True)
+    rgba = np.asarray(raster.to_rgba8(fb))
+    payload = struct.pack("<II", w, h) + rgba.tobytes()
+    got = _js_handle_frame(_frame(2, payload, w * h))
+    pix = got["pix"].reshape(h, w, 4)
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), "data",
+                                  "golden_raster_256x128.npz"))["rgba"]
+    assert pix.shape == golden.shape
+    assert (golden[..., :3].sum(-1) > 0).sum() > 2000  # not vacuous
+    diff = np.abs(pix.astype(np.int16) - golden.astype(np.int16))
+    assert diff.max() <= 3, f"raster pixels drifted: max {diff.max()}"

@@ -1,14 +1,26 @@
 """Stage breakdown of a PM self-gravity frame on the attached device.
 
 Usage:  python tools/pm_profile.py [N] [boundary]
+        python tools/pm_profile.py pmn [N]
         N        particle count (default 16777216)
         boundary isolated | periodic (default isolated)
 
-Prints per-stage marginal times (sort / deposit+table / spectral solve /
-gather+un-sort) and the full pm_accel frame. Timing is bracketed by a
-1-element readback (block_until_ready is a no-op on the axon platform)
-and averaged over several iterations after a warm-up; see
-docs/DESIGN.md "Platform notes".
+Default mode prints per-stage marginal times (sort / deposit+table /
+spectral solve / gather+un-sort) and the full pm_accel frame.
+
+``pmn`` mode (VERDICT r4 item 4) decomposes the MULTI-level persistent
+frame — where does pmn_persistent_16m_steady (131 ms) go beyond the
+two-level number (78 ms)? It times the full frame at every level count
+(coarse-only / 1 window / 2 windows / the two-level cfg2 mode) so each
+level's marginal cost is a difference of same-process numbers, plus the
+micro stages a level adds (nested window origins, fine inputs + masked
+totals, the difference-kernel solve) so the marginal can be attributed.
+budgets() and budgets_multi() both clamp to the same 64Ki SMEM budget
+at 16M, so table capacity is NOT a candidate — see budgets_multi.
+
+Timing is bracketed by a 1-element readback (block_until_ready is a
+no-op on the axon platform) and averaged over several iterations after
+a warm-up; see docs/DESIGN.md "Platform notes".
 """
 
 import os
@@ -138,5 +150,107 @@ def main() -> None:
           flush=True)
 
 
+def main_pmn() -> None:
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 16 * 1024 * 1024
+    cfg = P.PMConfig(softening=2.0)
+    from particle_sim_tpu.ops import pm2, pm_persist
+
+    L1 = pm2.PM2Config(window_min=None, window_size=32.0, softening=0.5)
+    L2 = pm2.PM2Config(window_min=None, window_size=8.0, softening=0.2)
+    print(f"pmn mode  N={n}  cfg: {cfg}  levels: 32/0.5, 8/0.2",
+          flush=True)
+
+    key = jax.random.PRNGKey(2)   # resident_bench's pmn scene
+    pos = jax.random.uniform(key, (3, n), jnp.float32, -45.0, 45.0)
+    n_active = jnp.int32(n)
+    live = jnp.arange(n, dtype=jnp.int32) < n_active
+    chunk = pm_persist.pick_chunk(n)
+
+    def settled_multi(levels):
+        ker = pm2.levels_kernels(cfg, levels)
+        st = pm_persist.init_sorted_multi(pos, n_active, cfg,
+                                          len(levels))
+        frame = jax.jit(lambda s, k: (lambda s2, a: (s2, a.sum()))(
+            *pm_persist.accel_sorted_multi(s, jnp.float32(1.0), cfg,
+                                           levels, kernels=k)))
+        st, _ = frame(st, ker)      # settle into the k+1-class order
+        st, _ = frame(st, ker)
+        return st, ker, frame
+
+    # -- full-frame ladder: each row's delta = that level's total cost
+    st0 = pm_persist.init_sorted(pos, n_active, cfg)
+    f0 = jax.jit(lambda s: (lambda s2, a: a.sum())(
+        *pm_persist.accel_sorted(s, jnp.float32(1.0), cfg)))
+    _ = f0(st0)
+    t0 = timeit(f0, st0, iters=4)
+    print(f"frame coarse-only          {t0:8.2f} ms", flush=True)
+
+    st2lv = pm_persist.init_sorted(pos, n_active, cfg)
+    ker2lv = pm2.fine_kernels(cfg, L1)
+    f2lv = jax.jit(lambda s, k: (lambda s2, a: a.sum())(
+        *pm_persist.accel_sorted(s, jnp.float32(1.0), cfg, cfg2=L1,
+                                 kernels=k)))
+    _ = f2lv(st2lv, ker2lv)   # first call migrates (repair); settle
+    _ = f2lv(st2lv, ker2lv)
+    t2lv = timeit(f2lv, st2lv, ker2lv, iters=4)
+    print(f"frame two-level mode (L1)  {t2lv:8.2f} ms  "
+          f"(+{t2lv - t0:.2f} vs coarse)", flush=True)
+
+    st1, ker1, f1 = settled_multi((L1,))
+    t1 = timeit(f1, st1, ker1, iters=4)
+    print(f"frame multi k=1 (L1)       {t1:8.2f} ms  "
+          f"(+{t1 - t0:.2f} vs coarse; multi-order overhead "
+          f"{t1 - t2lv:+.2f} vs two-level mode)", flush=True)
+
+    st2, ker2, f2 = settled_multi((L1, L2))
+    t2 = timeit(f2, st2, ker2, iters=4)
+    print(f"frame multi k=2 (L1,L2)    {t2:8.2f} ms  "
+          f"(+{t2 - t1:.2f} for L2)", flush=True)
+
+    # -- micro stages a level adds (timed on the settled k=2 state) ----
+    wmins_jit = jax.jit(lambda s: pm2._nested_wmins(
+        s.pos, s.ids < n_active, cfg, (L1, L2), None))
+    wmins = wmins_jit(st2)
+    print(f"  nested window origins    {timeit(wmins_jit, st2):8.2f} ms",
+          flush=True)
+
+    for m, (lv, wm) in enumerate(zip((L1, L2), wmins)):
+        fi_jit = jax.jit(lambda s, w, lv=lv: pm_persist._fine_inputs(
+            s.pos, s.ids < n_active, w, cfg, lv))
+        _ = fi_jit(st2, wm)
+        print(f"  fine inputs L{m + 1}          "
+              f"{timeit(fi_jit, st2, wm):8.2f} ms", flush=True)
+
+    tot_jit = jax.jit(lambda s: pm_persist._pair_totals_multi(
+        pm_pallas.cell_key_frac(s.pos, s.ids < n_active, cfg)[0],
+        chunk, s.fine_b))
+    _ = tot_jit(st2)
+    print(f"  keys + 3-class totals    {timeit(tot_jit, st2):8.2f} ms",
+          flush=True)
+
+    geom = pm_persist._geom(cfg.grid)
+    rho = jax.random.uniform(jax.random.PRNGKey(3),
+                             (cfg.grid,) * 3, jnp.float32)
+    h2 = L2.window_size / cfg.grid
+    dk = pm2.levels_kernels(cfg, (L1, L2))[1]
+    solve_jit = jax.jit(lambda r, k: pm.solve_accel_diff(
+        r, cfg.grid, h2, L2.softening, L1.softening, L2.gradient,
+        kernels=k))
+    _ = solve_jit(rho, dk)
+    print(f"  diff-kernel solve (1 lv) {timeit(solve_jit, rho, dk):8.2f} "
+          "ms", flush=True)
+
+    spans_jit = jax.jit(lambda s: pm_persist._deposit_table_spans_multi(
+        pm_pallas.cell_key_frac(s.pos, s.ids < n_active, cfg)[0],
+        chunk, s.fine_b, n // chunk,
+        pm_persist.budgets_multi(n // chunk, geom, 3)[0], geom))
+    _ = spans_jit(st2)
+    print(f"  3-class deposit spans    {timeit(spans_jit, st2):8.2f} ms",
+          flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "pmn":
+        main_pmn()
+    else:
+        main()
