@@ -660,6 +660,52 @@ def _measure(res: dict) -> None:
     except Exception as e:
         errors["pm2_1m"] = repr(e)[:200]
 
+    # -- window-EXACT correction (ops/pmx.py) full-stack frame at 1M -------
+    # coarse PM + the 65k-capacity exact window: two passes of the
+    # all-pairs kernel over the compacted member buffer + the flag-sort/
+    # un-sort each way (the per-frame path; the persistent slice path is
+    # covered by the resident harness). Window sized so the uniform
+    # scene fills ~46k of the 65k budget.
+    try:
+        from particle_sim_tpu.core.params import (PMConfig as _PMCX,
+                                                  PairwiseParams as _PWX)
+        from particle_sim_tpu.ops import pmx as _pmx
+
+        nx = 1_048_576
+        posx = jax.random.uniform(jax.random.PRNGKey(7), (3, nx),
+                                  jnp.float32, -45.0, 45.0)
+        velx = jnp.zeros_like(posx)
+        cfgx_pm = _PMCX(softening=2.0)
+        cfgx = _pmx.PMXConfig(window_size=32.0, softening=0.5,
+                              capacity=65536)
+        ppx = jnp.asarray(_PWX(1.0, 2.0).pack())
+        pvx = jnp.asarray(psim.SimParams(delta_time=0.004,
+                                         gravity=0.0).pack())
+
+        @jax.jit
+        def pmx_frames(p, v, k):
+            def body(_, c):
+                p2, v2, _ = _pmx.step_pmx(c[0], c[1], pvx, ppx,
+                                          jnp.int32(nx), cfgx_pm, (),
+                                          cfgx)
+                return (p2, v2)
+            return jax.lax.fori_loop(0, k, body, (p, v))
+
+        p_, v_ = pmx_frames(posx, velx, 1)
+        _sync(p_)
+        t0 = time.perf_counter()
+        p_, v_ = pmx_frames(p_, v_, 1)
+        _sync(p_)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        p_, v_ = pmx_frames(p_, v_, 4)
+        _sync(p_)
+        detail["pmx_1m_frame_ms"] = round(
+            (time.perf_counter() - t0 - t1) / 3 * 1e3, 3)
+        del posx, velx, p_, v_
+    except Exception as e:
+        errors["pmx_1m"] = repr(e)[:200]
+
     # -- all-pairs O(N^2) frame at 65k (BASELINE config 3) ------------------
     try:
         from particle_sim_tpu.ops import pairwise_pallas

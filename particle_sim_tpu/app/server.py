@@ -281,19 +281,13 @@ class StreamServer:
                     self._apply_pm_solver_event(ev, name, g, eps)
                 elif name == "direct":
                     self.engine.pm = None
-                    try:
-                        self.engine.set_pmx(None)
-                        self.engine.set_pm2(None)
-                    except ValueError:   # pm already cleared: can't fail
-                        pass
+                    self.engine.set_pmx(None)   # window first: set_pm2
+                    self.engine.set_pm2(None)   # cross-checks self.pmx
                     self.engine.pairwise = PairwiseParams(g, eps)
                 else:
                     self.engine.pm = None
-                    try:
-                        self.engine.set_pmx(None)
-                        self.engine.set_pm2(None)
-                    except ValueError:
-                        pass
+                    self.engine.set_pmx(None)
+                    self.engine.set_pm2(None)
                     self.engine.pairwise = None
             # every event can change what the next frame shows (pause flag,
             # reset state, camera pose in raster mode, color mode, ...) —
