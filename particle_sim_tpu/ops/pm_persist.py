@@ -1084,18 +1084,18 @@ def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
 
     # the COARSE tables have no per-frame-sorted fallback (unlike each
     # fine level's fits-cond), so post-REPAIR totals above the clamped
-    # budget — reachable only when budgets_multi hit the SMEM clamp —
-    # would silently drop chunk visits via the jnp.minimum below. Report
-    # it loudly every frame it occurs (ADVICE r4); the budgets_multi
-    # trace-time warning names the fix (fewer levels / larger chunk).
-    jax.lax.cond(
-        (dep_total > c_max_dep) | (gat_total > c_max_gat),
-        lambda d, g: jax.debug.print(
-            "pm_persist: POST-REPAIR coarse totals overflow the clamped "
-            "SMEM budget (deposit {d}/" + str(c_max_dep) + ", gather "
-            "{g}/" + str(c_max_gat) + ") — coarse forces are WRONG this "
-            "frame; reduce nesting depth or grid resolution", d=d, g=g),
-        lambda d, g: None, dep_total, gat_total)
+    # budget — reachable only through deep nesting at very large N
+    # (pick_chunk guarantees the single-class worst case fits, but not
+    # k+1 of them; every supported config's fresh totals sit far below
+    # the clamp, see budgets_multi) — would silently drop chunk visits
+    # via the jnp.minimum below. Poison the frame instead (ADVICE r4):
+    # NaN is the only failure channel that is loud on EVERY backend
+    # (axon_pjrt rejects host callbacks, so jax.debug.print would
+    # itself kill this path — observed killing the r5 bench leg), it
+    # trips utils/debug.validate_state by name in debug mode, and a
+    # visibly dead sim beats silently wrong forces.
+    _poison = jnp.where((dep_total > c_max_dep) | (gat_total > c_max_gat),
+                        jnp.float32(jnp.nan), jnp.float32(0.0))
 
     live = st.ids < n_active
     rmin, rmax = _chunk_spans(key, chunk, geom)
@@ -1129,7 +1129,7 @@ def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
         return gat(gat_pairs, key.reshape(1, -1), frac.reshape(1, -1),
                    _grids_to_rows(grids, geom))[:, :n]
 
-    acc = coarse_gather(pm.solve_accel(rho, cfg, cfg.softening))
+    acc = coarse_gather(pm.solve_accel(rho, cfg, cfg.softening)) + _poison
 
     eps_outer = cfg.softening
     for m, c2 in enumerate(levels):

@@ -296,3 +296,26 @@ def test_persist_multi_engine_tracks_per_frame():
     assert e_ref._persist is None
     np.testing.assert_allclose(e.state.positions(),
                                e_ref.state.positions(), rtol=0, atol=5e-3)
+
+
+def test_coarse_overflow_poisons_loudly(monkeypatch):
+    """ADVICE r4: a post-repair COARSE overflow of the clamped SMEM
+    budget (deep nesting at very large N) has no per-frame-sorted
+    fallback, so it must fail LOUDLY instead of silently truncating the
+    deposit/gather tables. The failure channel is NaN-poisoning (the
+    axon backend rejects host callbacks, so debug.print cannot be it —
+    it killed the r5 bench's pmn leg). Forced here by shrinking the
+    budget clamp under a real scene."""
+    from particle_sim_tpu.ops import pm_persist
+
+    pos_np, pos, n_act = _scene(9)
+    st = pm_persist.init_sorted_multi(pos, n_act, CFG, 1)
+    ker = pm2.levels_kernels(CFG, (L1,))
+    chunk = pm_persist.pick_chunk(pos.shape[1])   # before the shrink
+    monkeypatch.setattr(pm_persist, "_SMEM_WORDS", 64)
+    st2, acc = pm_persist.accel_sorted_multi(
+        st, jnp.float32(1.0), CFG, (L1,), kernels=ker, chunk=chunk,
+        interpret=True)
+    acc = np.asarray(acc)
+    assert not np.isfinite(acc).all(), \
+        "coarse budget overflow must poison the frame"
