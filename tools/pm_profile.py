@@ -187,11 +187,14 @@ def main_pmn() -> None:
 
     st2lv = pm_persist.init_sorted(pos, n_active, cfg)
     ker2lv = pm2.fine_kernels(cfg, L1)
-    f2lv = jax.jit(lambda s, k: (lambda s2, a: a.sum())(
+    f2lv = jax.jit(lambda s, k: (lambda s2, a: (s2, a.sum()))(
         *pm_persist.accel_sorted(s, jnp.float32(1.0), cfg, cfg2=L1,
                                  kernels=k)))
-    _ = f2lv(st2lv, ker2lv)   # first call migrates (repair); settle
-    _ = f2lv(st2lv, ker2lv)
+    # CARRY the state: the first call migrates into the segmented order
+    # (one repair) — timing the unmigrated input would repair every
+    # frame and measure the repair sort, not the steady state
+    st2lv, _ = f2lv(st2lv, ker2lv)
+    st2lv, _ = f2lv(st2lv, ker2lv)
     t2lv = timeit(f2lv, st2lv, ker2lv, iters=4)
     print(f"frame two-level mode (L1)  {t2lv:8.2f} ms  "
           f"(+{t2lv - t0:.2f} vs coarse)", flush=True)
