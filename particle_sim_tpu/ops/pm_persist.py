@@ -558,18 +558,26 @@ def budgets_multi(n_chunks: int, geom, n_classes: int) -> Tuple[int, int]:
 
 
 def _seg_spans_multi(key: jax.Array, chunk: int, bounds: jax.Array,
-                     geom=_GEOM128):
+                     geom=_GEOM128, first_class: int = 0):
     """Per-CLASS chunk spans of the multi-segment order. ``bounds``
     i32[k] are the class-start slots (see section comment); returns
     k+1 span pairs, masked per SLOT so a boundary chunk contributes
-    each part to its own class."""
+    each part to its own class. ``first_class``: classes below it are
+    known all-sentinel in ``key`` (a level-m fine key masks classes
+    <= m), so their spans are the EMPTY constant — skipping the O(N)
+    masking pass per skipped class (round-5 pmn profile follow-up)."""
     n = key.shape[0]
     slot = jnp.arange(n, dtype=jnp.int32)
     k = bounds.shape[0]
     lo = [jnp.int32(0)] + [bounds[m] for m in range(k)]
     hi = [bounds[m] for m in range(k)] + [jnp.int32(n)]
     out = []
+    empty = (jnp.full((n // chunk,), geom.rows_total, jnp.int32),
+             jnp.full((n // chunk,), -1, jnp.int32))
     for m in range(k + 1):
+        if m < first_class:
+            out.append(empty)
+            continue
         key_m = jnp.where((slot >= lo[m]) & (slot < hi[m]), key,
                           geom.sentinel)
         out.append(_chunk_spans(key_m, chunk, geom))
@@ -605,12 +613,13 @@ def _window_ranges_multi(spans, n_chunks: int, geom=_GEOM128):
 
 def _deposit_table_spans_multi(key: jax.Array, chunk: int,
                                bounds: jax.Array, n_chunks: int,
-                               c_max: int, geom=_GEOM128):
+                               c_max: int, geom=_GEOM128,
+                               first_class: int = 0):
     """Tile-major packed deposit pair table for the MULTI-segment order:
     per window, class 0's hull entries, then class 1's, ... (see
     _window_ranges_multi). Trash conventions as in
-    _deposit_table_spans."""
-    spans = _seg_spans_multi(key, chunk, bounds, geom)
+    _deposit_table_spans. ``first_class`` as in _seg_spans_multi."""
+    spans = _seg_spans_multi(key, chunk, bounds, geom, first_class)
     starts, counts = _window_ranges_multi(spans, n_chunks, geom)
     total_w = counts[0]
     for c in counts[1:]:
@@ -640,12 +649,13 @@ def _deposit_table_spans_multi(key: jax.Array, chunk: int,
 
 
 def _pair_totals_multi(key: jax.Array, chunk: int, bounds: jax.Array,
-                       geom=_GEOM128):
+                       geom=_GEOM128, first_class: int = 0):
     """(dep_total, gat_total) for the multi-segment tables — deposit
     sums every class's hulls; the gather stays chunk-major over the
-    full spans (order-agnostic)."""
+    full spans (order-agnostic). ``first_class`` as in
+    _seg_spans_multi."""
     n_chunks = key.shape[0] // chunk
-    spans = _seg_spans_multi(key, chunk, bounds, geom)
+    spans = _seg_spans_multi(key, chunk, bounds, geom, first_class)
     _, counts = _window_ranges_multi(spans, n_chunks, geom)
     total = counts[0]
     for c in counts[1:]:
@@ -1046,10 +1056,13 @@ def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
             # fine_b[m] = start slot of class m+1; level m+1's sources
             # live in classes >= m+1, i.e. slots >= fine_b[m] — keys of
             # frozen lower classes are masked out (exact post-repair;
-            # pre-repair entrants force the repair below)
+            # pre-repair entrants force the repair below). first_class:
+            # classes <= m are all-sentinel by that mask, so their span
+            # passes are skipped
             mask = slot >= s.fine_b[m]
             k2m = jnp.where(mask, k2, geom.sentinel)
-            d2, g2 = _pair_totals_multi(k2m, chunk, s.fine_b, geom)
+            d2, g2 = _pair_totals_multi(k2m, chunk, s.fine_b, geom,
+                                        first_class=m + 1)
             entrant = jnp.any(~mask & (w > 0.0))
             fine.append((w, k2m, f2, d2, g2, entrant))
         return key, frac, d1, g1, tuple(fine)
@@ -1147,10 +1160,11 @@ def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
 
         def _fine_spans(_, w_src=w_src, key2=key2, frac2=frac2,
                         dep2_total=dep2_total, gat2_total=gat2_total,
-                        ker=ker, h2=h2, c2=c2, eo=eo):
+                        ker=ker, h2=h2, c2=c2, eo=eo, fc=m + 1):
             rmin2, rmax2 = _chunk_spans(key2, chunk, geom)
             dep2_pairs = _deposit_table_spans_multi(
-                key2, chunk, st.fine_b, n_chunks, c_max_dep, geom)
+                key2, chunk, st.fine_b, n_chunks, c_max_dep, geom,
+                first_class=fc)
             key2_p = jnp.concatenate(
                 [key2, jnp.full((chunk,), geom.sentinel,
                                 jnp.int32)]).reshape(1, -1)
