@@ -71,6 +71,11 @@ def main() -> int:
     ap.add_argument("--g", type=float, default=0.05)
     ap.add_argument("--out", default="")
     ap.add_argument("--stats-every", type=int, default=50)
+    ap.add_argument("--exact", action="store_true",
+                    help="terminate the stack with the window-EXACT "
+                         "pmx correction (ops/pmx.py): core pairs feel "
+                         "the exact 0.05 softening via the all-pairs "
+                         "kernel over the contiguous innermost class")
     args = ap.parse_args()
 
     import particle_sim_tpu as psim
@@ -90,6 +95,11 @@ def main() -> int:
              psim.PM2Config(window_min=None, window_size=8.0,
                             softening=0.2)),
         pm_persist=True,   # every level sort-free (k+1-class order)
+        # --exact: the full flagship composition — halo -> nested
+        # windows -> EXACT core, all sort-free (the member buffer is a
+        # dynamic slice of the innermost class; round 5)
+        pmx=(psim.PMXConfig(window_size=2.0, softening=0.05,
+                            capacity=8192) if args.exact else None),
     )
     st = psim.ParticleState.from_arrays(
         pos, vel, np.full_like(pos, 0.7), capacity=engine.capacity)

@@ -16,12 +16,14 @@ from .core import (
     generate,
 )
 from .ops.pm2 import PM2Config
+from .ops.pmx import PMXConfig
 
 __version__ = "0.1.0"
 
 __all__ = [
     "ColorMode",
     "PM2Config",
+    "PMXConfig",
     "Method",
     "PairwiseParams",
     "PMConfig",
