@@ -632,6 +632,12 @@ class StreamServer:
                 self._sock.close()
             except OSError:
                 pass
+        # bounded join: an in-flight step (seconds on a CPU backend)
+        # must not straggle into whatever runs next — observed starving
+        # the next test's frame deadline on the 1-core CI box
+        for t in self._threads:
+            if t is not threading.current_thread():
+                t.join(10.0)
 
     def serve_forever(self) -> None:
         self.start()

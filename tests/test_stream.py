@@ -147,7 +147,8 @@ def server():
     for target in (srv._sim_loop, srv._pack_loop, srv._accept_loop):
         t = threading.Thread(target=target, daemon=True)
         t.start()
-    yield srv
+        srv._threads.append(t)   # stop() joins them (no stragglers
+    yield srv                    # leaking CPU into the next test)
     srv.stop()
 
 
@@ -455,7 +456,9 @@ class TestSolverEvents:
         # ws_send_text only does short frames (<126 B): keep it terse
         ws_send_text(s, {"type": "solver", "name": "pm", "pmx_size": 8,
                          "pmx_softening": 0.15, "seq": 91})
-        deadline = time.time() + 20
+        # generous deadline: each pm+pmx step is a full-grid FFT on the
+        # 1-core CI box, and only a STEPPED frame reflects the seq
+        deadline = time.time() + 60
         rseq = 0
         while time.time() < deadline:
             _, frame = ws_recv_binary(s)
@@ -508,7 +511,7 @@ class TestSolverEvents:
         ws_send_text(s, {"type": "params", "gravity": 5.0})
         ws_send_text(s, {"type": "view", "mode": "raster",
                          "width": 70, "height": 67})
-        deadline = time.time() + 10
+        deadline = time.time() + 20   # 1-core CI box: generous
         mode = 0
         while time.time() < deadline:
             _, frame = ws_recv_binary(s)
