@@ -40,6 +40,10 @@ def main() -> None:
     from particle_sim_tpu.ops import (pairwise_pallas, pm_pallas,
                                       pm_persist, step_pallas)
     from particle_sim_tpu.render import raster, raster_sorted
+    from particle_sim_tpu.utils.cache import enable as _enable_cache
+
+    _enable_cache()   # restarts re-hit cached executables (delete the
+    #                   cache dir after an outage — see bench.py notes)
 
     # shared inputs ------------------------------------------------------
     pos1, vel1, col1 = psim.generate.generate(
@@ -117,13 +121,23 @@ def main() -> None:
         dt = (time.perf_counter() - t0) / 4.0
         return dt * 1e3 if dt > 1e-4 else None
 
-    def pm16_steady():
-        if "pm16_state" not in box:
+    def _ref16():
+        """FROZEN uniform 16M persistent state for the steady / render /
+        pack legs — the dynamic A/B legs evolve their own copy
+        (box['pm16_state']), and a collapsing scene measurably inflates
+        the steady frame (clustered chunks fill the pair budgets:
+        35 -> 175 ms observed mid-session r5), so stationary legs must
+        not share it."""
+        if "pm16_ref" not in box:
             pos16 = jax.random.uniform(jax.random.PRNGKey(0), (3, n16),
                                        jnp.float32, -45.0, 45.0)
-            box["pm16_state"] = pm_persist.init_sorted(
+            box["pm16_ref"] = pm_persist.init_sorted(
                 pos16, jnp.int32(n16), cfg16)
             del pos16
+        return box["pm16_ref"]
+
+    def pm16_steady():
+        s0 = _ref16()
 
         @jax.jit
         def steady(s, k):
@@ -133,9 +147,9 @@ def main() -> None:
                 return (s2, c[1] + a.sum())
             return jax.lax.fori_loop(0, k, body, (s, jnp.float32(0.0)))
 
-        s, tot = steady(box["pm16_state"], 1)
+        s, tot = steady(s0, 1)
         float(np.asarray(tot))
-        box["pm16_state"] = s
+        box["pm16_ref"] = s
         t0 = time.perf_counter()
         s, tot = steady(s, 1)
         float(np.asarray(tot))
@@ -143,7 +157,7 @@ def main() -> None:
         t0 = time.perf_counter()
         s, tot = steady(s, 3)
         float(np.asarray(tot))
-        box["pm16_state"] = s
+        box["pm16_ref"] = s
         dt = (time.perf_counter() - t0 - t1) / 2.0
         return dt * 1e3 if dt > 1e-4 else None
 
@@ -222,12 +236,7 @@ def main() -> None:
         planes (spatially coherent order — the compaction's design
         case); display color synthesized from position on device, as the
         viewer's position palette does."""
-        if "pm16_state" not in box:
-            pos16 = jax.random.uniform(jax.random.PRNGKey(0), (3, n16),
-                                       jnp.float32, -45.0, 45.0)
-            box["pm16_state"] = pm_persist.init_sorted(
-                pos16, jnp.int32(n16), cfg16)
-            del pos16
+        _ref16()
         from particle_sim_tpu.render import raster_compact as rc
 
         @jax.jit
@@ -240,12 +249,12 @@ def main() -> None:
                 return acc + fb[0, 0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-        float(np.asarray(frames(box["pm16_state"], 1)))
+        float(np.asarray(frames(box["pm16_ref"], 1)))
         t0 = time.perf_counter()
-        float(np.asarray(frames(box["pm16_state"], 1)))
+        float(np.asarray(frames(box["pm16_ref"], 1)))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(np.asarray(frames(box["pm16_state"], 4)))
+        float(np.asarray(frames(box["pm16_ref"], 4)))
         dt = (time.perf_counter() - t0 - t1) / 3.0
         return dt * 1e3 if dt > 1e-4 else None
 
