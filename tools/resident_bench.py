@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 OUT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "MICRO_BENCH.json")
 PERIOD_S = 240
-COMPILE_TIMEOUT_S = 900
+COMPILE_TIMEOUT_S = 2100   # G=256 Hockney at 512^3 needs a long window
 SAMPLE_TIMEOUT_S = 240
 MAX_STRANDS = 3
 
