@@ -22,16 +22,22 @@ order part of the simulation state:
     traced total is checked against it every frame), a ``lax.cond``
     repairs the order — in TWO TIERS at large N: tier 1 is a
     SEGMENT-LOCAL grouping sort (rows of an (n/seg, seg) reshape sort
-    independently — ~4x cheaper than the global sort at 16M and
-    sufficient for ordinary drift, which is local), tier 2 re-derives
-    the totals and falls back to the FULL sort (pos, vel, ids[, masses]
-    [, col24] — ~7-9 payload operands) only when cross-segment
-    migration has accumulated past what local sorting can tighten
-    (see pick_segment / accel_sorted). Between repairs the frame runs
-    sort-free: keys + spans + tables + deposit + FFT solve + gather +
-    integrate, with the gather's output already in state order (no
-    un-sort, ever). ``resorts`` counts repair PASSES (a frame that
-    needed both tiers counts 2).
+    independently — the sort itself is ~4x cheaper than the global one
+    at 16M), tier 2 re-derives the totals and falls back to the FULL
+    sort (pos, vel, ids[, masses][, col24] — ~7-9 payload operands)
+    when the local repair did not tighten the totals under budget (see
+    pick_segment / accel_sorted). MEASURED system-level verdict
+    (round-5 same-process A/B, tools/resident_bench.py, 16M collapse):
+    on violent scenes tier 1 rarely suffices — bulk infall crosses
+    segment boundaries — so both tiers usually run and the two-tier
+    frames come out ~3-6 ms/frame SLOWER than forcing the full sort
+    (190.5 vs 184.6 ms medians); pass ``two_tier=False`` to skip tier 1
+    for such scenes. The tier-1 design case (gentle drift whose
+    disorder is chunk-local) keeps the default. Between repairs the
+    frame runs sort-free: keys + spans + tables + deposit + FFT solve
+    + gather + integrate, with the gather's output already in state
+    order (no un-sort, ever). ``resorts`` counts repair PASSES (a
+    frame that needed both tiers counts 2).
 
 Static-box modes only (periodic / isolated): ``auto_box`` re-keys every
 particle every frame (the box tracks the cloud), which defeats span
