@@ -297,29 +297,36 @@ def _measure(res: dict) -> None:
         try:
             from particle_sim_tpu.ops import pm_persist as _pmp1
 
+            from particle_sim_tpu.ops import pm as _pm_mod
+
             st1 = _pmp1.init_sorted(state.pos.reshape(3, -1),
                                     jnp.asarray(cap, jnp.int32), cfg)
+            # Hockney kernels as runtime args, not program constants
+            # (r5: baked kernels broke the G=256 compile RPC; smaller
+            # programs compile faster at every grid)
+            bk1 = _pm_mod.base_kernels_device(cfg, cfg.softening)
 
             # in-jit frame loop (same dispatch-cancelling pattern as
             # pm_frames above — per-dispatch overhead is ~5 ms on the
             # axon tunnel, comparable to the frame itself at 1M)
             @jax.jit
-            def persist_frames(s, k):
+            def persist_frames(s, k, bk):
                 def body(_, c):
                     return _pmp1.step_sorted(
-                        c, pv, pp_vec, jnp.asarray(cap, jnp.int32), cfg)
+                        c, pv, pp_vec, jnp.asarray(cap, jnp.int32), cfg,
+                        base_kernels=bk)
                 return jax.lax.fori_loop(0, k, body, s)
 
             best_p = float("inf")
             for _ in range(2):
-                st1 = persist_frames(st1, 2)
+                st1 = persist_frames(st1, 2, bk1)
                 _sync(st1.pos)
                 t0 = time.perf_counter()
-                st1 = persist_frames(st1, 2)
+                st1 = persist_frames(st1, 2, bk1)
                 _sync(st1.pos)
                 t2 = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                st1 = persist_frames(st1, 12)
+                st1 = persist_frames(st1, 12, bk1)
                 _sync(st1.pos)
                 best_p = min(best_p, (time.perf_counter() - t0 - t2) / 10)
             detail["pm_persistent_1m_frame_ms"] = round(best_p * 1e3, 3)
@@ -359,26 +366,28 @@ def _measure(res: dict) -> None:
             col24_16 = _ras.pack_col24(jnp.clip(pos16m / 90.0 + 0.5, 0, 1))
             st_p = _pmper.init_sorted(pos16m, jnp.int32(n16), cfg16,
                                       col24=col24_16)
+            from particle_sim_tpu.ops import pm as _pm16
+            bk16 = _pm16.base_kernels_device(cfg16, cfg16.softening)
 
             # steady-state accel in an in-jit loop (result consumed via
             # the carried sum so XLA can't dead-code the solver); one
             # timed 1-frame dispatch cancels the dispatch overhead
             @jax.jit
-            def steady_frames(s, k):
+            def steady_frames(s, k, bk):
                 def body(_, c):
                     s2, a = _pmper.accel_sorted(c[0], jnp.float32(1.0),
-                                                cfg16)
+                                                cfg16, base_kernels=bk)
                     return (s2, c[1] + a.sum())
                 return jax.lax.fori_loop(0, k, body, (s, jnp.float32(0.0)))
 
-            st_p, tot = steady_frames(st_p, 1)
+            st_p, tot = steady_frames(st_p, 1, bk16)
             _sync(tot)
             t0 = time.perf_counter()
-            st_p, tot = steady_frames(st_p, 1)
+            st_p, tot = steady_frames(st_p, 1, bk16)
             _sync(tot)
             t1 = time.perf_counter() - t0
             t0 = time.perf_counter()
-            st_p, tot = steady_frames(st_p, 5)
+            st_p, tot = steady_frames(st_p, 5, bk16)
             _sync(tot)
             detail["pm_persistent_16m_steady_ms"] = round(
                 (time.perf_counter() - t0 - t1) / 4 * 1e3, 3)
@@ -391,18 +400,19 @@ def _measure(res: dict) -> None:
             # data-dependent frames, so no 2-point cancellation — the one
             # ~5 ms dispatch amortizes to <0.5 ms/frame)
             @jax.jit
-            def dyn_frames(s, k):
+            def dyn_frames(s, k, bk):
                 def body(_, c):
                     return _pmper.step_sorted(c, pv16, pp16,
-                                              jnp.int32(n16), cfg16)
+                                              jnp.int32(n16), cfg16,
+                                              base_kernels=bk)
                 return jax.lax.fori_loop(0, k, body, s)
 
             r0 = int(st_p.resorts)
-            st_p = dyn_frames(st_p, 1)
+            st_p = dyn_frames(st_p, 1, bk16)
             _sync(st_p.pos)
             t0 = time.perf_counter()
             k_dyn = 12
-            st_p = dyn_frames(st_p, k_dyn)
+            st_p = dyn_frames(st_p, k_dyn, bk16)
             _sync(st_p.pos)
             detail["pm_persistent_16m_dynamic_ms"] = round(
                 (time.perf_counter() - t0) / k_dyn * 1e3, 3)
@@ -458,7 +468,7 @@ def _measure(res: dict) -> None:
                 ts = []
                 for _ in range(8):
                     t0 = time.perf_counter()
-                    st_p = dyn_frames(st_p, 1)
+                    st_p = dyn_frames(st_p, 1, bk16)
                     rgba = render_rgba16(st_p)
                     _sync(rgba)   # 1-element readback: device-complete
                     ts.append(time.perf_counter() - t0)
@@ -518,25 +528,25 @@ def _measure(res: dict) -> None:
                 ker2p = _pm2p.fine_kernels(cfg16, cfg2p)
 
                 @jax.jit
-                def pm2_frames(s, k, ker):
+                def pm2_frames(s, k, ker, bk):
                     def body(_, c):
                         s2, a = _pmper.accel_sorted(
                             c[0], jnp.float32(1.0), cfg16,
-                            cfg2=cfg2p, kernels=ker)
+                            cfg2=cfg2p, kernels=ker, base_kernels=bk)
                         return (s2, c[1] + a.sum())
                     return jax.lax.fori_loop(0, k, body,
                                              (s, jnp.float32(0.0)))
 
                 # two warmup frames: the first migrates into the
                 # segmented order (one repair), the second settles
-                st_p, tot = pm2_frames(st_p, 2, ker2p)
+                st_p, tot = pm2_frames(st_p, 2, ker2p, bk16)
                 _sync(tot)
                 t0 = time.perf_counter()
-                st_p, tot = pm2_frames(st_p, 1, ker2p)
+                st_p, tot = pm2_frames(st_p, 1, ker2p, bk16)
                 _sync(tot)
                 t1 = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                st_p, tot = pm2_frames(st_p, 5, ker2p)
+                st_p, tot = pm2_frames(st_p, 5, ker2p, bk16)
                 _sync(tot)
                 detail["pm2_persistent_16m_steady_ms"] = round(
                     (time.perf_counter() - t0 - t1) / 4 * 1e3, 3)
@@ -557,23 +567,23 @@ def _measure(res: dict) -> None:
                                                      jnp.int32))
 
                 @jax.jit
-                def pmn_frames(s, k, ker):
+                def pmn_frames(s, k, ker, bk):
                     def body(_, c):
                         s2, a = _pmper.accel_sorted_multi(
                             c[0], jnp.float32(1.0), cfg16, cfgs_n,
-                            kernels=ker)
+                            kernels=ker, base_kernels=bk)
                         return (s2, c[1] + a.sum())
                     return jax.lax.fori_loop(0, k, body,
                                              (s, jnp.float32(0.0)))
 
-                st_n, tot = pmn_frames(st_n, 2, ker_n)  # migrate + settle
+                st_n, tot = pmn_frames(st_n, 2, ker_n, bk16)  # migrate + settle
                 _sync(tot)
                 t0 = time.perf_counter()
-                st_n, tot = pmn_frames(st_n, 1, ker_n)
+                st_n, tot = pmn_frames(st_n, 1, ker_n, bk16)
                 _sync(tot)
                 t1 = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                st_n, tot = pmn_frames(st_n, 5, ker_n)
+                st_n, tot = pmn_frames(st_n, 5, ker_n, bk16)
                 _sync(tot)
                 detail["pmn_persistent_16m_steady_ms"] = round(
                     (time.perf_counter() - t0 - t1) / 4 * 1e3, 3)
@@ -590,23 +600,28 @@ def _measure(res: dict) -> None:
 
             cfg256 = _PMC(softening=2.0, grid=256)
             st_256 = _pmper2.init_sorted(pos16m, jnp.int32(n16), cfg256)
+            # kernels as runtime args are MANDATORY here: baked G=256
+            # kernels are ~1.6 GB of program constants and break the
+            # compile RPC (r5: strands at 900/2100 s + a broken pipe)
+            from particle_sim_tpu.ops import pm as _pm256
+            bk256 = _pm256.base_kernels_device(cfg256, cfg256.softening)
 
             @jax.jit
-            def steady256(s, k):
+            def steady256(s, k, bk):
                 def body(_, c):
                     s2, a = _pmper2.accel_sorted(c[0], jnp.float32(1.0),
-                                                 cfg256)
+                                                 cfg256, base_kernels=bk)
                     return (s2, c[1] + a.sum())
                 return jax.lax.fori_loop(0, k, body, (s, jnp.float32(0.0)))
 
-            st_256, tot = steady256(st_256, 1)
+            st_256, tot = steady256(st_256, 1, bk256)
             _sync(tot)
             t0 = time.perf_counter()
-            st_256, tot = steady256(st_256, 1)
+            st_256, tot = steady256(st_256, 1, bk256)
             _sync(tot)
             t1 = time.perf_counter() - t0
             t0 = time.perf_counter()
-            st_256, tot = steady256(st_256, 3)
+            st_256, tot = steady256(st_256, 3, bk256)
             _sync(tot)
             detail["pm_persistent_16m_g256_steady_ms"] = round(
                 (time.perf_counter() - t0 - t1) / 2 * 1e3, 3)

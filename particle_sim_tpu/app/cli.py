@@ -110,6 +110,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="persistent cell-sorted PM state (sort-free "
                         "steady-state frames; needs a supported grid "
                         "(32/64/128/256) and a static box)")
+    p.add_argument("--no-two-tier", action="store_true",
+                   help="repair the persistent order with the full sort "
+                        "only, skipping the segment-local tier-1 pass — "
+                        "the measured win for violent scenes whose bulk "
+                        "motion crosses segments (r5 A/B, "
+                        "ops/pm_persist.py)")
     # rendering
     p.add_argument("--render-every", type=int, default=0)
     p.add_argument("--render-dir", default="frames")
@@ -226,6 +232,7 @@ def main(argv=None) -> int:
             pm_persist=True if args.pm_persist else "auto",
             pm2=pm2_cfg,
             pmx=pmx_cfg,
+            two_tier=not args.no_two_tier,
         )
 
     if args.central_mass > 0.0:

@@ -375,6 +375,11 @@ class StreamServer:
         eng.set_pm2(stack)
         if pmx_cfg is not None:
             eng.set_pmx(pmx_cfg)
+        if "two_tier" in ev:
+            # repair strategy (r5 A/B: full-sort-only wins on violent
+            # scenes) — a static jit arg, so flipping it just compiles
+            # the other step variant; the persistent state stays valid
+            eng.two_tier = bool(ev["two_tier"])
 
     # -- frame production -----------------------------------------------------
     def _build_frame(self) -> bytes:
@@ -555,6 +560,10 @@ class StreamServer:
                     "pmx_softening": (self.engine.pmx.softening
                                       if getattr(self.engine, "pmx", None)
                                       else 0),
+                    # persistent-repair strategy so the panel's checkbox
+                    # reflects --no-two-tier / a prior solver event
+                    "two_tier": bool(getattr(self.engine, "two_tier",
+                                             True)),
                     # current wire mode + raster size so the viewer's
                     # Wire-format select reflects a --view-mode raster
                     # server instead of defaulting to planar (ADVICE r2)
@@ -679,6 +688,10 @@ def main(argv=None) -> int:
                     help="start with particle-mesh self-gravity on")
     ap.add_argument("--pm-persist", action="store_true",
                     help="persistent cell-sorted PM state (implies --pm)")
+    ap.add_argument("--no-two-tier", action="store_true",
+                    help="full-sort-only persistent repairs (skip the "
+                    "segment-local tier-1 pass; the measured win for "
+                    "violent collapse scenes)")
     ap.add_argument("--pm-g", type=float, default=1.0)
     ap.add_argument("--pm-softening", type=float, default=2.0)
     ap.add_argument("--pm2-size", type=float, nargs="+", default=[0.0],
@@ -711,7 +724,8 @@ def main(argv=None) -> int:
         pm2=pm2_cfg,
         # bare --pm keeps the "auto" mode: the engine picks per-frame
         # sorted vs persistent from the count (measured crossover)
-        pm_persist=True if args.pm_persist else "auto")
+        pm_persist=True if args.pm_persist else "auto",
+        two_tier=not args.no_two_tier)
     server = StreamServer(engine, host=args.host, port=args.port,
                           target_fps=args.fps)
     server.max_points = args.max_points

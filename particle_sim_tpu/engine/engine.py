@@ -87,6 +87,7 @@ class Engine:
         pm_persist: Union[bool, str] = "auto",
         pm2=None,
         pmx=None,
+        two_tier: bool = True,
     ):
         """``mesh``: a 1-D jax.sharding.Mesh (parallel.mesh.make_mesh) to
         row-shard the state over its ``dp`` axis — the multi-chip mode.
@@ -130,8 +131,18 @@ class Engine:
         (ops/pmx.py): member pairs of a tracked window nested inside
         the innermost mesh level feel the exact ``pmx.softening`` force
         via a real-space difference-kernel all-pairs pass. Requires
-        ``pm``; composes with any ``pm2`` depth; single-chip per-frame
-        path (persist / mesh integrations are future work).
+        ``pm``; composes with any ``pm2`` depth per-frame; with
+        ``pm_persist=True`` it needs a MULTI-level ``pm2`` stack (the
+        window rides the innermost class as one dynamic slice), and
+        with ``mesh`` the member buffer is all-gathered across shards
+        (pm_persist.accel_sorted_multi).
+
+        ``two_tier``: repair strategy for the single-level persistent
+        order — True (default) tries the segment-local grouping sort
+        before the full sort; False repairs with the full sort only,
+        the measured win for violent scenes whose bulk motion crosses
+        segments (r5 A/B, ops/pm_persist.py accel_sorted docstring).
+        Ignored by multi-level stacks (always full k+1-class sort).
 
         ``masses``: f32[particle_count] per-particle SOURCE masses for
         the gravity solvers (heavy central bodies, multi-species scenes;
@@ -228,6 +239,15 @@ class Engine:
         self._frame_index = 0
         self.pm2 = pm2
         self.pm_persist = pm_persist
+        # repair strategy for the single-level persistent order: True
+        # tries the segment-local grouping sort first (tier 1, cheap for
+        # gentle chunk-local drift), False goes straight to the full
+        # sort every repair — the measured r5 A/B found tier 1 a
+        # wash-to-slightly-negative on violent collapse scenes
+        # (ops/pm_persist.py accel_sorted docstring), so scenes with
+        # bulk cross-segment motion should pass two_tier=False.
+        # Multi-level stacks always repair via the full k+1-class sort.
+        self.two_tier = bool(two_tier)
         self._persist = None          # SortedPMState / dp carry, lazy
         self._identity_dirty = False  # state planes stale vs _persist
         if pm is not None and pairwise is None:
@@ -357,13 +377,15 @@ class Engine:
                     else None)
             use_fast = (self.method == Method.PALLAS
                         and cfg.grid in pm_pallas.SUPPORTED_GRIDS)
+            bk = self._base_kernels(cfg) if use_fast else None
 
             def fn(pos, vel, pv, pp, n):
                 for _ in range(substeps):
                     pos, vel, n_m = pmx_mod.step_pmx_jit(
                         pos, vel, pv, pp, n, cfg, levels, cfgx,
                         use_fast=use_fast, interpret=interpret,
-                        masses=self._masses_for_capacity(), kernels=kers)
+                        masses=self._masses_for_capacity(), kernels=kers,
+                        base_kernels=bk)
                 # device scalars, fetched lazily (pmx_member_count /
                 # the periodic truncation check) — never a sync here
                 self._pmx_members = (n_m, jnp.minimum(
@@ -388,6 +410,7 @@ class Engine:
                     pm_pallas.SUPPORTED_GRIDS)
             # fine kernels ride as jit arguments (device buffers), not
             # baked-in constants — see pm.diff_kernels_device
+            bk2 = self._base_kernels(cfg) if use_fast else None
             if isinstance(cfg2, tuple):          # multi-level nesting
                 kers = pm2_mod.levels_kernels(cfg, cfg2)
 
@@ -397,7 +420,7 @@ class Engine:
                             pos, vel, pv, pp, n, cfg, cfg2,
                             use_fast=use_fast, interpret=interpret,
                             masses=self._masses_for_capacity(),
-                            kernels=kers)
+                            kernels=kers, base_kernels=bk2)
                     return pos, vel
 
                 self._jit_cache[key] = fn
@@ -409,7 +432,8 @@ class Engine:
                     pos, vel = pm2_mod.step_pm2_jit(
                         pos, vel, pv, pp, n, cfg, cfg2,
                         use_fast=use_fast, interpret=interpret,
-                        masses=self._masses_for_capacity(), kernels=ker)
+                        masses=self._masses_for_capacity(), kernels=ker,
+                        base_kernels=bk2)
                 return pos, vel
 
             self._jit_cache[key] = fn
@@ -432,22 +456,28 @@ class Engine:
                 from ..parallel import pm_dp
 
                 with_masses = self._masses is not None
+                wbk = not cfg.auto_box
                 pstep = pm_dp.make_pm_step(
                     self.mesh, cfg, use_pallas=use_fast, interpret=interpret,
-                    with_masses=with_masses)
+                    with_masses=with_masses, with_base_kernels=wbk)
+                bkd = self._base_kernels(cfg) if wbk else None
+                tail = (bkd,) if wbk else ()
 
                 if with_masses:
                     def one(pos, vel, pv, pp, n):
                         return pstep(pos, vel, pv, pp, n,
-                                     self._masses_for_capacity())
+                                     self._masses_for_capacity(), *tail)
                 else:
                     def one(pos, vel, pv, pp, n):
-                        return pstep(pos, vel, pv, pp, n)
+                        return pstep(pos, vel, pv, pp, n, *tail)
             elif use_fast:
+                bk1 = self._base_kernels(cfg)
+
                 def one(pos, vel, pv, pp, n):
                     return pm_pallas.step_pm_jit(
                         pos, vel, pv, pp, n, cfg, interpret=interpret,
-                        masses=self._masses_for_capacity())
+                        masses=self._masses_for_capacity(),
+                        base_kernels=bk1)
             else:
                 ref_jit = jax.jit(functools.partial(
                     pm_ref.step_pm_ref, cfg=cfg))
@@ -547,11 +577,29 @@ class Engine:
                     and self.particle_count >= PERSIST_AUTO_MIN_N)
         return bool(self.pm_persist) and cfg_ok
 
+    def _base_kernels(self, cfg):
+        """Device-resident base solve kernels (pm.base_kernels_device)
+        for STATIC-box configs — routed into the jitted steps as runtime
+        arguments so the Hockney spectra never serialize into the
+        program body (mandatory at G=256 on axon). auto_box solves
+        per-frame in cell units with traced scaling; its kernel is
+        baked the classic way (small grids only)."""
+        if cfg.auto_box:
+            return None
+        from ..ops import pm as pm_mod
+        return pm_mod.base_kernels_device(cfg, cfg.softening)
+
     def _step_persist(self, pv, pp) -> None:
+        from ..ops import pm as pm_mod
         from ..ops import pm_persist as pper
         cfg = self.pm
         n_act = self._state.n_active
         masses = self._masses_for_capacity()
+        # coarse Hockney kernels ride as runtime jit ARGUMENTS (device
+        # pairs, cached) — baked-in kernel constants serialize into the
+        # program body and break the compile RPC at G=256
+        # (pm.base_kernels_device docstring)
+        bk = pm_mod.base_kernels_device(cfg, cfg.softening)
         # the persist path is Pallas-only: run the kernels in interpret
         # mode off-TPU regardless of Method (a Method.JNP engine resumed
         # from a pm_persist checkpoint on a CPU box must not crash)
@@ -568,7 +616,7 @@ class Engine:
             n_levels = len(cfg2) if isinstance(cfg2, tuple) else 0
             cfgx = getattr(self, "pmx", None)
             key = ("persist_dp", cfg, cfg2, masses is not None,
-                   self.substeps, interpret, cfgx)
+                   self.substeps, interpret, cfgx, self.two_tier)
             fns = self._jit_cache.get(key)
             if fns is None:
                 fns = (pm_persist_dp.make_persist_init(
@@ -577,7 +625,9 @@ class Engine:
                        pm_persist_dp.make_persist_pm_step(
                            self.mesh, cfg, interpret=interpret,
                            with_masses=masses is not None, with_col=True,
-                           cfg2=cfg2, cfgx=cfgx))
+                           cfg2=cfg2, cfgx=cfgx,
+                           two_tier=self.two_tier,
+                           with_base_kernels=True))
                 self._jit_cache[key] = fns
             init, pstep = fns
             if self._persist is None:
@@ -592,7 +642,7 @@ class Engine:
                 # col24); the step takes masses/col24 AFTER (pv, pairv,
                 # n_active) and the (replicated) fine kernels last
                 c = self._persist
-                out = pstep(*c[:5], pv, pp, n_act, *c[5:], *ker)
+                out = pstep(*c[:5], pv, pp, n_act, *c[5:], *ker, bk)
                 if cfgx is not None:
                     counts = out[-1]
                     self._persist = out[:-1]
@@ -625,7 +675,7 @@ class Engine:
                 out = pper.step_sorted_jit(
                     self._persist, pv, pp, n_act, cfg,
                     interpret=interpret, cfg2=cfg2, kernels=ker,
-                    cfgx=cfgx)
+                    base_kernels=bk, cfgx=cfgx, two_tier=self.two_tier)
                 if cfgx is not None:
                     self._persist, counts = out
                     self._pmx_members = (counts[0], counts[1])

@@ -51,6 +51,7 @@ def save(path: str, engine: Engine, step_index: int = 0) -> None:
             if getattr(engine, "pm2", None) else None),
         "pmx": (dataclasses.asdict(engine.pmx)
                 if getattr(engine, "pmx", None) else None),
+        "two_tier": getattr(engine, "two_tier", True),
     }
     arrays = dict(
         positions=state.positions(),
@@ -120,6 +121,7 @@ def load(path: str, method: Optional[Method] = None,
         pm_persist=meta.get("pm_persist", False),
         pm2=pm2_cfg,
         pmx=pmx_cfg,
+        two_tier=meta.get("two_tier", True),
     )
     engine.state = ParticleState.from_arrays(positions, velocities, init_colors)
     if masses is not None:

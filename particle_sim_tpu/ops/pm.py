@@ -227,6 +227,35 @@ def diff_kernels_device(grid: int, h, eps, eps_outer,
 _DIFF_DEV_CACHE: dict = {}
 
 
+def base_kernels_device(cfg: "P.PMConfig", softening,
+                        cell_size=None) -> tuple:
+    """BASE solve kernels as device-resident (real, imag) f32 pairs,
+    cached — the diff_kernels_device treatment for the coarse Hockney /
+    periodic kernels. Closed-over kernel constants are serialized into
+    the program body whether they are numpy OR device arrays (measured:
+    identical HLO bytes either way), and at G=256 the three doubled-grid
+    rfftn kernels are ~1.6 GB of complex64 — the axon compile RPC
+    breaks long before that uploads (r5: 2 strands at 900 s, one at
+    2100 s, one broken pipe at ~30 min). Pass these into jits as the
+    ``kernels`` argument of solve_accel / solve_accel_pair instead."""
+    g = cfg.grid
+    h = cfg.cell_size if cell_size is None else cell_size
+    eps = float(softening)
+    key = (cfg.boundary, g, float(h), eps, cfg.gradient)
+    got = _BASE_DEV_CACHE.get(key)
+    if got is None:
+        ks = (_isolated_kernels_host(g, h, eps, cfg.gradient)
+              if cfg.boundary == "isolated"
+              else _periodic_kernels_host(g, h, eps, cfg.gradient))
+        got = tuple((jnp.asarray(k.real.astype(np.float32)),
+                     jnp.asarray(k.imag.astype(np.float32))) for k in ks)
+        _BASE_DEV_CACHE[key] = got
+    return got
+
+
+_BASE_DEV_CACHE: dict = {}
+
+
 def solve_accel_diff(rho: jax.Array, grid: int, h, eps, eps_outer,
                      gradient: str = "exact", kernels=None) -> jax.Array:
     """f32[3, G, G, G] acceleration grids for the short-range difference
@@ -311,56 +340,70 @@ def _fd_gradient(phi: jax.Array, h: float) -> jax.Array:
 
 
 def solve_accel_pair(rho: jax.Array, rho2: jax.Array, cfg: "P.PMConfig",
-                     softening, kernels2) -> tuple:
+                     softening, kernels2, kernels1=None) -> tuple:
     """(grids, grids2) f32[3, G, G, G] each — the ISOLATED exact-gradient
     coarse solve and the fine difference-kernel solve (two-level PM)
     batched through ONE transform set: both levels share the Hockney
     doubled-grid shape, so their forward rfftns batch to 2 and the six
     gradient-component inverses ride one _irfftn_octant_batch instead of
-    two threes. ``kernels2`` = pm2.fine_kernels(...) device pairs.
+    two threes. ``kernels2`` = pm2.fine_kernels(...) device pairs;
+    ``kernels1`` = base_kernels_device(...) pairs (runtime args — else
+    the coarse kernels bake into the program body, see solve_accel).
     Caller gates on boundary == 'isolated' and both gradients 'exact'."""
     g = cfg.grid
-    ks1 = _isolated_kernels_host(g, cfg.cell_size, float(softening),
-                                 "exact")
+    if kernels1 is not None:
+        ks1 = [r + 1j * i for r, i in kernels1]
+    else:
+        ks1 = [jnp.asarray(k) for k in _isolated_kernels_host(
+            g, cfg.cell_size, float(softening), "exact")]
     pad = ((0, 0), (0, g), (0, g), (0, g))
     rp = jnp.pad(jnp.stack([rho, rho2]), pad)
     rhat = jnp.fft.rfftn(rp, axes=(1, 2, 3))
     ks2 = [r + 1j * i for r, i in kernels2]
     specs = jnp.concatenate([
-        rhat[0][None] * jnp.stack([jnp.asarray(k) for k in ks1]),
+        rhat[0][None] * jnp.stack(ks1),
         rhat[1][None] * jnp.stack(ks2)])
     out = _irfftn_octant_batch(specs, g).astype(jnp.float32)
     return out[:3], out[3:]
 
 
 def solve_accel(rho: jax.Array, cfg: "P.PMConfig",
-                softening, cell_size=None) -> jax.Array:
+                softening, cell_size=None, kernels=None) -> jax.Array:
     """f32[3, G, G, G] acceleration grids (unit G_const) from the mass grid.
 
     ``softening`` must be a static python float (the kernel FFT is cached
     per (grid, h, eps, mode)). ``cell_size`` overrides the config's static
-    h (the auto-box path solves in cell units, h=1).
+    h (the auto-box path solves in cell units, h=1). ``kernels``
+    (base_kernels_device pairs) routes the kernel spectra in as runtime
+    arguments instead of baked-in program constants — REQUIRED under jit
+    at G=256, where the constants alone are ~1.6 GB of serialized
+    program body (base_kernels_device docstring).
     """
     g = cfg.grid
     h = cfg.cell_size if cell_size is None else cell_size
     eps = float(softening)
+    if kernels is not None:
+        ks = [r + 1j * i for r, i in kernels]
     if cfg.boundary == "isolated":
-        kernels = _isolated_kernels_host(g, h, eps, cfg.gradient)
+        if kernels is None:
+            ks = [jnp.asarray(k) for k in
+                  _isolated_kernels_host(g, h, eps, cfg.gradient)]
         rho_p = jnp.pad(rho, ((0, g), (0, g), (0, g)))
         rho_hat = jnp.fft.rfftn(rho_p)
         if cfg.gradient == "fd":
-            phi = _irfftn_octant(rho_hat * jnp.asarray(kernels[0]), g)
+            phi = _irfftn_octant(rho_hat * ks[0], g)
             return _fd_gradient(phi.astype(jnp.float32), h)
-        specs = rho_hat[None] * jnp.stack([jnp.asarray(k) for k in kernels])
+        specs = rho_hat[None] * jnp.stack(ks)
         return _irfftn_octant_batch(specs, g).astype(jnp.float32)
     elif cfg.boundary == "periodic":
-        kernels = _periodic_kernels_host(g, h, eps, cfg.gradient)
+        if kernels is None:
+            ks = [jnp.asarray(k) for k in
+                  _periodic_kernels_host(g, h, eps, cfg.gradient)]
         rho_hat = jnp.fft.rfftn(rho)
         if cfg.gradient == "fd":
-            phi = jnp.fft.irfftn(rho_hat * jnp.asarray(kernels[0]),
-                                 s=rho.shape)
+            phi = jnp.fft.irfftn(rho_hat * ks[0], s=rho.shape)
             return _fd_gradient(phi.astype(jnp.float32), h)
-        specs = rho_hat[None] * jnp.stack([jnp.asarray(k) for k in kernels])
+        specs = rho_hat[None] * jnp.stack(ks)
         return jnp.fft.irfftn(specs, s=rho.shape,
                               axes=(1, 2, 3)).astype(jnp.float32)
     raise ValueError(f"unknown boundary mode {cfg.boundary!r}")

@@ -237,12 +237,14 @@ def fine_accel_fast(pos_flat: jax.Array, live: jax.Array,
 
 def pm2_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
               cfg: "P.PMConfig", cfg2: PM2Config, *, masses=None,
-              kernels=None, interpret: bool = False) -> jax.Array:
+              kernels=None, base_kernels=None,
+              interpret: bool = False) -> jax.Array:
     """f32[3, N] two-level PM acceleration — sorted-Pallas fast path for
     BOTH levels (grid 128, N a multiple of 512; the one-level case of
     pmn_accel)."""
     return pmn_accel(pos_flat, n_active, g_const, cfg, (cfg2,),
                      masses=masses, interpret=interpret,
+                     base_kernels=base_kernels,
                      kernels=None if kernels is None else (kernels,))
 
 
@@ -352,7 +354,7 @@ def pmn_accel_ref(pos_flat: jax.Array, n_active: jax.Array, g_const,
 
 def pmn_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
               cfg: "P.PMConfig", levels, *, masses=None, kernels=None,
-              interpret: bool = False) -> jax.Array:
+              base_kernels=None, interpret: bool = False) -> jax.Array:
     """f32[3, N] multi-level PM acceleration — sorted-Pallas fast path
     for every level (grid 128, N a multiple of 512). Cost: one grouping
     sort + deposit + solve + gather per level on top of the coarse PM
@@ -361,7 +363,8 @@ def pmn_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
         raise ValueError("multi-level PM needs a static coarse box")
     levels = _validate_levels(cfg, levels)
     acc = pm_pallas.pm_accel(pos_flat, n_active, 1.0, cfg, masses=masses,
-                             interpret=interpret)
+                             interpret=interpret,
+                             base_kernels=base_kernels)
     n = pos_flat.shape[1]
     live = jnp.arange(n, dtype=jnp.int32) < n_active
     wmins = _nested_wmins(pos_flat, live, cfg, levels, masses)
@@ -378,13 +381,15 @@ def pmn_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
 
 def step_pmn(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
              pair_vec: jax.Array, n_active: jax.Array, cfg: "P.PMConfig",
-             levels, *, masses=None, kernels=None, use_fast: bool = True,
+             levels, *, masses=None, kernels=None, base_kernels=None,
+             use_fast: bool = True,
              interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """One frame: multi-level PM self-gravity + attractor step on
     (3, R, LANE) planes — same contract as pm_pallas.step_pm."""
     flat = pos.reshape(3, -1)
     fn = pmn_accel if use_fast else pmn_accel_ref
-    kw = {"interpret": interpret} if use_fast else {}
+    kw = ({"interpret": interpret, "base_kernels": base_kernels}
+          if use_fast else {})
     acc = fn(flat, n_active, pair_vec[0], cfg, levels, masses=masses,
              kernels=kernels, **kw)
     return physics.kick_and_step_planes(pos, vel, acc.reshape(pos.shape),
@@ -395,22 +400,23 @@ def step_pmn(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
                                              "interpret"))
 def step_pmn_jit(pos, vel, param_vec, pair_vec, n_active, cfg, levels,
                  use_fast: bool = True, interpret: bool = False,
-                 masses=None, kernels=None):
+                 masses=None, kernels=None, base_kernels=None):
     return step_pmn(pos, vel, param_vec, pair_vec, n_active, cfg, levels,
                     masses=masses, kernels=kernels, use_fast=use_fast,
-                    interpret=interpret)
+                    base_kernels=base_kernels, interpret=interpret)
 
 
 def step_pm2(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
              pair_vec: jax.Array, n_active: jax.Array, cfg: "P.PMConfig",
              cfg2: PM2Config, *, masses=None, kernels=None,
-             use_fast: bool = True,
+             base_kernels=None, use_fast: bool = True,
              interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """One frame: two-level PM self-gravity + attractor step on
     (3, R, LANE) planes — same contract as pm_pallas.step_pm."""
     flat = pos.reshape(3, -1)
     fn = pm2_accel if use_fast else pm2_accel_ref
-    kw = {"interpret": interpret} if use_fast else {}
+    kw = ({"interpret": interpret, "base_kernels": base_kernels}
+          if use_fast else {})
     acc = fn(flat, n_active, pair_vec[0], cfg, cfg2, masses=masses,
              kernels=kernels, **kw)
     return physics.kick_and_step_planes(pos, vel, acc.reshape(pos.shape),
@@ -421,7 +427,7 @@ def step_pm2(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
                    static_argnames=("cfg", "cfg2", "use_fast", "interpret"))
 def step_pm2_jit(pos, vel, param_vec, pair_vec, n_active, cfg, cfg2,
                  use_fast: bool = True, interpret: bool = False,
-                 masses=None, kernels=None):
+                 masses=None, kernels=None, base_kernels=None):
     return step_pm2(pos, vel, param_vec, pair_vec, n_active, cfg, cfg2,
                     masses=masses, kernels=kernels, use_fast=use_fast,
-                    interpret=interpret)
+                    base_kernels=base_kernels, interpret=interpret)

@@ -382,11 +382,20 @@ def _make_gather(n_pad: int, chunk: int, c_max: int, interpret: bool,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((geom.plane, chunk), jnp.bfloat16)],
     )
+    # G=256 at 16M runs chunk=16384 over 256-lane planes: the scratch +
+    # block + kernel-temporary footprint is ~36 MB, over Mosaic's 16 MB
+    # default scoped-vmem ceiling but comfortably inside v5e's physical
+    # 128 MB VMEM (measured r5: the compile fails loudly without this).
+    # Raised only for the big geometries so the default-grid kernels
+    # keep the compiler's standard budget pressure.
+    big = chunk * geom.plane > 8192 * 128
     return pl.pallas_call(
         functools.partial(_gather_kernel, n_pad // chunk, geom),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, n_pad + chunk), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if big else None,
         cost_estimate=pl.CostEstimate(
             flops=c_max * (2 * 3 * T_ROWS_G * chunk * geom.plane
                            + 3 * chunk * geom.plane),
@@ -662,7 +671,7 @@ def pm_gather_sorted(grids: jax.Array, key_s: jax.Array, frac_s: jax.Array,
 
 def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
              cfg: "P.PMConfig", *, masses=None,
-             interpret: bool = False) -> jax.Array:
+             interpret: bool = False, base_kernels=None) -> jax.Array:
     """f32[3, N] PM acceleration — sorted-kernel fast path (grid in
     SUPPORTED_GRIDS, N a multiple of 512). Traceable.
 
@@ -670,6 +679,11 @@ def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
     box and rescales by 1/h^2 (see pm.pm_accel_ref). ``masses`` f32[N]
     scales the deposit (sources); receivers are mass-free (acceleration
     field).
+
+    ``base_kernels`` (pm.base_kernels_device pairs; static-box only)
+    routes the solve kernels in as runtime jit arguments instead of
+    baked program constants — mandatory at G=256 under the axon
+    compile RPC, smaller programs everywhere (pm.solve_accel).
 
     Non-finite accelerations (solver blowup) saturate the un-sort pack's
     shared exponent and decode as +-Inf/NaN (see pm_gather_sorted), so a
@@ -693,7 +707,8 @@ def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
                                            masses=masses)
     rho = pm_deposit_sorted(key_s, frac_s, mass_s, interpret=interpret,
                             grid=cfg.grid)
-    grids = pm.solve_accel(rho, cfg, cfg.softening)      # (3, G, G, G)
+    grids = pm.solve_accel(rho, cfg, cfg.softening,
+                           kernels=base_kernels)      # (3, G, G, G)
     acc = pm_gather_sorted(grids, key_s, frac_s, idx_s, interpret=interpret,
                            grid=cfg.grid)
     return g_const * pm.momentum_clean(acc, n_active, masses)
@@ -701,19 +716,21 @@ def pm_accel(pos_flat: jax.Array, n_active: jax.Array, g_const,
 
 def step_pm(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
             pair_vec: jax.Array, n_active: jax.Array, cfg: "P.PMConfig",
-            *, masses=None,
+            *, masses=None, base_kernels=None,
             interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """One frame: PM self-gravity (fast path) + attractor step, on
-    (3, R, LANE) planes — same contract as pm.step_pm_ref."""
+    (3, R, LANE) planes — same contract as pm.step_pm_ref.
+    ``base_kernels`` as in pm_accel (runtime kernel args)."""
     flat = pos.reshape(3, -1)
     acc = pm_accel(flat, n_active, pair_vec[0], cfg, masses=masses,
-                   interpret=interpret)
+                   interpret=interpret, base_kernels=base_kernels)
     return physics.kick_and_step_planes(pos, vel, acc.reshape(pos.shape),
                                         param_vec)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def step_pm_jit(pos, vel, param_vec, pair_vec, n_active, cfg,
-                interpret: bool = False, masses=None):
+                interpret: bool = False, masses=None, base_kernels=None):
     return step_pm(pos, vel, param_vec, pair_vec, n_active, cfg,
-                   masses=masses, interpret=interpret)
+                   masses=masses, interpret=interpret,
+                   base_kernels=base_kernels)

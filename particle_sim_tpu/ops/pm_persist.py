@@ -688,7 +688,7 @@ def _momentum_clean_live(acc, live_f, masses, psum_axis=None):
 def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
                  n_active=None, interpret: bool = False, chunk: int = 0,
                  psum_axis=None, cfg2=None, kernels=None,
-                 two_tier: bool = True,
+                 base_kernels=None, two_tier: bool = True,
                  _force_fine_fallback: bool = False
                  ) -> Tuple[SortedPMState, jax.Array]:
     """(state', acc f32[3, N]) — PM acceleration in the state's slot
@@ -881,7 +881,8 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
                    _grids_to_rows(grids, geom))[:, :n]
 
     if cfg2 is None:
-        acc = coarse_gather(pm.solve_accel(rho, cfg, cfg.softening))
+        acc = coarse_gather(pm.solve_accel(rho, cfg, cfg.softening,
+                                           kernels=base_kernels))
     else:
         # fine level on the SAME persistent order: masked spans over the
         # fine keys (SENTINEL outside the window) bound the tables, the
@@ -930,9 +931,11 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
                 rho2 = jax.lax.psum(rho2, psum_axis)
             if batchable:
                 grids, grids2 = pm.solve_accel_pair(rho, rho2, cfg,
-                                                    cfg.softening, kernels)
+                                                    cfg.softening, kernels,
+                                                    kernels1=base_kernels)
             else:
-                grids = pm.solve_accel(rho, cfg, cfg.softening)
+                grids = pm.solve_accel(rho, cfg, cfg.softening,
+                                       kernels=base_kernels)
                 grids2 = pm.solve_accel_diff(rho2, cfg.grid, h2,
                                              cfg2.softening, cfg.softening,
                                              cfg2.gradient, kernels=kernels)
@@ -950,7 +953,8 @@ def accel_sorted(st: SortedPMState, g_const, cfg: "P.PMConfig", *,
 
         def _fine_sorted(_):
             from . import pm2 as _pm2
-            acc_c = coarse_gather(pm.solve_accel(rho, cfg, cfg.softening))
+            acc_c = coarse_gather(pm.solve_accel(rho, cfg, cfg.softening,
+                                                 kernels=base_kernels))
             return acc_c + _pm2.fine_accel_fast(
                 st.pos, live, cfg, cfg2, masses=st.masses, kernels=kernels,
                 interpret=interpret, wmin=wmin, psum_axis=psum_axis)
@@ -977,7 +981,7 @@ def init_sorted_multi(pos_flat: jax.Array, n_active, cfg: "P.PMConfig",
 def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
                        levels, *, n_active=None, interpret: bool = False,
                        chunk: int = 0, psum_axis=None, kernels=None,
-                       cfgx=None, pmx_shards: int = 1,
+                       base_kernels=None, cfgx=None, pmx_shards: int = 1,
                        _force_fine_fallback: bool = False
                        ) -> Tuple[SortedPMState, jax.Array]:
     """(state', acc) — MULTI-level PM acceleration on the persistent
@@ -1148,7 +1152,8 @@ def accel_sorted_multi(st: SortedPMState, g_const, cfg: "P.PMConfig",
         return gat(gat_pairs, key.reshape(1, -1), frac.reshape(1, -1),
                    _grids_to_rows(grids, geom))[:, :n]
 
-    acc = coarse_gather(pm.solve_accel(rho, cfg, cfg.softening)) + _poison
+    acc = coarse_gather(pm.solve_accel(rho, cfg, cfg.softening,
+                                       kernels=base_kernels)) + _poison
 
     eps_outer = cfg.softening
     for m, c2 in enumerate(levels):
@@ -1284,7 +1289,7 @@ def step_sorted(st: SortedPMState, param_vec: jax.Array,
                 pair_vec: jax.Array, n_active, cfg: "P.PMConfig", *,
                 interpret: bool = False, chunk: int = 0,
                 psum_axis=None, cfg2=None, kernels=None,
-                cfgx=None, pmx_shards: int = 1,
+                base_kernels=None, cfgx=None, pmx_shards: int = 1,
                 two_tier: bool = True) -> SortedPMState:
     """One frame on the persistent state: PM self-gravity (repairing the
     order when needed; two-level with a single ``cfg2``, MULTI-level
@@ -1300,6 +1305,7 @@ def step_sorted(st: SortedPMState, param_vec: jax.Array,
                                  n_active=n_active,
                                  interpret=interpret, chunk=chunk,
                                  psum_axis=psum_axis, kernels=kernels,
+                                 base_kernels=base_kernels,
                                  cfgx=cfgx, pmx_shards=pmx_shards)
         if cfgx is not None:
             st, acc, pmx_counts = out
@@ -1313,7 +1319,8 @@ def step_sorted(st: SortedPMState, param_vec: jax.Array,
         st, acc = accel_sorted(st, pair_vec[0], cfg, n_active=n_active,
                                interpret=interpret, chunk=chunk,
                                psum_axis=psum_axis, cfg2=cfg2,
-                               kernels=kernels, two_tier=two_tier)
+                               kernels=kernels, base_kernels=base_kernels,
+                               two_tier=two_tier)
     shape = (3, st.pos.shape[1] // LANE, LANE)
     pos, vel = physics.kick_and_step_planes(
         st.pos.reshape(shape), st.vel.reshape(shape),
@@ -1328,11 +1335,12 @@ def step_sorted(st: SortedPMState, param_vec: jax.Array,
                                              "cfg2", "cfgx", "two_tier"))
 def step_sorted_jit(st, param_vec, pair_vec, n_active, cfg,
                     interpret: bool = False, chunk: int = 0,
-                    cfg2=None, kernels=None, cfgx=None,
-                    two_tier: bool = True):
+                    cfg2=None, kernels=None, base_kernels=None,
+                    cfgx=None, two_tier: bool = True):
     return step_sorted(st, param_vec, pair_vec, n_active, cfg,
                        interpret=interpret, chunk=chunk, cfg2=cfg2,
-                       kernels=kernels, cfgx=cfgx, two_tier=two_tier)
+                       kernels=kernels, base_kernels=base_kernels,
+                       cfgx=cfgx, two_tier=two_tier)
 
 
 def unsort(st: SortedPMState, arrays) -> tuple:

@@ -187,7 +187,7 @@ def _validate(cfg: "P.PMConfig", levels, cfgx: PMXConfig) -> None:
 
 def pmx_accel(pos_flat: jax.Array, n_active, g_const, cfg: "P.PMConfig",
               levels, cfgx: PMXConfig, *, masses=None, kernels=None,
-              use_fast: bool = True,
+              base_kernels=None, use_fast: bool = True,
               interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """(acc f32[3, N], n_members) — full stack: coarse PM + the pm2
     refinement levels (possibly empty) + the window-exact correction.
@@ -199,7 +199,8 @@ def pmx_accel(pos_flat: jax.Array, n_active, g_const, cfg: "P.PMConfig",
     live = jnp.arange(n, dtype=jnp.int32) < n_active
     if levels:
         base = (pm2.pmn_accel if use_fast else pm2.pmn_accel_ref)
-        kw = {"interpret": interpret} if use_fast else {}
+        kw = ({"interpret": interpret, "base_kernels": base_kernels}
+              if use_fast else {})
         acc = base(pos_flat, n_active, 1.0, cfg, levels, masses=masses,
                    kernels=kernels, **kw)
         wmins = pm2._nested_wmins(pos_flat, live, cfg, levels, masses)
@@ -217,6 +218,7 @@ def pmx_accel(pos_flat: jax.Array, n_active, g_const, cfg: "P.PMConfig",
         if use_fast and _fast_ok(cfg):
             from . import pm_pallas
             acc = pm_pallas.pm_accel(pos_flat, n_active, 1.0, cfg,
+                                     base_kernels=base_kernels,
                                      masses=masses, interpret=interpret)
         else:
             acc = pm.pm_accel_ref(pos_flat, n_active, 1.0, cfg.softening,
@@ -241,7 +243,8 @@ def _fast_ok(cfg: "P.PMConfig") -> bool:
 def step_pmx(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
              pair_vec: jax.Array, n_active, cfg: "P.PMConfig", levels,
              cfgx: PMXConfig, *, masses=None, kernels=None,
-             use_fast: bool = True, interpret: bool = False
+             base_kernels=None, use_fast: bool = True,
+             interpret: bool = False
              ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One frame: mesh stack + window-exact correction + the reference
     kick/step contract — same plane contract as pm_pallas.step_pm, plus
@@ -250,7 +253,7 @@ def step_pmx(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
     flat = pos.reshape(3, -1)
     acc, n_m = pmx_accel(flat, n_active, pair_vec[0], cfg, levels, cfgx,
                          masses=masses, kernels=kernels, use_fast=use_fast,
-                         interpret=interpret)
+                         base_kernels=base_kernels, interpret=interpret)
     pos2, vel2 = physics.kick_and_step_planes(
         pos, vel, acc.reshape(pos.shape), param_vec)
     return pos2, vel2, n_m
@@ -260,7 +263,8 @@ def step_pmx(pos: jax.Array, vel: jax.Array, param_vec: jax.Array,
     "cfg", "levels", "cfgx", "use_fast", "interpret"))
 def step_pmx_jit(pos, vel, param_vec, pair_vec, n_active, cfg, levels,
                  cfgx, use_fast: bool = True, interpret: bool = False,
-                 masses=None, kernels=None):
+                 masses=None, kernels=None, base_kernels=None):
     return step_pmx(pos, vel, param_vec, pair_vec, n_active, cfg, levels,
                     cfgx, masses=masses, kernels=kernels,
+                    base_kernels=base_kernels,
                     use_fast=use_fast, interpret=interpret)

@@ -41,17 +41,26 @@ def _plane_spec() -> P:
 
 
 def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
-                 interpret: bool = False, with_masses: bool = False):
-    """Jitted (pos, vel, param_vec, pair_vec, n_active[, masses])
-    -> (pos, vel).
+                 interpret: bool = False, with_masses: bool = False,
+                 with_base_kernels: bool = False):
+    """Jitted (pos, vel, param_vec, pair_vec, n_active[, masses]
+    [, base_kernels]) -> (pos, vel).
 
     pos/vel are (3, R, LANE) planes row-sharded over dp; n_active is the
     GLOBAL active count (replicated scalar). ``use_pallas`` selects the
     sorted-kernel CIC path (TPU) over the XLA scatter/gather reference.
     With ``with_masses``, a row-sharded f32[capacity] source-mass array
-    scales the local deposits (the grid psum makes it global).
+    scales the local deposits (the grid psum makes it global). With
+    ``with_base_kernels`` (static-box only), one more trailing argument
+    carries the replicated pm.base_kernels_device pairs so the Hockney
+    spectra ride as runtime arguments, not program constants.
     """
-    def local_step(pos, vel, pv, pairv, n_active, masses=None):
+    if with_base_kernels and cfg.auto_box:
+        raise ValueError("base kernels are for static-box configs (the "
+                         "auto_box solve is in traced cell units)")
+
+    def local_step(pos, vel, pv, pairv, n_active, masses=None,
+                   base_kernels=None):
         shape = pos.shape
         local_n = shape[1] * shape[2]
         my_idx = jax.lax.axis_index(DP_AXIS)
@@ -87,7 +96,8 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
                                               grid=cfg.grid)
             rho = jax.lax.psum(rho, DP_AXIS)
             grids = pm.solve_accel(rho, cfg, cfg.softening,
-                                   cell_size=cell_size)
+                                   cell_size=cell_size,
+                                   kernels=base_kernels)
             acc = g_scale * pm_pallas.pm_gather_sorted(
                 grids, key_s, frac_s, idx_s, interpret=interpret,
                 grid=cfg.grid)
@@ -96,7 +106,8 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
                                      masses=masses)
             rho = jax.lax.psum(rho, DP_AXIS)
             grids = pm.solve_accel(rho, cfg, cfg.softening,
-                                   cell_size=cell_size)
+                                   cell_size=cell_size,
+                                   kernels=base_kernels)
             acc = g_scale * pm.cic_gather_ref(grids, flat, cfg,
                                               coords=coords)
 
@@ -120,13 +131,17 @@ def make_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *, use_pallas: bool = False,
 
     # check_vma off only for Pallas bodies (kernel vma propagation fails on
     # literal operands in JAX 0.9 — see parallel/dp.py for the citation)
+    def wrapper(pos, vel, pv, pairv, n, *rest):
+        masses = rest[0] if with_masses else None
+        bk = rest[-1] if with_base_kernels else None
+        return local_step(pos, vel, pv, pairv, n, masses, bk)
+
     sharded = shard_map(
-        local_step if with_masses
-        else (lambda pos, vel, pv, pairv, n:
-              local_step(pos, vel, pv, pairv, n)),
+        wrapper,
         mesh=mesh,
         in_specs=(_plane_spec(), _plane_spec(), P(), P(), P())
-        + ((P(DP_AXIS),) if with_masses else ()),
+        + ((P(DP_AXIS),) if with_masses else ())
+        + ((P(),) if with_base_kernels else ()),
         out_specs=(_plane_spec(), _plane_spec()),
         check_vma=not use_pallas,
     )

@@ -76,7 +76,8 @@ def make_persist_init(mesh: Mesh, cfg: "Pm.PMConfig", *,
 def make_persist_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *,
                          interpret: bool = False, chunk: int = 0,
                          with_masses: bool = False, with_col: bool = False,
-                         cfg2=None, cfgx=None):
+                         cfg2=None, cfgx=None, two_tier: bool = True,
+                         with_base_kernels: bool = False):
     """Jitted (pos, vel, ids, resorts, fine_b, param_vec, pair_vec,
     n_active[, masses][, col24][, kernels]) -> (pos, vel, ids, resorts,
     fine_b[, masses][, col24][, pmx_counts]): one
@@ -94,7 +95,13 @@ def make_persist_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *,
     terminates the stack with the window-exact correction — each shard
     contributes capacity/n_dev slots of its innermost class to one
     all_gather'd global member buffer (accel_sorted_multi docstring);
-    the output gains a replicated i32[2] (n_members, n_corrected)."""
+    the output gains a replicated i32[2] (n_members, n_corrected).
+    ``two_tier=False`` forces every per-shard repair straight to the
+    full local sort (see pm_persist.accel_sorted).
+    ``with_base_kernels=True`` appends one more trailing argument — the
+    replicated pm.base_kernels_device(...) pairs — routing the coarse
+    Hockney kernels in as runtime arguments instead of baked program
+    constants (mandatory at G=256: pm.base_kernels_device docstring)."""
     if cfgx is not None and not isinstance(cfg2, tuple):
         raise ValueError("multi-chip pmx rides the MULTI-level class "
                          "order — pass a tuple cfg2")
@@ -104,14 +111,17 @@ def make_persist_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *,
               *rest):
         masses = rest[0] if with_masses else None
         col24 = rest[int(with_masses)] if with_col else None
-        kernels = rest[-1] if cfg2 is not None else None
+        base_kernels = rest[-1] if with_base_kernels else None
+        kern_i = -2 if with_base_kernels else -1
+        kernels = rest[kern_i] if cfg2 is not None else None
         st = pm_persist.SortedPMState(pos, vel, ids, masses, resorts[0],
                                       fine_b[0], col24)
         out = pm_persist.step_sorted(st, pv, pairv, n_active, cfg,
                                      interpret=interpret, chunk=chunk,
                                      psum_axis=DP_AXIS, cfg2=cfg2,
-                                     kernels=kernels, cfgx=cfgx,
-                                     pmx_shards=n_dev)
+                                     kernels=kernels,
+                                     base_kernels=base_kernels, cfgx=cfgx,
+                                     pmx_shards=n_dev, two_tier=two_tier)
         st, counts = out if cfgx is not None else (out, None)
         res = (st.pos, st.vel, st.ids, st.resorts[None], st.fine_b[None])
         res += (st.masses,) if masses is not None else ()
@@ -120,7 +130,8 @@ def make_persist_pm_step(mesh: Mesh, cfg: "Pm.PMConfig", *,
 
     extra = ((P(DP_AXIS),) if with_masses else ()) + (
         (P(DP_AXIS),) if with_col else ())
-    ker_in = (P(),) if cfg2 is not None else ()
+    ker_in = ((P(),) if cfg2 is not None else ()) + (
+        (P(),) if with_base_kernels else ())
     counts_out = (P(),) if cfgx is not None else ()
     sharded = shard_map(
         local, mesh=mesh,

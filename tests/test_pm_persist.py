@@ -41,13 +41,13 @@ def _ref_accel(pos_flat, n_active):
         pos_flat, n_active, 1.0, CFG, interpret=True))
 
 
-def _assert_matches_ref(st, n_active, atol_rel=3e-3):
+def _assert_matches_ref(st, n_active, atol_rel=3e-3, **kw):
     """accel_sorted == pm_accel up to slot permutation. Tolerance: the
     reference path's un-sort quantizes accelerations through the 40-bit
     shared-exponent pack (~2^-10 of each particle's dominant component);
     accel_sorted never un-sorts, so it returns the UNquantized gather."""
     st2, acc = pm_persist.accel_sorted(st, 1.0, CFG, n_active=n_active,
-                                       interpret=True)
+                                       interpret=True, **kw)
     a_ref = _ref_accel(_ids_order(st2), n_active)
     ids = np.asarray(st2.ids)
     scale = np.abs(a_ref).max() + 1e-12
@@ -331,6 +331,26 @@ def test_local_repair_escalates_to_global(monkeypatch):
                      ids=st.ids[perm])
     st2, _ = _assert_matches_ref(st, n_act)
     assert int(st2.resorts) == 2          # local pass + full pass
+    key = np.asarray(pm_pallas.cell_key_frac(
+        st2.pos, st2.ids < n_act, CFG)[0])
+    assert (np.diff(key) >= 0).all()
+
+
+@pytest.mark.slow
+def test_two_tier_false_skips_local_tier(monkeypatch):
+    """``two_tier=False`` (the r5 A/B's measured win for violent scenes)
+    goes straight to the full sort: the SAME global scramble that costs
+    the two-tier path two repair passes above repairs in ONE, with the
+    identical exact result and a globally sorted order."""
+    monkeypatch.setattr(pm_persist, "pick_segment", lambda n, c: 2048)
+    pos, n_act = _flat(_cloud(8192, 24))
+    st = pm_persist.init_sorted(pos, n_act, CFG)
+    perm = jnp.asarray(np.random.default_rng(25).permutation(
+        st.pos.shape[1]).astype(np.int32))
+    st = st._replace(pos=st.pos[:, perm], vel=st.vel[:, perm],
+                     ids=st.ids[perm])
+    st2, _ = _assert_matches_ref(st, n_act, two_tier=False)
+    assert int(st2.resorts) == 1          # full pass only, no tier 1
     key = np.asarray(pm_pallas.cell_key_frac(
         st2.pos, st2.ids < n_act, CFG)[0])
     assert (np.diff(key) >= 0).all()

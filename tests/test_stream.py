@@ -176,6 +176,9 @@ class TestStreamServer:
         assert hello["type"] == "hello"
         assert "jnp" in hello["methods"]
         assert hello["count"] == 2000
+        # panel-reflection fields ride the hello (r5: two_tier joins
+        # the pm2/pmx solver-state block)
+        assert hello["two_tier"] is True
         s.close()
 
     def test_frame_stream_and_events(self, server):
@@ -446,6 +449,34 @@ class TestSolverEvents:
         assert engine.pmx is None
         engine.step(SimParams(delta_time=0.008, gravity=0.0))
         assert np.isfinite(engine.state.positions()).all()
+
+    def test_solver_event_two_tier(self):
+        """The persistent-repair strategy flips live through the solver
+        event (r5: the A/B measured full-sort-only as the win for
+        violent scenes) and is reported back in the state message so
+        the panel checkbox reflects server state."""
+        from particle_sim_tpu.app.server import StreamServer
+        from particle_sim_tpu.core.params import Method
+
+        engine = Engine(particle_count=1500, method=Method.JNP)
+        srv = StreamServer(engine, port=0)
+        assert engine.two_tier is True
+        srv.handle_event({"type": "solver", "name": "pm", "g": 0.5,
+                          "softening": 3.0, "two_tier": False})
+        assert engine.two_tier is False
+        # absent field keeps the current strategy
+        srv.handle_event({"type": "solver", "name": "pm", "g": 0.5,
+                          "softening": 2.0})
+        assert engine.two_tier is False
+        srv.handle_event({"type": "solver", "name": "pm", "g": 0.5,
+                          "softening": 2.0, "two_tier": True})
+        assert engine.two_tier is True
+        # a REJECTED event must not commit its two_tier either (the
+        # validate-then-commit contract covers every field)
+        srv.handle_event({"type": "solver", "name": "pm", "g": 0.5,
+                          "softening": 2.0, "two_tier": False,
+                          "pmx_size": 8.0, "pmx_softening": 5.0})
+        assert engine.two_tier is True
 
     def test_solver_event_pmx_reflected_in_header(self, server):
         """The live-panel round trip: a pmx solver event carries a seq;

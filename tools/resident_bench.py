@@ -56,6 +56,10 @@ def main() -> None:
     cfg1 = PMConfig(softening=2.0)
     n16 = 16 * 1024 * 1024
     cfg16 = PMConfig(softening=2.0)
+    from particle_sim_tpu.ops import pm as pm_mod
+    # Hockney kernels as runtime jit args (r5: baked kernel constants
+    # broke the G=256 compile RPC; smaller programs at every grid)
+    bk16 = pm_mod.base_kernels_device(cfg16, cfg16.softening)
     box = {}
 
     def headline():
@@ -140,22 +144,22 @@ def main() -> None:
         s0 = _ref16()
 
         @jax.jit
-        def steady(s, k):
+        def steady(s, k, bk):
             def body(_, c):
                 s2, a = pm_persist.accel_sorted(c[0], jnp.float32(1.0),
-                                                cfg16)
+                                                cfg16, base_kernels=bk)
                 return (s2, c[1] + a.sum())
             return jax.lax.fori_loop(0, k, body, (s, jnp.float32(0.0)))
 
-        s, tot = steady(s0, 1)
+        s, tot = steady(s0, 1, bk16)
         float(np.asarray(tot))
         box["pm16_ref"] = s
         t0 = time.perf_counter()
-        s, tot = steady(s, 1)
+        s, tot = steady(s, 1, bk16)
         float(np.asarray(tot))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        s, tot = steady(s, 3)
+        s, tot = steady(s, 3, bk16)
         float(np.asarray(tot))
         box["pm16_ref"] = s
         dt = (time.perf_counter() - t0 - t1) / 2.0
@@ -176,17 +180,18 @@ def main() -> None:
             del pos16
 
         @jax.jit
-        def dyn(s, k):
+        def dyn(s, k, bk):
             def body(_, c):
                 return pm_persist.step_sorted(c, pv16, pp16,
-                                              jnp.int32(n16), cfg16)
+                                              jnp.int32(n16), cfg16,
+                                              base_kernels=bk)
             return jax.lax.fori_loop(0, k, body, s)
 
-        s = dyn(box["pm16_state"], 1)
+        s = dyn(box["pm16_state"], 1, bk16)
         float(np.asarray(s.pos.ravel()[1]))
         r0 = int(s.resorts)
         t0 = time.perf_counter()
-        s = dyn(s, 6)
+        s = dyn(s, 6, bk16)
         float(np.asarray(s.pos.ravel()[1]))
         dt = (time.perf_counter() - t0) / 6.0
         box["pm16_state"] = s
@@ -210,18 +215,19 @@ def main() -> None:
             del pos16
 
         @jax.jit
-        def dyn_full(s, k):
+        def dyn_full(s, k, bk):
             def body(_, c):
                 return pm_persist.step_sorted(c, pv16, pp16,
                                               jnp.int32(n16), cfg16,
+                                              base_kernels=bk,
                                               two_tier=False)
             return jax.lax.fori_loop(0, k, body, s)
 
-        s = dyn_full(box["pm16_state"], 1)
+        s = dyn_full(box["pm16_state"], 1, bk16)
         float(np.asarray(s.pos.ravel()[1]))
         r0 = int(s.resorts)
         t0 = time.perf_counter()
-        s = dyn_full(s, 6)
+        s = dyn_full(s, 6, bk16)
         float(np.asarray(s.pos.ravel()[1]))
         dt = (time.perf_counter() - t0) / 6.0
         box["pm16_state"] = s
@@ -348,23 +354,24 @@ def main() -> None:
                                  capacity=8192)
 
         @jax.jit
-        def steadyx(s, k, kr):
+        def steadyx(s, k, kr, bk):
             def body(_, c):
                 s2, a, _ = pm_persist.accel_sorted_multi(
                     c[0], jnp.float32(1.0), cfg16, cfgs_n, kernels=kr,
+                    base_kernels=bk,
                     cfgx=cfgx)
                 return (s2, c[1] + a.sum())
             return jax.lax.fori_loop(0, k, body, (s, jnp.float32(0.0)))
 
-        s, tot = steadyx(box["pmn16_state"], 2, ker)   # migrate + settle
+        s, tot = steadyx(box["pmn16_state"], 2, ker, bk16)   # migrate + settle
         float(np.asarray(tot))
         box["pmn16_state"] = s
         t0 = time.perf_counter()
-        s, tot = steadyx(s, 1, ker)
+        s, tot = steadyx(s, 1, ker, bk16)
         float(np.asarray(tot))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        s, tot = steadyx(s, 3, ker)
+        s, tot = steadyx(s, 3, ker, bk16)
         float(np.asarray(tot))
         box["pmn16_state"] = s
         dt = (time.perf_counter() - t0 - t1) / 2.0
@@ -385,22 +392,23 @@ def main() -> None:
         ker = pm2_mod.levels_kernels(cfg16, cfgs_n)
 
         @jax.jit
-        def steadyn(s, k, kr):
+        def steadyn(s, k, kr, bk):
             def body(_, c):
                 s2, a = pm_persist.accel_sorted_multi(
-                    c[0], jnp.float32(1.0), cfg16, cfgs_n, kernels=kr)
+                    c[0], jnp.float32(1.0), cfg16, cfgs_n, kernels=kr,
+                    base_kernels=bk)
                 return (s2, c[1] + a.sum())
             return jax.lax.fori_loop(0, k, body, (s, jnp.float32(0.0)))
 
-        s, tot = steadyn(box["pmn16_state"], 2, ker)   # migrate + settle
+        s, tot = steadyn(box["pmn16_state"], 2, ker, bk16)   # migrate + settle
         float(np.asarray(tot))
         box["pmn16_state"] = s
         t0 = time.perf_counter()
-        s, tot = steadyn(s, 1, ker)
+        s, tot = steadyn(s, 1, ker, bk16)
         float(np.asarray(tot))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        s, tot = steadyn(s, 3, ker)
+        s, tot = steadyn(s, 3, ker, bk16)
         float(np.asarray(tot))
         box["pmn16_state"] = s
         dt = (time.perf_counter() - t0 - t1) / 2.0
@@ -409,6 +417,10 @@ def main() -> None:
     cfg256 = PMConfig(softening=2.0, grid=256)
 
     def g256_steady():
+        # kernel args are MANDATORY at G=256 (pm.base_kernels_device);
+        # lazy: the host 512^3 rfftns + 1.6 GB upload only happen when
+        # this leg first gets a window (cached after that)
+        bk256 = pm_mod.base_kernels_device(cfg256, cfg256.softening)
         if "g256_state" not in box:
             pos16 = jax.random.uniform(jax.random.PRNGKey(3), (3, n16),
                                        jnp.float32, -45.0, 45.0)
@@ -417,22 +429,22 @@ def main() -> None:
             del pos16
 
         @jax.jit
-        def steady256(s, k):
+        def steady256(s, k, bk):
             def body(_, c):
                 s2, a = pm_persist.accel_sorted(c[0], jnp.float32(1.0),
-                                                cfg256)
+                                                cfg256, base_kernels=bk)
                 return (s2, c[1] + a.sum())
             return jax.lax.fori_loop(0, k, body, (s, jnp.float32(0.0)))
 
-        s, tot = steady256(box["g256_state"], 1)
+        s, tot = steady256(box["g256_state"], 1, bk256)
         float(np.asarray(tot))
         box["g256_state"] = s
         t0 = time.perf_counter()
-        s, tot = steady256(s, 1)
+        s, tot = steady256(s, 1, bk256)
         float(np.asarray(tot))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        s, tot = steady256(s, 3)
+        s, tot = steady256(s, 3, bk256)
         float(np.asarray(tot))
         box["g256_state"] = s
         dt = (time.perf_counter() - t0 - t1) / 2.0
