@@ -31,8 +31,9 @@ members ≈ 2 x 29 ms. Membership is compacted into a static
 rejects no frame — overflowing windows just truncate to the first
 ``capacity`` members by slot order, reported via the returned count so
 callers can warn. (On the persistent multi-level order the innermost
-class is already a contiguous slot range, so a slice could replace the
-flag sort — future work, noted in docs/DESIGN.md.)
+class is already a contiguous slot range, so ONE dynamic slice replaces
+the flag sort and the un-sort — pm_persist.accel_sorted_multi's cfgx
+path; measured ~free at 16M, docs/DESIGN.md.)
 
 Reference parity: the reference app has no self-gravity at all
 (SURVEY.md §2) — this is a capability extension, tested against the

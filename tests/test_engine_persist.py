@@ -112,25 +112,33 @@ def test_checkpoint_roundtrip_identity(tmp_path):
                                e.state.positions(), atol=1e-6)
 
 
-def test_two_tier_flag_plumbs_and_matches(tmp_path):
+def test_two_tier_flag_plumbs(tmp_path):
     """Engine(two_tier=False) — the full-sort-only repair strategy the
-    r5 A/B measured as the win for violent scenes — steps to the same
-    trajectory as the default two-tier engine (repair strategy is an
-    ordering choice, never a physics one) and the flag rides
-    checkpoints."""
+    r5 A/B measured as the win for violent scenes — is carried on the
+    engine and rides checkpoints (no stepping: the repair-path physics
+    parity is the slow-tier test below)."""
     from particle_sim_tpu.io import checkpoint as ckpt
+    e_full = _engine(True, two_tier=False)
+    assert _engine(True).two_tier and not e_full.two_tier
+    path = str(tmp_path / "full.npz")
+    ckpt.save(path, e_full, step_index=0)
+    e2, _ = ckpt.load(path, method=Method.PALLAS, interpret=True)
+    assert e2.two_tier is False
+    assert e2.pm_persist
+
+
+@pytest.mark.slow
+def test_two_tier_false_matches_trajectory():
+    """two_tier=False steps to the same trajectory as the default
+    two-tier engine: repair strategy is an ordering choice, never a
+    physics one."""
     e_tt = _engine(True)
     e_full = _engine(True, two_tier=False)
-    assert e_tt.two_tier and not e_full.two_tier
     for _ in range(2):
         e_tt.step(PARAMS)
         e_full.step(PARAMS)
     np.testing.assert_allclose(e_full.state.positions(),
                                e_tt.state.positions(), atol=1e-5)
-    path = str(tmp_path / "full.npz")
-    ckpt.save(path, e_full, step_index=2)
-    e2, _ = ckpt.load(path, method=Method.PALLAS, interpret=True)
-    assert e2.two_tier is False
 
 
 def test_pm_persist_auto_crossover(monkeypatch):
