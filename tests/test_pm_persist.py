@@ -336,6 +336,23 @@ def test_local_repair_escalates_to_global(monkeypatch):
     assert (np.diff(key) >= 0).all()
 
 
+def test_base_kernels_args_bit_exact():
+    """Routing the Hockney kernel spectra as runtime arguments
+    (pm.base_kernels_device — mandatory at G=256, where 1.6 GB of
+    baked kernel constants broke the compile RPC) is bit-exact vs the
+    baked-constant path: same spectra, different plumbing."""
+    from particle_sim_tpu.ops import pm as pm_mod
+
+    pos, n_act = _flat(_cloud(4096, 31))
+    st = pm_persist.init_sorted(pos, n_act, CFG)
+    bk = pm_mod.base_kernels_device(CFG, CFG.softening)
+    _, a_baked = pm_persist.accel_sorted(st, 1.0, CFG, n_active=n_act,
+                                         interpret=True)
+    _, a_args = pm_persist.accel_sorted(st, 1.0, CFG, n_active=n_act,
+                                        interpret=True, base_kernels=bk)
+    np.testing.assert_array_equal(np.asarray(a_baked), np.asarray(a_args))
+
+
 @pytest.mark.slow
 def test_two_tier_false_skips_local_tier(monkeypatch):
     """``two_tier=False`` (the r5 A/B's measured win for violent scenes)
